@@ -1,0 +1,133 @@
+"""Rollup / derive correctness vs a DuckDB oracle (exact match, north_rule)
+and the per-row invariant: per-turn text equality under stable
+(conv_id, turn_idx) ordering."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsfeatures_ray.sources.synth import transcripts_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tpath():
+    return transcripts_path(SF)
+
+
+def _ray_df(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+def test_derived_latency_matches_sql_oracle(ray_session, tpath):
+    from tsfeatures_ray.pipelines import derived_pipeline
+
+    got = (
+        _ray_df(derived_pipeline(SF))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT conv_id, turn_idx, text,
+               CAST(length(text) AS BIGINT) AS token_len,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                         ts) AS latency_us
+        FROM read_parquet('{tpath}')
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    assert len(got) == len(want)
+    assert (got["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
+    # per-row invariant: text equality under stable (conv_id, turn_idx) order
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+    assert (got["token_len"].to_numpy() == want["token_len"].to_numpy()).all()
+    g = got["latency_us"].astype("float64").to_numpy()
+    w = want["latency_us"].astype("float64").to_numpy()
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+ORACLE_ROLLUP = """
+WITH turns AS (
+    SELECT conv_id, turn_idx, ts,
+           CAST(length(text) AS BIGINT) AS token_len,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                     ts) AS latency_us
+    FROM read_parquet('{path}')
+)
+SELECT conv_id, '{tier}' AS tier, date_trunc('{unit}', ts) AS bucket,
+       COUNT(*) AS token_len_count,
+       SUM(token_len) AS token_len_sum,
+       MIN(token_len) AS token_len_min,
+       MAX(token_len) AS token_len_max,
+       arg_max(token_len, turn_idx) AS token_len_last,
+       COUNT(latency_us) AS latency_count,
+       SUM(latency_us) AS latency_sum,
+       MIN(latency_us) AS latency_min,
+       MAX(latency_us) AS latency_max,
+       max_by(latency_us, turn_idx) FILTER (latency_us IS NOT NULL) AS latency_last
+FROM turns
+GROUP BY 1, 3
+ORDER BY 1, 3
+"""
+
+
+@pytest.mark.parametrize("tier,unit", [("1m", "minute"), ("1h", "hour"), ("1d", "day")])
+def test_rollup_exact_vs_oracle(ray_session, tpath, tier, unit):
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    got = (
+        _ray_df(rollup_pipeline(SF, tiers=[tier]))
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(ORACLE_ROLLUP.format(path=tpath, tier=tier, unit=unit)).df()
+    assert len(got) == len(want), (tier, len(got), len(want))
+    for col in [
+        "token_len_count", "token_len_sum", "token_len_min", "token_len_max",
+        "token_len_last", "latency_count", "latency_sum", "latency_min",
+        "latency_max", "latency_last",
+    ]:
+        g = got[col].astype("float64").to_numpy()
+        w = want[col].astype("float64").to_numpy()
+        ok = (g == w) | (np.isnan(g) & np.isnan(w))
+        assert ok.all(), f"{tier}.{col}: first mismatch at {np.flatnonzero(~ok)[:5]}"
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+
+
+def test_gapfill_dense_and_zero_counts(ray_session, tpath):
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    df = _ray_df(rollup_pipeline(SF, tiers=["1m"], gapfill=True))
+    # every conv's bucket range is dense
+    spans = df.groupby("conv_id")["bucket_us"].agg(["min", "max", "count"])
+    expect = (spans["max"] - spans["min"]) // 60_000_000 + 1
+    assert (spans["count"] == expect).all()
+    gaps = df[df["filled"]]
+    assert len(gaps) > 0
+    assert (gaps["token_len_count"] == 0).all()
+    assert gaps["token_len_sum"].isna().all()
+    # non-gap rows must be identical to the sparse rollup
+    sparse = _ray_df(rollup_pipeline(SF, tiers=["1m"]))
+    merged_nonfill = (
+        df[~df["filled"]].sort_values(["conv_id", "bucket_us"]).reset_index(drop=True)
+    )
+    sparse = sparse.sort_values(["conv_id", "bucket_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged_nonfill.reset_index(drop=True)[sparse.columns], sparse
+    )
+
+
+def test_duplicate_ts_last_tiebreak(ray_session, tpath):
+    # synthetic data contains duplicate ts with distinct turn_idx; 'last'
+    # must resolve by max (ts, turn_idx)
+    con = duckdb.connect()
+    dups = con.sql(
+        f"""SELECT conv_id, ts FROM read_parquet('{tpath}')
+            GROUP BY 1,2 HAVING COUNT(*) > 1 LIMIT 1"""
+    ).fetchall()
+    assert dups, "synth fixture must contain duplicate timestamps"

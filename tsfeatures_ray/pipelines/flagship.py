@@ -1,0 +1,163 @@
+"""End-to-end pipelines and the public tsfeatures-compatible API.
+
+``tsfeatures`` / ``tsfeatures_wide`` mirror the reference's entry points
+(reference tsfeatures.py:930-976, 1001-1039) with a Ray Data execution
+model: long panel Dataset -> per-key shuffle -> packed list<double>
+series -> kernel actor pool -> wide feature Dataset. The flagship
+transcript pipeline composes derive -> rollup -> pack -> features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..schema import TIERS
+from ..sources.synth import transcripts_path
+from ..stages.derive import default_num_parts, derive_turn_metrics, stable_part
+from ..stages.features import features_over_packed
+from ..stages.pack import PACKED_SCHEMA, pack_series
+from ..stages.rollup import gapfill_rollup, rollup
+
+
+def derived_pipeline(sf_dir: str, num_parts: int | None = None) -> "rd.Dataset":
+    """transcripts parquet -> per-turn derived metrics Dataset."""
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    return derive_turn_metrics(ds, num_parts=num_parts)
+
+
+def rollup_pipeline(
+    sf_dir: str,
+    tiers: list[str] | None = None,
+    gapfill: bool = False,
+    num_parts: int | None = None,
+) -> "rd.Dataset":
+    """transcripts parquet -> rollup Dataset at the given tiers."""
+    derived = derived_pipeline(sf_dir, num_parts=num_parts)
+    return rollup(derived, tiers=tiers, gapfill=gapfill, num_parts=num_parts)
+
+
+def feature_pipeline(
+    sf_dir: str,
+    tiers: list[str] | None = None,
+    metric: str = "token_len_sum",
+    features=None,
+    scale: bool = True,
+    num_parts: int | None = None,
+    concurrency=None,
+) -> "rd.Dataset":
+    """Flagship: transcripts -> rollups -> packed series -> features."""
+    rolled = rollup_pipeline(sf_dir, tiers=tiers, num_parts=num_parts)
+    packed = pack_series(rolled, metric=metric, num_parts=num_parts)
+    return features_over_packed(
+        packed, features=features, scale=scale, concurrency=concurrency
+    )
+
+
+# ---------------------------------------------------------------------------
+# tsfeatures-compatible public API over arbitrary long/wide panels
+# ---------------------------------------------------------------------------
+
+def _pack_long_partition(g: pd.DataFrame) -> pa.Table:
+    """Pack a partition of a long panel (unique_id, ds, y) into wide rows.
+
+    Per-group row order follows ``ds`` (stable sort), matching the
+    reference's reliance on pandas-groupby order preservation
+    (tsfeatures.py:971; SURVEY.md §2.7 ordering note)."""
+    g = g.sort_values(["unique_id", "ds"], kind="mergesort")
+    uid = g["unique_id"].astype(str).to_numpy()
+    yv = g["y"].to_numpy(dtype="float64")
+    first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    counts = np.diff(np.r_[first, len(uid)])
+    freq = g["freq"].to_numpy()[first].astype("int32")
+    offsets = np.r_[0, np.cumsum(counts)].astype("int32")
+    y = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                 pa.array(yv, type=pa.float64()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(uid[first], type=pa.string()),
+            pa.array(["-"] * len(first), type=pa.string()),
+            pa.array(freq, type=pa.int32()),
+            pa.array(counts, type=pa.int64()),
+            y,
+        ],
+        schema=PACKED_SCHEMA,
+    )
+
+
+def tsfeatures(
+    panel: "rd.Dataset | pd.DataFrame",
+    freq: int,
+    features=None,
+    scale: bool = True,
+    num_parts: int | None = None,
+    concurrency=None,
+) -> "rd.Dataset":
+    """Ray-native analog of reference ``tsfeatures(ts, freq)``
+    (tsfeatures.py:930-976): long panel with columns
+    (unique_id, ds, y) -> wide feature Dataset, one row per series.
+
+    ``freq`` is explicit (the engine pins seasonality per tier/config
+    instead of inferring from timestamps, SURVEY.md §1.3)."""
+    if isinstance(panel, pd.DataFrame):
+        panel = rd.from_pandas(panel)
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df["unique_id"].astype(str).to_numpy(), num_parts)
+        df["freq"] = np.int32(freq)
+        return df
+
+    packed = (
+        panel.map_batches(add_cols, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_pack_long_partition, batch_format="pandas")
+    )
+    return features_over_packed(
+        packed, features=features, scale=scale, concurrency=concurrency
+    )
+
+
+def tsfeatures_wide(
+    panel: "rd.Dataset | pd.DataFrame",
+    features=None,
+    scale: bool = True,
+    concurrency=None,
+) -> "rd.Dataset":
+    """Ray-native analog of reference ``tsfeatures_wide``
+    (tsfeatures.py:1001-1039): wide panel (unique_id, seasonality,
+    y=list<double>) -> feature Dataset. The wide layout needs NO
+    shuffle at all -- rows are already one-per-series."""
+    if isinstance(panel, pd.DataFrame):
+        tbl = pa.table(
+            {
+                "unique_id": pa.array(panel["unique_id"].astype(str)),
+                "tier": pa.array(["-"] * len(panel)),
+                "freq": pa.array(panel["seasonality"].astype("int32")),
+                "n_buckets": pa.array([len(v) for v in panel["y"]], type=pa.int64()),
+                "y": pa.array([list(map(float, v)) for v in panel["y"]],
+                              type=pa.list_(pa.float64())),
+            }
+        )
+        panel = rd.from_arrow(tbl)
+    else:
+        def adapt(t: pa.Table) -> pa.Table:
+            cols = {
+                "unique_id": t["unique_id"].cast(pa.string()),
+                "tier": pa.array(["-"] * len(t)),
+                "freq": t["seasonality"].cast(pa.int32()),
+                "n_buckets": pa.compute.list_value_length(t["y"]).cast(pa.int64()),
+                "y": t["y"].cast(pa.list_(pa.float64())),
+            }
+            return pa.table(cols)
+
+        panel = panel.map_batches(adapt, batch_format="pyarrow")
+    return features_over_packed(
+        panel, features=features, scale=scale, concurrency=concurrency
+    )

@@ -1,0 +1,98 @@
+"""Stage 3: pack rollup series into list<double> cells (the wide format).
+
+The reference's wide layout -- one row per series with a list-valued
+``y`` cell (tsfeatures.py:1014-1016, unpacked at :990-992) -- is our
+canonical IR between the rollup and the feature kernels: Arrow
+``list_(float64())``. Packing happens per partition (same stable
+``part`` key as every other stage) and densifies each (conv_id, tier)
+series over its bucket range, gaps -> 0.0 (a quiet minute contributes
+zero tokens), fully vectorized via offset arithmetic -- no
+per-conversation Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..schema import TIERS
+from .derive import default_num_parts, stable_part
+
+PACKED_SCHEMA = pa.schema(
+    [
+        ("unique_id", pa.string()),
+        ("tier", pa.string()),
+        ("freq", pa.int32()),
+        ("n_buckets", pa.int64()),
+        ("y", pa.list_(pa.float64())),
+    ]
+)
+
+
+def _pack_partition(metric: str):
+    def fn(g: pd.DataFrame) -> pa.Table:
+        uid_out, tier_out, freq_out, n_out = [], [], [], []
+        offsets = [0]
+        chunks = []
+        for tname, tier in TIERS.items():
+            sub = g[g["tier"] == tname]
+            if len(sub) == 0:
+                continue
+            w = tier.bucket_us
+            sub = sub.sort_values(["conv_id", "bucket_us"], kind="mergesort")
+            conv = sub["conv_id"].to_numpy()
+            buck = sub["bucket_us"].to_numpy().astype(np.int64)
+            vals = sub[metric].to_numpy(dtype="float64", na_value=0.0)
+            # span per conv (sub is sorted by conv, bucket)
+            first = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+            last = np.r_[first[1:], len(conv)] - 1
+            nb = (buck[last] - buck[first]) // w + 1
+            starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+            dense = np.zeros(int(nb.sum()))
+            # absolute slot of every observed bucket in the dense layout
+            conv_ord = np.cumsum(np.r_[0, (conv[1:] != conv[:-1]).astype(np.int64)])
+            pos = starts[conv_ord] + (buck - buck[first][conv_ord]) // w
+            dense[pos] = vals
+            chunks.append(dense)
+            base = offsets[-1]
+            offsets.extend((base + np.cumsum(nb)).tolist())
+            uid_out.extend(conv[first].tolist())
+            tier_out.extend([tname] * len(first))
+            freq_out.extend([tier.freq] * len(first))
+            n_out.extend(nb.tolist())
+        values = np.concatenate(chunks) if chunks else np.empty(0)
+        y = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.float64())
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(uid_out, type=pa.string()),
+                pa.array(tier_out, type=pa.string()),
+                pa.array(freq_out, type=pa.int32()),
+                pa.array(n_out, type=pa.int64()),
+                y,
+            ],
+            schema=PACKED_SCHEMA,
+        )
+
+    return fn
+
+
+def pack_series(
+    rollup_ds: "ray.data.Dataset",
+    metric: str = "token_len_sum",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Rollup Dataset -> packed wide Dataset (PACKED_SCHEMA)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = stable_part(df["conv_id"].to_numpy(), num_parts)
+        return df
+
+    ds = rollup_ds.map_batches(add_part, batch_format="pandas")
+    return ds.groupby("part").map_groups(_pack_partition(metric), batch_format="pandas")
