@@ -1,44 +1,523 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the tsfeatures_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline at sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2 (plus
+the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query, with column names matched exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript input table (BASELINE.json input_hint shape) does not
+exist in /root/testdata, so it is synthesized deterministically per
+scale factor and cached under /tmp (tsfeatures_ray.sources.synth); the
+oracle SQL reads the SAME parquet file via read_parquet(path). Queries
+over the driver-registered views (events, documents, embeddings) use
+the view names directly.
+
+Ray is initialised by the driver before this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+_ROLLUP_COLS = (
+    "token_len_count, token_len_sum, token_len_min, token_len_max, token_len_last, "
+    "latency_count, latency_sum, latency_min, latency_max, latency_last"
+)
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    from tsfeatures_ray.sources.synth import transcripts_path
+
+    return transcripts_path(sf_dir)
+
+
+def _round_floats(ds, nd: int = 6, overrides: dict | None = None):
+    """Round float64 columns so engine and DuckDB oracle agree despite
+    summation-order / interpolation-formula ULP differences (both sides
+    round to the same precision; mean/variance use 4dp because the two
+    variance algorithms differ at ~1e-8)."""
+    overrides = overrides or {}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if df[c].dtype == "float64":
+                s = 10.0 ** overrides.get(c, nd)
+                v = df[c].to_numpy()
+                # DuckDB ROUND is half-away-from-zero; numpy .round is
+                # half-to-even -- mirror DuckDB exactly
+                df[c] = np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_STAT_ROUNDING = {"mean": 4, "variance": 4}
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each takes sf_dir, returns Dataset / DataFrame)
+# ---------------------------------------------------------------------------
+
+def _q_derived_turns(sf_dir: str):
+    from tsfeatures_ray.pipelines import derived_pipeline
+
+    ds = derived_pipeline(sf_dir)
+    return ds.drop_columns(["part"])
+
+
+def _q_rollup(tier: str):
+    def run(sf_dir: str):
+        from tsfeatures_ray.pipelines import rollup_pipeline
+
+        ds = rollup_pipeline(sf_dir, tiers=[tier])
+        return ds.drop_columns(["bucket_us", "filled", "tier"])
+
+    return run
+
+
+def _q_rollup_gapfill(tier: str):
+    def run(sf_dir: str):
+        from tsfeatures_ray.pipelines import rollup_pipeline
+
+        ds = rollup_pipeline(sf_dir, tiers=[tier], gapfill=True)
+        return ds.drop_columns(["bucket_us", "tier"])
+
+    return run
+
+
+def _q_series_stats(sf_dir: str):
+    """statistics/series_length/sparsity/crossing_points kernels over the
+    raw per-turn token_len series (scale=False) -- SQL-checkable."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import derived_pipeline, tsfeatures
+
+    derived = derived_pipeline(sf_dir)
+
+    def to_panel(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "unique_id": df["conv_id"],
+                "ds": df["turn_idx"],
+                "y": df["token_len"].astype("float64"),
+            }
+        )
+
+    panel = derived.map_batches(to_panel, batch_format="pandas")
+    out = tsfeatures(
+        panel,
+        freq=1,
+        features=["statistics", "series_length", "sparsity", "crossing_points"],
+        scale=False,
+    )
+    return _round_floats(out.drop_columns(["tier"]), overrides=_STAT_ROUNDING)
+
+
+def _q_features_default(sf_dir: str):
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    return feature_pipeline(sf_dir, tiers=["1h"])
+
+
+def _q_events_rollup(tier: str):
+    def run(sf_dir: str):
+        import ray.data as rd
+
+        from tsfeatures_ray.stages.rollup import RollupSpec, rollup
+
+        spec = RollupSpec(
+            key="user_id", ts="ts", order=("event_id",), values={"value": "value"}
+        )
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        out = rollup(ds, tiers=[tier], spec=spec, int_values=False)
+        return _round_floats(out.drop_columns(["bucket_us", "filled", "tier"]))
+
+    return run
+
+
+def _q_events_user_stats(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines import tsfeatures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def to_panel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "unique_id": df["user_id"].astype(str),
+                "ds": range(len(df)),
+                "y": df["value"].astype("float64"),
+            }
+        )
+
+    panel = ds.map_batches(to_panel, batch_format="pandas")
+    return _round_floats(
+        tsfeatures(
+            panel, freq=1, features=["statistics", "series_length"], scale=False
+        ).drop_columns(["tier"]),
+        overrides=_STAT_ROUNDING,
+    )
+
+
+def _q_docs_text_metrics(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import text_metrics
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return text_metrics(ds).drop_columns(["text"])
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import exact_dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return exact_dedup(ds)
+
+
+def _q_docs_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import language_id
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    return language_id(ds).drop_columns(["text"])
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import fingerprint
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return fingerprint(ds).drop_columns(["text"])
+
+
+def _q_docs_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import simhash_signatures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_signatures(ds)
+
+
+def _q_docs_near_dups(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import minhash_near_dups
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ref = ray.put(texts)
+    return minhash_near_dups(ds, ref, threshold=0.5)
+
+
+def _q_embeddings_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import brute_knn
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(4)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = brute_knn(ds, queries, k=10)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
+def _q_embeddings_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import lsh_bucketed_knn
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(4)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = lsh_bucketed_knn(ds, queries, k=10, bits=4)
+    if len(out):
+        out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.multimodal import media_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(64))
+    return media_features(ds)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: transcripts -> derive -> 3-tier
+    rollups -> packed series -> default feature set."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    return feature_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "derived_turns": _q_derived_turns,
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1h": _q_rollup("1h"),
+        "rollup_1d": _q_rollup("1d"),
+        "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
+        "series_stats": _q_series_stats,
+        "features_default_1h": _q_features_default,
+        "events_rollup_1h": _q_events_rollup("1h"),
+        "events_rollup_1d": _q_events_rollup("1d"),
+        "events_user_stats": _q_events_user_stats,
+        "docs_text_metrics": _q_docs_text_metrics,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
+        "docs_near_dups": _q_docs_near_dups,
+        "embeddings_knn": _q_embeddings_knn,
+        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TURNS_CTE = """
+WITH turns AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           CAST(length(text) AS BIGINT) AS token_len,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                     ts) AS latency_us
+    FROM read_parquet('{path}')
+)
+"""
+
+_ROLLUP_AGG = """
+    SELECT conv_id, date_trunc('{unit}', ts) AS bucket,
+           COUNT(*) AS token_len_count,
+           CAST(SUM(token_len) AS BIGINT) AS token_len_sum,
+           MIN(token_len) AS token_len_min,
+           MAX(token_len) AS token_len_max,
+           arg_max(token_len, turn_idx) AS token_len_last,
+           COUNT(latency_us) AS latency_count,
+           CAST(SUM(latency_us) AS BIGINT) AS latency_sum,
+           MIN(latency_us) AS latency_min,
+           MAX(latency_us) AS latency_max,
+           max_by(latency_us, turn_idx) FILTER (latency_us IS NOT NULL)
+               AS latency_last
+    FROM turns
+    GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    path = _transcripts_path("/root/testdata/sf0.01")
+
+    turns = _TURNS_CTE.format(path=path)
+
+    def rollup_sql(unit: str) -> str:
+        return (
+            turns
+            + "SELECT conv_id, bucket, "
+            + _ROLLUP_COLS
+            + " FROM ("
+            + _ROLLUP_AGG.format(unit=unit)
+            + ")"
+        )
+
+    gapfill_1h = (
+        turns
+        + f""",
+agg AS ({_ROLLUP_AGG.format(unit='hour')}),
+spans AS (SELECT conv_id, MIN(bucket) lo, MAX(bucket) hi FROM agg GROUP BY 1),
+dense AS (
+    SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM spans
+)
+SELECT d.conv_id, d.bucket,
+       COALESCE(a.token_len_count, 0) AS token_len_count,
+       a.token_len_sum, a.token_len_min, a.token_len_max, a.token_len_last,
+       COALESCE(a.latency_count, 0) AS latency_count,
+       a.latency_sum, a.latency_min, a.latency_max, a.latency_last,
+       (a.conv_id IS NULL) AS filled
+FROM dense d LEFT JOIN agg a ON d.conv_id = a.conv_id AND d.bucket = a.bucket
+"""
+    )
+
+    series_stats = (
+        turns
+        + """,
+med AS (SELECT conv_id, quantile_cont(token_len, 0.5) m FROM turns GROUP BY 1),
+flags AS (
+    SELECT t.conv_id, t.turn_idx, (t.token_len <= med.m) AS ab
+    FROM turns t JOIN med ON t.conv_id = med.conv_id
+),
+crossings AS (
+    SELECT conv_id,
+           SUM(CASE WHEN ab <> pab THEN 1 ELSE 0 END) AS cp
+    FROM (SELECT conv_id, ab,
+                 lag(ab) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pab
+          FROM flags)
+    WHERE pab IS NOT NULL
+    GROUP BY 1
+),
+stats AS (
+    SELECT conv_id,
+           CAST(SUM(token_len) AS DOUBLE) AS total_sum,
+           ROUND(AVG(token_len), 4) AS mean,
+           ROUND(var_samp(token_len), 4) AS variance,
+           ROUND(quantile_cont(token_len, 0.5), 6) AS median,
+           ROUND(quantile_cont(token_len, 0.025), 6) AS p2point5,
+           ROUND(quantile_cont(token_len, 0.05), 6) AS p5,
+           ROUND(quantile_cont(token_len, 0.25), 6) AS p25,
+           ROUND(quantile_cont(token_len, 0.75), 6) AS p75,
+           ROUND(quantile_cont(token_len, 0.95), 6) AS p95,
+           ROUND(quantile_cont(token_len, 0.975), 6) AS p97point5,
+           CAST(MAX(token_len) AS DOUBLE) AS max,
+           CAST(MIN(token_len) AS DOUBLE) AS min,
+           CAST(COUNT(*) AS DOUBLE) AS series_length,
+           ROUND(AVG(CASE WHEN token_len = 0 THEN 1.0 ELSE 0.0 END), 6) AS sparsity
+    FROM turns GROUP BY 1
+)
+SELECT s.conv_id AS unique_id, s.total_sum, s.mean, s.variance, s.median,
+       s.p2point5, s.p5, s.p25, s.p75, s.p95, s.p97point5, s.max, s.min,
+       s.series_length, s.sparsity,
+       CAST(COALESCE(c.cp, 0) AS DOUBLE) AS crossing_points
+FROM stats s LEFT JOIN crossings c ON s.conv_id = c.conv_id
+"""
+    )
+
+    events_rollup = """
+SELECT user_id, date_trunc('{unit}', ts) AS bucket,
+       COUNT(value) AS value_count,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value_sum,
+       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS value_min,
+       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS value_max,
+       ROUND(CAST(arg_max(value, event_id) AS DOUBLE), 6) AS value_last
+FROM events
+GROUP BY 1, 2
+"""
+
+    events_user_stats = """
+SELECT CAST(user_id AS VARCHAR) AS unique_id,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS total_sum,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(var_samp(value), 4) AS variance,
+       ROUND(quantile_cont(value, 0.5), 6) AS median,
+       ROUND(quantile_cont(value, 0.025), 6) AS p2point5,
+       ROUND(quantile_cont(value, 0.05), 6) AS p5,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.975), 6) AS p97point5,
+       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max,
+       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS min,
+       CAST(COUNT(*) AS DOUBLE) AS series_length
+FROM events
+GROUP BY user_id
+"""
+
+    docs_text_metrics = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digit
+FROM documents
+"""
+
+    docs_exact_dedup = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+    embeddings_knn = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+    return {
+        "derived_turns": turns + "SELECT * FROM turns",
+        "rollup_1m": rollup_sql("minute"),
+        "rollup_1h": rollup_sql("hour"),
+        "rollup_1d": rollup_sql("day"),
+        "rollup_gapfill_1h": gapfill_1h,
+        "series_stats": series_stats,
+        "events_rollup_1h": events_rollup.format(unit="hour"),
+        "events_rollup_1d": events_rollup.format(unit="day"),
+        "events_user_stats": events_user_stats,
+        "docs_text_metrics": docs_text_metrics,
+        "docs_exact_dedup": docs_exact_dedup,
+        "embeddings_knn": embeddings_knn,
+        # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
+        # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
+        # rows-only check by the driver.
+    }

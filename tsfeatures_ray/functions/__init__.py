@@ -1,0 +1,9 @@
+from .text import text_metrics, language_id, fingerprint  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    simhash_signatures,
+    ngram_jaccard_pairs,
+)
+from .similarity import brute_knn, lsh_bucketed_knn  # noqa: F401

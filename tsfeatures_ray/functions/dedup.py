@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Ray-Data-first shapes (ray_guide patterns):
+- exact:    vectorized content hash in ``map_batches`` -> per-batch
+            partial winner per hash -> ``groupby(hash)`` over the tiny
+            partials -> global winner (min id). The full table is never
+            shuffled -- only (hash, id) pairs.
+- MinHash+LSH: shingle -> minhash signature per batch (vectorized
+            numpy) -> explode to (band_id, band_hash, doc_id) rows ->
+            ``groupby(band)`` -> candidate pairs -> verify true n-gram
+            Jaccard -> connected near-dup pairs.
+- SimHash:  64-bit simhash per batch; near-dups = equal band keys.
+- n-gram Jaccard: exact pairwise verify for a candidate pair list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+_HASH_KEY = 0x9E3779B97F4A7C15
+
+
+def _content_hash(texts) -> np.ndarray:
+    """Deterministic 64-bit content hash (pandas fixed-key siphash)."""
+    return pd.util.hash_array(np.asarray(texts, dtype=object)).astype("uint64")
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep the min-id representative per exact text. Returns a Dataset
+    of (hash int64 not exposed; id_col, n_copies) -- one row per
+    distinct text, ``keep_id`` = min id, ``n_copies`` = group size."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _content_hash(batch[text_col].to_numpy())
+        df = pd.DataFrame({"h": h.astype("int64"), "id": batch[id_col].to_numpy()})
+        g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
+        return g.rename(columns={"min": "keep_id", "size": "n_copies"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
+        )
+        return out.reset_index()[["keep_id", "n_copies"]]
+
+    return partials.groupby("h").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of the k-char shingles of a doc (vectorized)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        h = (win * pows[::-1]).sum(axis=1)
+        h ^= np.uint64(_HASH_KEY)
+        h *= np.uint64(0xC2B2AE3D27D4EB4F)
+    return np.unique(h)
+
+
+class MinHasher:
+    """Per-batch minhash signatures (actor pool: permutation parameters
+    generated once per actor from a fixed seed)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, k=5):
+        rng = np.random.Generator(np.random.PCG64(1234))
+        self.a = rng.integers(1, 2**61 - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.text_col, self.id_col, self.num_perm, self.k = text_col, id_col, num_perm, k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) universal hashing, min per row
+            m = (self.a[:, None] * sh[None, :] + self.b[:, None])
+        return m.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(s) for s in batch[self.text_col]])
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
+        out["sig"] = list(sigs.astype("int64"))
+        return out
+
+
+def minhash_lsh_candidates(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Docs -> candidate near-dup pairs via banded LSH. Returns a
+    Dataset of (id_a, id_b) with id_a < id_b (unique pairs)."""
+    rows_per_band = num_perm // bands
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col, "num_perm": num_perm, "k": k
+        },
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.repeat(batch[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands), len(batch))
+        sig_mat = np.stack(batch["sig"].to_numpy()).astype(np.uint64)
+        bh = np.empty((len(batch), bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(bands):
+                seg = sig_mat[:, j * rows_per_band : (j + 1) * rows_per_band]
+                h = np.uint64(1469598103934665603) * np.ones(len(batch), np.uint64)
+                for c in range(seg.shape[1]):
+                    h = (h ^ seg[:, c]) * np.uint64(1099511628211)
+                bh[:, j] = h
+        return pd.DataFrame(
+            {"band": band_ids, "bh": bh.reshape(-1).astype("int64"), "id": ids}
+        )
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "bh"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = np.sort(grp["id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cand = exploded.groupby("bh").map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    return cand.map_batches(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard similarity of two docs."""
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_pairs(
+    pairs_df: pd.DataFrame, texts_by_id: dict, k: int = 5
+) -> pd.DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard (driver-side or
+    inside a map_batches with a broadcast text lookup)."""
+    sims = [
+        ngram_jaccard(texts_by_id[a], texts_by_id[b], k)
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
+    ]
+    out = pairs_df.copy()
+    out["jaccard"] = sims
+    return out
+
+
+def minhash_near_dups(
+    ds: "ray.data.Dataset",
+    text_lookup_ref,
+    threshold: float = 0.8,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify
+    against a broadcast {id: text} lookup (``ray.put`` once, read per
+    actor -- never re-shipped per batch)."""
+    cand = minhash_lsh_candidates(ds, **kwargs)
+
+    class Verify:
+        def __init__(self, ref, thr, k):
+            self.texts = ray.get(ref)  # broadcast read, once per actor
+            self.thr, self.k = thr, k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                batch["jaccard"] = pd.Series([], dtype="float64")
+                return batch
+            out = ngram_jaccard_pairs(batch, self.texts, self.k)
+            return out[out["jaccard"] >= self.thr]
+
+    return cand.map_batches(
+        Verify,
+        fn_constructor_kwargs={
+            "ref": text_lookup_ref, "thr": threshold, "k": kwargs.get("k", 5)
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit simhash per doc (actor pool; vectorized bit voting)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", k=5):
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return 0
+        votes = ((sh[:, None] & self.bits[None, :]) != 0).sum(axis=0)
+        return int(self.bits[votes * 2 > len(sh)].sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
+        out["simhash"] = np.array(
+            [self.simhash(s) for s in batch[self.text_col]], dtype=np.uint64
+        ).astype("int64")
+        return out
+
+
+def simhash_signatures(
+    ds: "ray.data.Dataset", text_col="text", id_col="doc_id", k=5, concurrency=4
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

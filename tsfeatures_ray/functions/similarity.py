@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_knn``: exact brute-force cosine top-k. The query matrix is
+  broadcast ONCE via ``ray.put`` and read in each actor's ``__init__``
+  (never re-shipped per batch); each batch does one numpy matmul;
+  per-batch top-k partials are merged in a tiny final reduce. The full
+  embedding table streams -- nothing is materialized.
+- ``lsh_bucketed_knn``: the scale path -- random-hyperplane LSH buckets
+  prune the candidate set before exact scoring (IVF-style); same
+  broadcast + partial-topk shape, ~1/2^bits of the data scored.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _to_matrix(col, dtype=np.float64) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=dtype) for v in col])
+
+
+class _BruteScorer:
+    def __init__(self, query_ref, k, id_col, vec_col):
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)  # broadcast: read once per actor
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ self.qn.T  # (batch, n_queries)
+        ids = batch[self.id_col].to_numpy()
+        out = []
+        kk = min(self.k, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[top], "cosine": s[top].astype("float64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def brute_knn(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query row. Returns a pandas DataFrame
+    (query_id, vec_id, cosine, rank) -- small (n_queries * k rows)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={
+            "query_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col
+        },
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    # final merge of per-batch partial top-ks: tiny -- safe to collect
+    allp = partials.to_pandas()
+    out = []
+    for qi, grp in allp.groupby("query_id"):
+        top = (
+            grp.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top["rank"] = np.arange(1, len(top) + 1)
+        out.append(top)
+    return pd.concat(out, ignore_index=True)
+
+
+class _LshScorer(_BruteScorer):
+    def __init__(self, query_ref, planes_ref, k, id_col, vec_col):
+        super().__init__(query_ref, k, id_col, vec_col)
+        self.planes = ray.get(planes_ref)
+        qb = (self.qn @ self.planes) > 0
+        self.qbuckets = np.packbits(qb, axis=1, bitorder="little")[:, 0]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        buckets = np.packbits((mn @ self.planes) > 0, axis=1, bitorder="little")[:, 0]
+        ids = batch[self.id_col].to_numpy()
+        out = []
+        for qi in range(len(self.qn)):
+            mask = buckets == self.qbuckets[qi]
+            if not mask.any():
+                continue
+            s = mn[mask] @ self.qn[qi]
+            sub_ids = ids[mask]
+            kk = min(self.k, len(sub_ids))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": sub_ids[top],
+                     "cosine": s[top].astype("float64")}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def lsh_bucketed_knn(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    bits: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane buckets, exact scoring
+    inside the query's bucket only. Recall < 1 by construction; the
+    scale path when brute force is too expensive."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if dim is None:
+        dim = queries.shape[1]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(dim, bits))
+    qref = ray.put(queries)
+    pref = ray.put(planes)
+    partials = ds.map_batches(
+        _LshScorer,
+        fn_constructor_kwargs={
+            "query_ref": qref, "planes_ref": pref, "k": k,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    allp = partials.to_pandas()
+    out = []
+    for qi, grp in allp.groupby("query_id"):
+        top = (
+            grp.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top["rank"] = np.arange(1, len(top) + 1)
+        out.append(top)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "vec_id", "cosine", "rank"])
+    return pd.concat(out, ignore_index=True)

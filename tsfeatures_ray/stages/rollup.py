@@ -1,30 +1,37 @@
 """Stage 2: continuous aggregates (rollups) at 1m/1h/1d retention tiers.
 
-Scalable shape (SURVEY.md §7 step 3): the full derived table is NEVER
+Scalable shape (SURVEY.md §7 step 3): the full input is NEVER
 re-shuffled. A stateless ``map_batches`` computes PARTIAL aggregates per
-(conv_id, tier, bucket) inside each batch -- count/sum/min/max are
-associative, and ``last`` carries its (ts, turn_idx) ordering key so
-partials merge exactly (merge-on-read). Only the partials (orders of
+(key, tier, bucket) inside each batch -- count/sum/min/max are
+associative, and ``last`` carries its ordering key (e.g. (ts, turn_idx))
+so partials merge exactly (merge-on-read). Only the partials (orders of
 magnitude smaller than the input) go through the final
-``groupby("part").map_groups`` merge, which also gap-fills each
-conversation's bucket range when asked.
+``groupby("part").map_groups`` merge, which also gap-fills each key's
+bucket range when asked.
 
 This replaces the reference's single-shot in-memory pandas aggregation
-model (tsfeatures.py:970-976 materializes the whole panel on the
-driver); at 10^12 turns the partial/merge split is what keeps the
-shuffle tractable, and salting/splitting a hot conv_id is safe because
-partials merge associatively.
+model (reference tsfeatures.py:970-976 materializes the whole panel on
+the driver); at 10^12 rows the partial/merge split keeps the shuffle
+tractable, and a salted/split hot key is safe because partials merge
+associatively.
+
+The operator is generic over (key, ordering columns, value columns):
+the transcript pipeline uses (conv_id, [ts, turn_idx],
+{token_len, latency_us->latency}); the events pipeline uses
+(user_id, [ts, event_id], {value}).
 
 Aggregate semantics (exact, north_rule):
-- token_len_*: over every turn in the bucket;
-- latency_*: over non-null latencies (turn 0 of a conv has none);
-- *_last: value at the turn with max (ts, turn_idx) in the bucket;
-- gap rows (gapfill=True): every tier bucket between a conversation's
-  first and last bucket exists; counts are 0, other aggregates NULL,
-  ``filled`` is true.
+- <v>_count: non-null observations of v in the bucket;
+- <v>_sum/min/max: over non-null observations;
+- <v>_last: v at the max ordering key among rows where v is non-null;
+- gap rows (gapfill=True): every tier bucket between a key's first and
+  last bucket exists; counts are 0, other aggregates NULL, ``filled``
+  is true.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -35,171 +42,187 @@ from ..schema import TIERS, Tier
 from ._util import ts_to_us
 from .derive import default_num_parts, stable_part
 
-_AGG_COLS = [
-    "token_len_count",
-    "token_len_sum",
-    "token_len_min",
-    "token_len_max",
-    "token_len_last",
-    "latency_count",
-    "latency_sum",
-    "latency_min",
-    "latency_max",
-    "latency_last",
-]
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """What to roll up: key column, ordering columns (ts first), and
+    value columns mapped to their output prefixes."""
+
+    key: str = "conv_id"
+    ts: str = "ts"
+    order: tuple[str, ...] = ("turn_idx",)  # tie-breakers after ts
+    values: dict = field(
+        default_factory=lambda: {"token_len": "token_len", "latency_us": "latency"}
+    )
+
+    @property
+    def agg_cols(self) -> list[str]:
+        out = []
+        for pref in self.values.values():
+            out += [f"{pref}_{a}" for a in ("count", "sum", "min", "max", "last")]
+        return out
 
 
-def _partial_one_tier(df: pd.DataFrame, tier: Tier) -> pd.DataFrame:
+DEFAULT_SPEC = RollupSpec()
+
+
+def _partial_one_tier(df: pd.DataFrame, tier: Tier, spec: RollupSpec) -> pd.DataFrame:
     w = tier.bucket_us
-    bucket = df["ts_us"] - df["ts_us"] % w
-    g = df.assign(bucket_us=bucket)
-    # sort so 'last' within each (conv,bucket) is the max (ts, turn_idx)
-    g = g.sort_values(["conv_id", "bucket_us", "ts_us", "turn_idx"], kind="mergesort")
-    gb = g.groupby(["conv_id", "bucket_us"], sort=False)
-    out = gb.agg(
-        token_len_count=("token_len", "size"),
-        token_len_sum=("token_len", "sum"),
-        token_len_min=("token_len", "min"),
-        token_len_max=("token_len", "max"),
-        latency_count=("latency_us", "count"),
-        latency_sum=("latency_us", "sum"),
-        latency_min=("latency_us", "min"),
-        latency_max=("latency_us", "max"),
-        last_ts=("ts_us", "last"),
-        last_turn_idx=("turn_idx", "last"),
-        token_len_last=("token_len", "last"),
-        latency_last=("latency_us", "last"),
-    ).reset_index()
-    out.loc[out["latency_count"] == 0, "latency_sum"] = pd.NA
+    g = df.assign(bucket_us=df["ts_us"] - df["ts_us"] % w)
+    # sort so 'last' within each (key, bucket) is the max ordering key
+    g = g.sort_values(
+        [spec.key, "bucket_us", "ts_us", *spec.order], kind="mergesort"
+    )
+    gb = g.groupby([spec.key, "bucket_us"], sort=False)
+    aggs: dict[str, tuple] = {}
+    for col, pref in spec.values.items():
+        aggs[f"{pref}_count"] = (col, "count")
+        aggs[f"{pref}_sum"] = (col, "sum")
+        aggs[f"{pref}_min"] = (col, "min")
+        aggs[f"{pref}_max"] = (col, "max")
+        aggs[f"{pref}_last"] = (col, "last")  # pandas 'last' skips nulls
+    aggs["last_ord_ts"] = ("ts_us", "last")
+    if spec.order:
+        aggs["last_ord_tie"] = (spec.order[0], "last")
+    out = gb.agg(**aggs).reset_index()
+    if not spec.order:
+        out["last_ord_tie"] = 0
+    for pref in spec.values.values():
+        out.loc[out[f"{pref}_count"] == 0, f"{pref}_sum"] = pd.NA
     out["tier"] = tier.name
     return out
 
 
-def _partial_agg(tiers: list[Tier]):
+def _partial_agg(tiers: list[Tier], spec: RollupSpec):
+    cols = [spec.key, spec.ts, *spec.order, *spec.values]
+
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        df = batch[["conv_id", "turn_idx", "ts", "token_len", "latency_us"]].copy()
-        df["ts_us"] = ts_to_us(df["ts"])
-        parts = [_partial_one_tier(df, t) for t in tiers]
-        return pd.concat(parts, ignore_index=True)
+        df = batch[cols].copy()
+        df["ts_us"] = ts_to_us(df[spec.ts])
+        return pd.concat(
+            [_partial_one_tier(df, t, spec) for t in tiers], ignore_index=True
+        )
 
     return fn
 
 
-def _gapfill_partition(merged: pd.DataFrame, tier_widths: dict[str, int]) -> pd.DataFrame:
-    """Densify bucket ranges per (conv_id, tier) -- vectorized, no
-    per-conversation Python loop."""
+def _gapfill_partition(
+    merged: pd.DataFrame, tier_widths: dict[str, int], spec: RollupSpec
+) -> pd.DataFrame:
+    """Densify bucket ranges per (key, tier) -- vectorized anti-join, no
+    per-key Python loop."""
+    key = spec.key
     pieces = [merged.assign(filled=False)]
     for tname, w in tier_widths.items():
         sub = merged[merged["tier"] == tname]
         if len(sub) == 0:
             continue
-        spans = sub.groupby("conv_id")["bucket_us"].agg(["min", "max"])
+        spans = sub.groupby(key)["bucket_us"].agg(["min", "max"])
         nb = ((spans["max"] - spans["min"]) // w + 1).astype(np.int64)
-        total = int(nb.sum())
-        if total == len(sub):  # no gaps in this tier
+        if int(nb.sum()) == len(sub):  # no gaps in this tier
             continue
         conv_rep = np.repeat(spans.index.to_numpy(), nb.to_numpy())
-        # per-conv arange of buckets, concatenated
         offs = np.concatenate([np.arange(k, dtype=np.int64) for k in nb.to_numpy()])
         buckets = np.repeat(spans["min"].to_numpy(), nb.to_numpy()) + offs * w
-        full = pd.DataFrame({"conv_id": conv_rep, "bucket_us": buckets})
-        # vectorized anti-join: which (conv, bucket) slots are missing
+        full = pd.DataFrame({key: conv_rep, "bucket_us": buckets})
         probe = full.merge(
-            sub[["conv_id", "bucket_us"]].assign(_hit=1),
-            on=["conv_id", "bucket_us"],
-            how="left",
+            sub[[key, "bucket_us"]].assign(_hit=1), on=[key, "bucket_us"], how="left"
         )
         gaps = full[probe["_hit"].isna().to_numpy()]
         if len(gaps) == 0:
             continue
         gaps = gaps.assign(tier=tname, filled=True)
-        for col in _AGG_COLS:
+        for col in spec.agg_cols:
             gaps[col] = 0 if col.endswith("_count") else pd.NA
         pieces.append(gaps)
-    out = pd.concat(pieces, ignore_index=True)
-    return out
+    return pd.concat(pieces, ignore_index=True)
 
 
-def _final_merge(gapfill: bool, tier_widths: dict[str, int]):
+def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec,
+                 int_values: bool):
+    key = spec.key
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["conv_id", "tier", "bucket_us", "last_ts", "last_turn_idx"],
-            kind="mergesort",
+            [key, "tier", "bucket_us", "last_ord_ts", "last_ord_tie"], kind="mergesort"
         )
-        gb = g.groupby(["conv_id", "tier", "bucket_us"], sort=False)
-        merged = gb.agg(
-            token_len_count=("token_len_count", "sum"),
-            token_len_sum=("token_len_sum", "sum"),
-            token_len_min=("token_len_min", "min"),
-            token_len_max=("token_len_max", "max"),
-            latency_count=("latency_count", "sum"),
-            latency_sum=("latency_sum", "sum"),
-            latency_min=("latency_min", "min"),
-            latency_max=("latency_max", "max"),
-            token_len_last=("token_len_last", "last"),
-            latency_last=("latency_last", "last"),
-            last_ts=("last_ts", "last"),
-            last_turn_idx=("last_turn_idx", "last"),
-        ).reset_index()
-        merged.loc[merged["latency_count"] == 0, "latency_sum"] = pd.NA
-        merged = merged.drop(columns=["last_ts", "last_turn_idx"])
+        gb = g.groupby([key, "tier", "bucket_us"], sort=False)
+        aggs: dict[str, tuple] = {}
+        for pref in spec.values.values():
+            aggs[f"{pref}_count"] = (f"{pref}_count", "sum")
+            aggs[f"{pref}_sum"] = (f"{pref}_sum", "sum")
+            aggs[f"{pref}_min"] = (f"{pref}_min", "min")
+            aggs[f"{pref}_max"] = (f"{pref}_max", "max")
+            aggs[f"{pref}_last"] = (f"{pref}_last", "last")
+        merged = gb.agg(**aggs).reset_index()
+        for pref in spec.values.values():
+            merged.loc[merged[f"{pref}_count"] == 0, f"{pref}_sum"] = pd.NA
         if gapfill:
-            merged = _gapfill_partition(merged, tier_widths)
+            merged = _gapfill_partition(merged, tier_widths, spec)
         else:
             merged = merged.assign(filled=False)
-        # presentation: bucket as timestamp[us]; counts as int64
         merged["bucket"] = merged["bucket_us"].astype("datetime64[us]")
-        for c in ("latency_sum", "latency_min", "latency_max", "latency_last",
-                  "token_len_sum", "token_len_min", "token_len_max", "token_len_last"):
-            merged[c] = merged[c].astype("Int64")
-        for c in ("token_len_count", "latency_count"):
-            merged[c] = merged[c].astype("int64")
-        cols = ["conv_id", "tier", "bucket", "bucket_us"] + _AGG_COLS + ["filled"]
+        for c in spec.agg_cols:
+            if c.endswith("_count"):
+                merged[c] = merged[c].astype("int64")
+            elif int_values:
+                merged[c] = merged[c].astype("Int64")
+            else:
+                merged[c] = merged[c].astype("float64")
+        cols = [key, "tier", "bucket", "bucket_us"] + spec.agg_cols + ["filled"]
         return merged[cols]
 
     return fn
 
 
 def rollup(
-    derived: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
     tiers: list[str] | None = None,
     gapfill: bool = False,
     num_parts: int | None = None,
+    spec: RollupSpec = DEFAULT_SPEC,
+    int_values: bool = True,
 ) -> "ray.data.Dataset":
-    """Derived per-turn Dataset -> rollup Dataset at the given tiers."""
+    """Keyed stream Dataset -> rollup Dataset at the given tiers."""
     tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
     tier_widths = {t.name: t.bucket_us for t in tier_objs}
     if num_parts is None:
         num_parts = default_num_parts()
 
-    partials = derived.map_batches(
-        _partial_agg(tier_objs), batch_format="pandas", batch_size=65536
+    partials = ds.map_batches(
+        _partial_agg(tier_objs, spec), batch_format="pandas", batch_size=65536
     )
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["part"] = stable_part(df["conv_id"].to_numpy(), num_parts)
+        df["part"] = stable_part(df[spec.key].to_numpy(), num_parts)
         return df
 
     partials = partials.map_batches(add_part, batch_format="pandas")
     return partials.groupby("part").map_groups(
-        _final_merge(gapfill, tier_widths), batch_format="pandas"
+        _final_merge(gapfill, tier_widths, spec, int_values), batch_format="pandas"
     )
 
 
-def gapfill_rollup(rollup_ds: "ray.data.Dataset", num_parts: int | None = None):
+def gapfill_rollup(
+    rollup_ds: "ray.data.Dataset",
+    num_parts: int | None = None,
+    spec: RollupSpec = DEFAULT_SPEC,
+):
     """Densify an existing (sparse) rollup Dataset."""
     if num_parts is None:
         num_parts = default_num_parts()
     tier_widths = {t.name: t.bucket_us for t in TIERS.values()}
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "tier", "bucket", "bucket_us"] + _AGG_COLS + ["filled"]
-        out = _gapfill_partition(g.drop(columns=["filled", "bucket", "part"]), tier_widths)
+        cols = [spec.key, "tier", "bucket", "bucket_us"] + spec.agg_cols + ["filled"]
+        out = _gapfill_partition(
+            g.drop(columns=["filled", "bucket", "part"]), tier_widths, spec
+        )
         out["bucket"] = out["bucket_us"].astype("datetime64[us]")
         return out[cols]
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["part"] = stable_part(df["conv_id"].to_numpy(), num_parts)
+        df["part"] = stable_part(df[spec.key].to_numpy(), num_parts)
         return df
 
     ds = rollup_ds.map_batches(add_part, batch_format="pandas")
