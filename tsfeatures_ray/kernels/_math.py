@@ -116,6 +116,9 @@ def ols_fit(X: np.ndarray, y: np.ndarray, add_intercept: bool = True):
         X = X[:, None]
     if add_intercept:
         X = np.column_stack([np.ones(len(X)), X])
+    if not (np.all(np.isfinite(X)) and np.all(np.isfinite(y))):
+        # fail fast (callers' except->NaN paths); avoids LAPACK stderr noise
+        raise ValueError("non-finite values in OLS input")
     params, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
     fitted = X @ params
     return params, y - fitted, fitted

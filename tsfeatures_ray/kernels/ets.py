@@ -53,8 +53,8 @@ def holt_parameters(x: np.ndarray, freq: int = 1) -> dict:
     y = np.asarray(x, dtype=float)
     try:
         n = len(y)
-        if n < 5 or np.std(y) == 0.0:
-            raise ValueError("series too short or constant")
+        if n < 5 or not np.all(np.isfinite(y)) or np.std(y) == 0.0:
+            raise ValueError("series too short, non-finite, or constant")
         l0, b0 = _heuristic_level_trend(y)
 
         # coarse grid over the constraint region, then simplex refinement
@@ -130,7 +130,7 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> dict:
     m = int(freq)
     try:
         n = len(y)
-        if m < 2 or n < 2 * m or n < 5 or np.std(y) == 0.0:
+        if m < 2 or n < 2 * m or n < 5 or not np.all(np.isfinite(y)) or np.std(y) == 0.0:
             raise ValueError("seasonal fit not identifiable")
         l0, b0, s0 = _heuristic_seasonal(y, m)
 

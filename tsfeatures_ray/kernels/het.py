@@ -34,6 +34,8 @@ __all__ = ["heterogeneity"]
 def _ar_by_aic_resid(x: np.ndarray) -> np.ndarray:
     """Whiten x with an AR(p) model, p chosen by AIC (trend='c')."""
     n = len(x)
+    if not np.all(np.isfinite(x)):
+        raise ValueError("non-finite input")
     maxlag = int(min(n - 1, np.floor(10 * np.log10(n))))
     if maxlag < 1:
         raise ValueError("series too short for AR fit")

@@ -1,0 +1,256 @@
+"""Per-series block compression: delta-of-delta timestamps + Gorilla XOR
+values (Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time
+Series Database", VLDB 2015 -- public algorithm, re-implemented from the
+paper's bit layout).
+
+Block format (tsfr1):
+  header:  magic 'TSFR1' | n:uint32 | first_ts:int64 | first_val:float64
+  ts:      delta_1 raw 64b (if n>1), then delta-of-delta per point:
+           '0'                      D == 0
+           '10'  + 7  bits          D in [-63, 64]
+           '110' + 9  bits          D in [-255, 256]
+           '1110'+ 12 bits          D in [-2047, 2048]
+           '1111'+ 64 bits          otherwise (microsecond-scale deltas
+                                    need more than the paper's 32 bits)
+  values:  Gorilla XOR: '0' if xor==0; else '1' then either
+           '0' + meaningful bits within the previous leading/length
+           window, or '1' + 5b leading + 6b (meaningful-1) + bits.
+
+The codec is exercised by the compression stage (rollup blocks, one per
+(key, tier)) -- the round-trip identity is a pytest gate (BASELINE.md).
+
+Scale note: encode/decode run inside the codec actor pool over per-series
+blocks (thousands of points each); the bit loop is Python but touches
+only rollup-sized data (orders of magnitude below the raw input), so it
+never sits on the full-data path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+_MAGIC = b"TSFR1"
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        remaining = bits
+        while remaining > 0:
+            byte = self.data[self.pos >> 3]
+            avail = 8 - (self.pos & 7)
+            take = min(avail, remaining)
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            self.pos += take
+            remaining -= take
+        return out
+
+
+_DOD_RANGES = (
+    (63, 64, "10", 7),
+    (255, 256, "110", 9),
+    (2047, 2048, "1110", 12),
+)
+
+
+def encode_block(ts: np.ndarray, values: np.ndarray) -> bytes:
+    """Compress parallel (int64 timestamps, float64 values) arrays."""
+    ts = np.asarray(ts, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    if n != len(values):
+        raise ValueError("ts/values length mismatch")
+    head = _MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return head
+    head += struct.pack("<q", int(ts[0])) + struct.pack("<d", float(values[0]))
+    w = _BitWriter()
+    # --- timestamps ---
+    if n > 1:
+        deltas = np.diff(ts)
+        w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
+        dods = np.diff(deltas)
+        for D in dods:
+            D = int(D)
+            if D == 0:
+                w.write(0, 1)
+                continue
+            for lo, hi, prefix, bits in _DOD_RANGES:
+                if -lo <= D <= hi:
+                    w.write(int(prefix, 2), len(prefix))
+                    w.write(D + lo, bits)
+                    break
+            else:
+                w.write(0b1111, 4)
+                w.write(D & ((1 << 64) - 1), 64)
+    # --- values (Gorilla XOR) ---
+    bits_v = values.view(np.uint64)
+    prev = int(bits_v[0])
+    prev_lead, prev_trail = -1, -1
+    for i in range(1, n):
+        cur = int(bits_v[i])
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            w.write(1, 1)
+            lead = 64 - xor.bit_length()
+            if lead > 31:
+                lead = 31
+            trail = (xor & -xor).bit_length() - 1
+            if (
+                prev_lead >= 0
+                and lead >= prev_lead
+                and trail >= prev_trail
+            ):
+                w.write(0, 1)
+                mbits = 64 - prev_lead - prev_trail
+                w.write(xor >> prev_trail, mbits)
+            else:
+                w.write(1, 1)
+                mbits = 64 - lead - trail
+                w.write(lead, 5)
+                w.write(mbits - 1, 6)
+                w.write(xor >> trail, mbits)
+                prev_lead, prev_trail = lead, trail
+        prev = cur
+    return head + w.finish()
+
+
+def decode_block(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_block (exact round-trip, including NaN bits)."""
+    if data[:5] != _MAGIC:
+        raise ValueError("bad magic")
+    (n,) = struct.unpack_from("<I", data, 5)
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return ts, vals
+    (t0,) = struct.unpack_from("<q", data, 9)
+    (v0,) = struct.unpack_from("<d", data, 17)
+    ts[0] = t0
+    vals[0] = v0
+    r = _BitReader(data[25:])
+    # --- timestamps ---
+    if n > 1:
+        delta = r.read(64)
+        if delta >= 1 << 63:
+            delta -= 1 << 64
+        ts[1] = ts[0] + delta
+        for i in range(2, n):
+            if r.read(1) == 0:  # '0'
+                D = 0
+            elif r.read(1) == 0:  # '10'
+                D = r.read(7) - 63
+            elif r.read(1) == 0:  # '110'
+                D = r.read(9) - 255
+            elif r.read(1) == 0:  # '1110'
+                D = r.read(12) - 2047
+            else:  # '1111'
+                D = r.read(64)
+                if D >= 1 << 63:
+                    D -= 1 << 64
+            delta += D
+            ts[i] = ts[i - 1] + delta
+    # --- values ---
+    bits_v = vals.view(np.uint64)
+    prev = int(bits_v[0])
+    lead, trail, mbits = 0, 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            bits_v[i] = prev
+        else:
+            if r.read(1) == 0:
+                xor = r.read(mbits) << trail
+            else:
+                lead = r.read(5)
+                mbits = r.read(6) + 1
+                trail = 64 - lead - mbits
+                xor = r.read(mbits) << trail
+            prev ^= xor
+            bits_v[i] = prev
+    return ts, vals
+
+
+# ---------------------------------------------------------------------------
+# Ray stage: compress rollup series into per-(key, tier) binary blocks
+# ---------------------------------------------------------------------------
+
+class BlockCodec:
+    """Actor-pool stage: one compressed block per (key, tier) from rollup
+    rows (metric picked at construction)."""
+
+    def __init__(self, key: str = "conv_id", metric: str = "token_len_sum"):
+        self.key = key
+        self.metric = metric
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (k, tier), sub in g.groupby([self.key, "tier"], sort=False):
+            sub = sub.sort_values("bucket_us", kind="mergesort")
+            ts = sub["bucket_us"].to_numpy(dtype="int64")
+            vals = sub[self.metric].to_numpy(dtype="float64", na_value=np.nan)
+            blk = encode_block(ts, vals)
+            out.append((k, tier, len(ts), int(ts[0]) if len(ts) else 0, blk))
+        return pd.DataFrame(
+            out, columns=[self.key, "tier", "n_points", "start_ts_us", "block"]
+        )
+
+
+def compress_rollup(
+    rollup_ds: "ray.data.Dataset",
+    key: str = "conv_id",
+    metric: str = "token_len_sum",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    from .derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    codec = BlockCodec(key=key, metric=metric)
+
+    def encode_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return codec(g)
+
+    ds = rollup_ds.map_batches(add_part, batch_format="pandas")
+    return ds.groupby("part").map_groups(encode_partition, batch_format="pandas")
