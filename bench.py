@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Headline benchmark: rolled-up points + feature vectors per second.
+
+Stages timed separately over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  1. rollup:   transcripts -> derive -> 3-tier gap-filled rollup -> parquet
+  2. features: rollup parquet -> packed series -> default kernel set -> parquet
+  3. compress: rollup parquet -> Gorilla/delta-of-delta blocks -> parquet
+
+Prints ONE JSON line. ``--scaling`` runs the same job in fresh processes
+at num_cpus=8 and num_cpus=32 and reports both throughputs plus the
+scaling efficiency (BASELINE.md criterion: >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.synth import transcripts_path
+    from tsfeatures_ray.stages.compress import compress_rollup
+    from tsfeatures_ray.stages.derive import derive_turn_metrics
+    from tsfeatures_ray.stages.features import features_over_packed
+    from tsfeatures_ray.stages.pack import pack_series
+    from tsfeatures_ray.stages.rollup import rollup
+
+    tpath = transcripts_path(sf_dir)  # generated+cached before timing
+    out_root = f"/tmp/tsfr_bench_{num_cpus}"
+    if os.path.exists(out_root):
+        shutil.rmtree(out_root)
+    os.makedirs(out_root)
+    rollup_dir = os.path.join(out_root, "rollup")
+    feat_dir = os.path.join(out_root, "features")
+    blk_dir = os.path.join(out_root, "blocks")
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    pq.read_table(tpath)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(tpath)
+    derived = derive_turn_metrics(ds)
+    rolled = rollup(derived, gapfill=True)
+    rolled.write_parquet(rollup_dir)
+    timings["rollup"] = time.perf_counter() - t0
+    n_points = sum(
+        pq.ParquetFile(os.path.join(rollup_dir, f)).metadata.num_rows
+        for f in os.listdir(rollup_dir)
+        if f.endswith(".parquet")
+    )
+
+    t0 = time.perf_counter()
+    rolled_in = rd.read_parquet(rollup_dir)
+    packed = pack_series(rolled_in, metric="token_len_sum")
+    feats = features_over_packed(packed)
+    feats.write_parquet(feat_dir)
+    timings["features"] = time.perf_counter() - t0
+    n_vectors = sum(
+        pq.ParquetFile(os.path.join(feat_dir, f)).metadata.num_rows
+        for f in os.listdir(feat_dir)
+        if f.endswith(".parquet")
+    )
+
+    t0 = time.perf_counter()
+    rolled_in2 = rd.read_parquet(rollup_dir)
+    blocks = compress_rollup(rolled_in2, metric="token_len_sum")
+    blocks.write_parquet(blk_dir)
+    timings["compress"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "rollup+features+compress wall seconds (3 tiers, default kernel set)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rollup_points": int(n_points),
+        "feature_vectors": int(n_vectors),
+        "points_per_sec": round(n_points / timings["rollup"], 1),
+        "vectors_per_sec": round(n_vectors / timings["features"], 1),
+        "throughput_rows_per_sec": round((n_points + n_vectors) / total, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["throughput_rows_per_sec"]
+    thr_hi = r_hi["throughput_rows_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "throughput_8": thr_lo,
+                "throughput_32": thr_hi,
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

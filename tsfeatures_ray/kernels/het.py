@@ -85,21 +85,59 @@ def _garch11_mean_resid(x: np.ndarray) -> np.ndarray:
         if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
             return 1e12
         e = x - mu
-        backcast = float(np.dot(w, e[:tau] ** 2))
-        sigma2 = np.empty(n)
         e2 = e**2
-        s_prev = backcast
-        for t in range(n):
-            e_prev2 = e2[t - 1] if t > 0 else backcast
-            s_prev = omega + a * e_prev2 + b * s_prev
-            sigma2[t] = s_prev
-        if np.any(sigma2 <= 0):
+        backcast = float(np.dot(w, e2[:tau]))
+        if n <= 200:
+            # short series: plain-float loop beats numpy overhead
+            e2l = e2.tolist()
+            s_prev = omega + (a + b) * backcast
+            ll = 0.0
+            log = np.log
+            s_t = s_prev
+            prev_e2 = backcast
+            import math
+            l2pi = math.log(2 * math.pi)
+            ok = True
+            for t in range(n):
+                if t > 0:
+                    s_t = omega + a * prev_e2 + b * s_t
+                if s_t <= 0:
+                    ok = False
+                    break
+                ll += l2pi + math.log(s_t) + e2l[t] / s_t
+                prev_e2 = e2l[t]
+            if not ok or not math.isfinite(ll):
+                return 1e12
+            return 0.5 * ll
+        # closed-form unroll of s_t = omega + a*e2_{t-1} + b*s_{t-1}:
+        #   s_t = b^t*(omega + (a+b)*backcast)
+        #       + omega*(b^0+..+b^{t-1}) + a*sum_{k=0}^{t-2} b^k e2_{t-1-k}
+        # computed with one convolution instead of a Python loop.
+        bp = np.empty(n)
+        bp[0] = 1.0
+        if n > 1:
+            bp[1:] = np.cumprod(np.full(n - 1, b))
+        geo = np.concatenate([[0.0], np.cumsum(bp[:-1])])  # sum b^0..b^{t-1}
+        if n <= 513:
+            conv = np.convolve(e2[: n - 1], bp[: n - 1])[: n - 1] if n > 1 else np.empty(0)
+        else:  # FFT convolution for long series (O(n log n))
+            N = 1 << int(np.ceil(np.log2(2 * n)))
+            conv = np.fft.irfft(
+                np.fft.rfft(e2[: n - 1], N) * np.fft.rfft(bp[: n - 1], N), N
+            )[: n - 1]
+        sigma2 = np.empty(n)
+        sigma2[0] = omega + (a + b) * backcast
+        if n > 1:
+            sigma2[1:] = (
+                bp[1:] * sigma2[0] + omega * geo[1:] + a * conv
+            )
+        if np.any(sigma2 <= 0) or not np.all(np.isfinite(sigma2)):
             return 1e12
         ll = 0.5 * np.sum(np.log(2 * np.pi) + np.log(sigma2) + e2 / sigma2)
         return float(ll) if np.isfinite(ll) else 1e12
 
     p0 = np.array([mu0, var0 * 0.1, 0.1, 0.8])
-    p, _ = nelder_mead(nll, p0, step=0.2, max_iter=300)
+    p, _ = nelder_mead(nll, p0, step=0.2, max_iter=200)
     mu = p[0]
     return x - mu
 

@@ -251,12 +251,14 @@ def hurst(x: np.ndarray, freq: int = 1) -> dict:
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
                 idx = np.arange(lo, hi)
-                # dev[i, j] = y[j] - (j+1) * mean_t[i], masked to j <= i
+                # dev[i, j] = y[j] - (j+1) * mean_t[i]; we need the ptp of
+                # each row's prefix j <= i -- running cummax/cummin along
+                # j, then the diagonal entry (no mask/where temporaries)
                 dev = y[None, :hi] - t[None, :hi] * mean_t[idx, None]
-                mask = np.arange(hi)[None, :] > idx[:, None]
-                devmax = np.where(mask, -np.inf, dev).max(axis=1)
-                devmin = np.where(mask, np.inf, dev).min(axis=1)
-                r_t[lo:hi] = devmax - devmin
+                cmax = np.maximum.accumulate(dev, axis=1)
+                cmin = np.minimum.accumulate(dev, axis=1)
+                diag = idx  # column i for row i
+                r_t[lo:hi] = cmax[np.arange(hi - lo), diag] - cmin[np.arange(hi - lo), diag]
             r_s = np.log(r_t / s_t)[1:]
         logt = np.log(t)[1:]
         if not np.all(np.isfinite(r_s)):

@@ -34,6 +34,34 @@ __all__ = ["stl_features", "stl_decompose", "supersmoother_fit"]
 # loess (local linear, tricube weights, evaluated at integer positions)
 # ---------------------------------------------------------------------------
 
+def _loess_grid(y: np.ndarray, q: int) -> np.ndarray:
+    """Loess (degree 1) evaluated at every observed position 0..n-1.
+
+    Fast path for the regular grid: with an ODD window q <= n, every
+    interior position has the same symmetric distance pattern, so the
+    tricube-weighted local-linear fit reduces to one fixed-kernel
+    correlation (the slope term vanishes at the window center). Edge
+    positions (and q > n) fall back to the general evaluator.
+    """
+    n = len(y)
+    if q > n or q % 2 == 0 or n < 3:
+        return _loess_at(y, q, np.arange(n, dtype=float))
+    h = (q - 1) // 2
+    if h == 0:
+        return y.astype(float).copy()
+    d = np.abs(np.arange(-h, h + 1, dtype=float))
+    w = np.clip((1.0 - (d / h) ** 3) ** 3, 0.0, None) if h > 0 else np.ones(1)
+    w = w / w.sum()
+    out = np.empty(n)
+    interior = np.correlate(y, w[::-1], mode="valid")  # length n - q + 1
+    out[h : n - h] = interior
+    edges = np.concatenate([np.arange(h), np.arange(n - h, n)]).astype(float)
+    out_edges = _loess_at(y, q, edges)
+    out[:h] = out_edges[:h]
+    out[n - h :] = out_edges[h:]
+    return out
+
+
 def _loess_at(y: np.ndarray, q: int, eval_pos: np.ndarray) -> np.ndarray:
     """Loess (degree 1) of y (observed at positions 0..n-1) evaluated at
     ``eval_pos`` (may include -1 / n for STL cycle-subseries extension).
@@ -126,10 +154,10 @@ def stl_decompose(x: np.ndarray, period: int, seasonal: int = 13):
             C[idxs[keep]] = sm[: keep.sum()]
         # low-pass filter: MA(m) x2, MA(3), then loess(n_l)
         L = _moving_average(_moving_average(_moving_average(C, m), m), 3)
-        L = _loess_at(L, n_l, np.arange(n, dtype=float))
+        L = _loess_grid(L, n_l)
         season = C[m : n + m] - L
         deseason = y - season
-        trend = _loess_at(deseason, n_t, np.arange(n, dtype=float))
+        trend = _loess_grid(deseason, n_t)
     resid = y - trend - season
     return trend, season, resid
 
