@@ -1,0 +1,150 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",          # exact dup of 0
+        "the quick brown fox jumped over the lazy dogs",        # near dup of 0
+        "completely different content about ray data pipelines",
+        "el rapido zorro marron salta sobre el perro perezoso y los gatos",
+        "short",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return rd.from_pandas(df), df
+
+
+def test_exact_dedup(docs_ds):
+    from tsfeatures_ray.functions import exact_dedup
+
+    ds, df = docs_ds
+    out = exact_dedup(ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    assert len(out) == 5  # 6 docs, one exact dup
+    assert out[out.keep_id == 0]["n_copies"].iloc[0] == 2
+
+
+def test_minhash_near_dups(docs_ds, ray_session):
+    import ray
+
+    from tsfeatures_ray.functions import minhash_near_dups
+    from tsfeatures_ray.functions.dedup import ngram_jaccard
+
+    ds, df = docs_ds
+    texts = dict(zip(df.doc_id, df.text))
+    ref = ray.put(texts)
+    pairs = minhash_near_dups(ds, ref, threshold=0.5).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got  # exact dup pair must survive
+    assert (0, 2) in got or (1, 2) in got  # near-dup pair found
+    assert (0, 3) not in got  # unrelated docs not paired
+    # reported jaccard equals the exact n-gram jaccard
+    row = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert row["jaccard"].iloc[0] == pytest.approx(1.0)
+    assert ngram_jaccard(texts[0], texts[2]) > 0.5
+
+
+def test_simhash_similar_docs_close(docs_ds):
+    from tsfeatures_ray.functions import simhash_signatures
+
+    ds, df = docs_ds
+    out = simhash_signatures(ds).to_pandas().set_index("doc_id")
+    h = out["simhash"].astype(np.uint64)
+    assert h.loc[0] == h.loc[1]  # identical docs -> identical simhash
+    hamming_near = bin(int(h.loc[0]) ^ int(h.loc[2])).count("1")
+    hamming_far = bin(int(h.loc[0]) ^ int(h.loc[3])).count("1")
+    assert hamming_near < hamming_far
+
+
+def test_language_id(docs_ds):
+    from tsfeatures_ray.functions import language_id
+
+    ds, df = docs_ds
+    out = language_id(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "es"
+
+
+def test_fingerprint_deterministic(docs_ds):
+    from tsfeatures_ray.functions import fingerprint
+
+    ds, df = docs_ds
+    a = fingerprint(ds).to_pandas().set_index("doc_id")["doc_hash"]
+    b = fingerprint(ds).to_pandas().set_index("doc_id")["doc_hash"]
+    pd.testing.assert_series_equal(a, b)
+    assert a.loc[0] == a.loc[1]
+    assert a.loc[0] != a.loc[3]
+
+
+def test_brute_knn_exact(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import brute_knn
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(200, 16)
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(emb)})
+    ds = rd.from_pandas(df)
+    queries = emb[:2]
+    out = brute_knn(ds, queries, k=5)
+    # oracle: numpy full cosine
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = en @ qn.T
+    for qi in range(2):
+        want = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = set(out[out.query_id == qi]["vec_id"].tolist())
+        assert got == want
+        assert out[(out.query_id == qi) & (out["rank"] == 1)]["vec_id"].iloc[0] == qi
+
+
+def test_lsh_knn_contains_self(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import lsh_bucketed_knn
+
+    rng = np.random.RandomState(1)
+    emb = rng.randn(300, 16)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(emb)})
+    out = lsh_bucketed_knn(rd.from_pandas(df), emb[:3], k=5, bits=3)
+    for qi in range(3):
+        sub = out[out.query_id == qi]
+        assert len(sub) > 0
+        assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == qi  # self in own bucket
+
+
+def test_media_features_plumbing(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.multimodal import (
+        media_features,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(32))
+    out = media_features(ds, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert all(len(v) == 64 for v in out["features"])
+    # deterministic stub: same payload -> same features
+    out2 = media_features(rd.from_arrow(synth_media_table(32)), batch_size=8).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_text_metrics_counts(docs_ds):
+    from tsfeatures_ray.functions import text_metrics
+
+    ds, df = docs_ds
+    out = text_metrics(ds).to_pandas().set_index("doc_id")
+    s = df.loc[0, "text"]
+    assert out.loc[0, "n_chars_m"] == len(s)
+    assert out.loc[0, "n_ws_tokens"] == len(s.split())
+    assert out.loc[5, "n_ws_tokens"] == 1

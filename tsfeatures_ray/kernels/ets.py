@@ -51,14 +51,15 @@ def _holt_sse_grid(alphas: np.ndarray, betas: np.ndarray, l0: float, b0: float,
     l = np.full(K, l0)
     b = np.full(K, b0)
     sse = np.zeros(K)
-    for t in range(len(y)):
-        f = l + b
-        e = y[t] - f
-        sse += e * e
-        l_new = alphas * y[t] + (1.0 - alphas) * f
-        b = betas * (l_new - l) + (1.0 - betas) * b
-        l = l_new
-    return sse
+    with np.errstate(over="ignore", invalid="ignore"):
+        for t in range(len(y)):
+            f = l + b
+            e = y[t] - f
+            sse += e * e
+            l_new = alphas * y[t] + (1.0 - alphas) * f
+            b = betas * (l_new - l) + (1.0 - betas) * b
+            l = l_new
+    return np.where(np.isfinite(sse), sse, np.inf)
 
 
 def _heuristic_level_trend(y: np.ndarray) -> tuple[float, float]:
@@ -151,17 +152,18 @@ def _hw_sse_grid(alphas, betas, gammas, l0: float, b0: float, s0: np.ndarray,
     l = np.full(K, l0)
     b = np.full(K, b0)
     sse = np.zeros(K)
-    for t in range(len(y)):
-        j = t % m
-        si = s[:, j]
-        f = l + b + si
-        e = y[t] - f
-        sse += e * e
-        l_new = alphas * (y[t] - si) + (1.0 - alphas) * f
-        b = betas * (l_new - l) + (1.0 - betas) * b
-        s[:, j] = gammas * (y[t] - l_new) + (1.0 - gammas) * si
-        l = l_new
-    return sse
+    with np.errstate(over="ignore", invalid="ignore"):
+        for t in range(len(y)):
+            j = t % m
+            si = s[:, j]
+            f = l + b + si
+            e = y[t] - f
+            sse += e * e
+            l_new = alphas * (y[t] - si) + (1.0 - alphas) * f
+            b = betas * (l_new - l) + (1.0 - betas) * b
+            s[:, j] = gammas * (y[t] - l_new) + (1.0 - gammas) * si
+            l = l_new
+    return np.where(np.isfinite(sse), sse, np.inf)
 
 
 def _heuristic_seasonal(y: np.ndarray, m: int) -> tuple[float, float, np.ndarray]:

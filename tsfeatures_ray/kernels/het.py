@@ -137,7 +137,9 @@ def _garch11_mean_resid(x: np.ndarray) -> np.ndarray:
         return float(ll) if np.isfinite(ll) else 1e12
 
     p0 = np.array([mu0, var0 * 0.1, 0.1, 0.8])
-    p, _ = nelder_mead(nll, p0, step=0.2, max_iter=200)
+    # only mu feeds the output (resid = x - mu); it converges far
+    # earlier than the volatility params, so a short simplex suffices
+    p, _ = nelder_mead(nll, p0, step=0.2, max_iter=80)
     mu = p[0]
     return x - mu
 

@@ -230,6 +230,66 @@ def guerrero(x: np.ndarray, freq: int = 1, lower: float = -1, upper: float = 2) 
     return {"guerrero": best}
 
 
+class _UpperEnvelope:
+    """Upper envelope of lines f_j(m) = y[j] - t[j]*m added with strictly
+    DECREASING slopes (-t[j]); queries at arbitrary m in O(log n).
+
+    Hull lines are kept in addition order; consecutive breakpoints
+    bps[k] = intersection(hull[k], hull[k+1]) are non-increasing, so the
+    winner at m is the first hull line whose breakpoint is <= m.
+    """
+
+    __slots__ = ("y", "t", "hull", "negbps")
+
+    def __init__(self, y, t):
+        self.y, self.t = y, t
+        self.hull: list[int] = []
+        self.negbps: list[float] = []  # negated breakpoints, increasing
+
+    def _inter(self, a: int, b: int) -> float:
+        return (self.y[b] - self.y[a]) / (self.t[b] - self.t[a])
+
+    def add(self, j: int) -> None:
+        hull, negbps = self.hull, self.negbps
+        while hull:
+            x_new = self._inter(hull[-1], j)
+            # hull[-1] wins only on [x_prev_pair, +inf) vs its neighbor
+            # and on [x_new, +inf) vs j; empty interval -> pop
+            if negbps and -x_new <= negbps[-1]:
+                hull.pop()
+                negbps.pop()
+                continue
+            negbps.append(-x_new)
+            break
+        self.hull.append(j)
+
+    def query(self, m: float) -> float:
+        from bisect import bisect_left
+
+        k = bisect_left(self.negbps, -m)
+        j = self.hull[k]
+        return self.y[j] - self.t[j] * m
+
+
+def _prefix_ptp_envelope(y: np.ndarray, t: np.ndarray, mean_t: np.ndarray) -> np.ndarray:
+    """r_t[i] = max_{j<=i}(y[j]-t[j]*m_i) - min_{j<=i}(y[j]-t[j]*m_i) in
+    O(n log n). min via negation: min f = -max(-y[j] - t[j]*(-m))."""
+    n = len(y)
+    yl = y.tolist()
+    tl = t.tolist()
+    yneg = (-y).tolist()
+    env_max = _UpperEnvelope(yl, tl)
+    env_min = _UpperEnvelope(yneg, tl)
+    ml = mean_t.tolist()
+    r = np.empty(n)
+    for i in range(n):
+        env_max.add(i)
+        env_min.add(i)
+        m = ml[i]
+        r[i] = env_max.query(m) + env_min.query(-m)
+    return r
+
+
 def hurst(x: np.ndarray, freq: int = 1) -> dict:
     """Rescaled-range Hurst exponent (reference tsfeatures.py:370-390,
     utils.py:131-162).
@@ -246,19 +306,29 @@ def hurst(x: np.ndarray, freq: int = 1) -> dict:
         mean_t = y / t
         with np.errstate(invalid="ignore", divide="ignore"):
             s_t = np.sqrt(np.maximum(np.cumsum(x**2) / t - mean_t**2, 0.0))
-            r_t = np.empty(n)
-            chunk = max(1, int(2_000_000 // max(n, 1)))
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
-                idx = np.arange(lo, hi)
-                # dev[i, j] = y[j] - (j+1) * mean_t[i]; we need the ptp of
-                # each row's prefix j <= i -- running cummax/cummin along
-                # j, then the diagonal entry (no mask/where temporaries)
-                dev = y[None, :hi] - t[None, :hi] * mean_t[idx, None]
-                cmax = np.maximum.accumulate(dev, axis=1)
-                cmin = np.minimum.accumulate(dev, axis=1)
-                diag = idx  # column i for row i
-                r_t[lo:hi] = cmax[np.arange(hi - lo), diag] - cmin[np.arange(hi - lo), diag]
+            if n <= 2000:
+                r_t = np.empty(n)
+                chunk = max(1, int(2_000_000 // max(n, 1)))
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    idx = np.arange(lo, hi)
+                    # dev[i, j] = y[j] - (j+1) * mean_t[i]; ptp of each
+                    # row's prefix j <= i via running cummax/cummin and
+                    # the diagonal entry
+                    dev = y[None, :hi] - t[None, :hi] * mean_t[idx, None]
+                    cmax = np.maximum.accumulate(dev, axis=1)
+                    cmin = np.minimum.accumulate(dev, axis=1)
+                    r_t[lo:hi] = (
+                        cmax[np.arange(hi - lo), idx] - cmin[np.arange(hi - lo), idx]
+                    )
+            else:
+                # O(n log n): dev_j(m) = y[j] - t_j*m is a line in m; the
+                # prefix max/min over j <= i is an upper/lower envelope of
+                # lines added in strictly decreasing slope order (slope
+                # -t_j), queried at m_i. The envelope evaluates the SAME
+                # expression y[j] - t_j*m as the brute force, so values
+                # are bit-identical. (SURVEY.md §2.1 row 11.)
+                r_t = _prefix_ptp_envelope(y, t, mean_t)
             r_s = np.log(r_t / s_t)[1:]
         logt = np.log(t)[1:]
         if not np.all(np.isfinite(r_s)):

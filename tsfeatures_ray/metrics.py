@@ -1,0 +1,153 @@
+"""Panel forecast-evaluation metrics (reference tsfeatures/metrics/
+metrics.py:12-245 kernels, :275-345 ``evaluate_panel`` driver).
+
+Metric kernels are exact ports of the reference formulas (pure NumPy).
+``evaluate_panel`` replaces the reference's Pool.map -- which pickles the
+ENTIRE indexed panel to every worker (reference metrics.py:334-341, an
+O(uids x panel) shipping cost) -- with key co-partitioning: all four
+panels get the same stable hash-partition key, one ``groupby("part")``
+aligns them, and each partition evaluates its own series vectorized.
+"""
+
+from __future__ import annotations
+
+from math import sqrt
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from .stages.derive import default_num_parts, stable_part
+
+AVAILABLE_METRICS = [
+    "mse", "rmse", "mape", "smape", "mase", "rmsse", "mini_owa", "pinball_loss",
+]
+
+
+def mse(y: np.ndarray, y_hat: np.ndarray) -> float:
+    """Mean squared error (reference metrics.py:19-41)."""
+    return float(np.mean(np.square(y - y_hat)))
+
+
+def rmse(y: np.ndarray, y_hat: np.ndarray) -> float:
+    """Root mean squared error (reference metrics.py:43-67)."""
+    return float(sqrt(np.mean(np.square(y - y_hat))))
+
+
+def mape(y: np.ndarray, y_hat: np.ndarray) -> float:
+    """Mean absolute percentage error (reference metrics.py:69-91)."""
+    return float(100.0 * np.mean(np.abs(y - y_hat) / np.abs(y)))
+
+
+def smape(y: np.ndarray, y_hat: np.ndarray) -> float:
+    """Symmetric MAPE, bounded 0-200 (reference metrics.py:93-121)."""
+    scale = np.abs(y) + np.abs(y_hat)
+    scale = np.where(scale == 0, 1e-3, scale)
+    return float(200.0 * np.mean(np.abs(y - y_hat) / scale))
+
+
+def mase(y: np.ndarray, y_hat: np.ndarray, y_train: np.ndarray,
+         seasonality: int = 1) -> float:
+    """M4 mean absolute scaled error (reference metrics.py:123-153)."""
+    scale = np.mean(np.abs(y_train[seasonality:] - y_train[:-seasonality]))
+    return float(100.0 * np.mean(np.abs(y - y_hat)) / scale)
+
+
+def rmsse(y: np.ndarray, y_hat: np.ndarray, y_train: np.ndarray,
+          seasonality: int = 1) -> float:
+    """M5 root mean squared scaled error (reference metrics.py:155-180)."""
+    scale = np.mean(np.square(y_train[seasonality:] - y_train[:-seasonality]))
+    return float(100.0 * sqrt(mse(y, y_hat) / scale))
+
+
+def mini_owa(y: np.ndarray, y_hat: np.ndarray, y_train: np.ndarray,
+             seasonality: int, y_bench: np.ndarray) -> float:
+    """Overall weighted average vs a benchmark (reference metrics.py:182-218)."""
+    mase_y = mase(y, y_hat, y_train, seasonality)
+    mase_b = mase(y, y_bench, y_train, seasonality)
+    smape_y = smape(y, y_hat)
+    smape_b = smape(y, y_bench)
+    return float(((mase_y / mase_b) + (smape_y / smape_b)) / 2)
+
+
+def pinball_loss(y: np.ndarray, y_hat: np.ndarray, tau: float = 0.5) -> float:
+    """Quantile (pinball) loss (reference metrics.py:220-245)."""
+    delta_y = y - y_hat
+    return float(np.mean(np.maximum(tau * delta_y, (tau - 1) * delta_y)))
+
+
+_METRICS = {
+    "mse": mse, "rmse": rmse, "mape": mape, "smape": smape,
+    "mase": mase, "rmsse": rmsse, "mini_owa": mini_owa,
+    "pinball_loss": pinball_loss,
+}
+
+
+def evaluate_panel(
+    y_test: pd.DataFrame,
+    y_hat: pd.DataFrame,
+    y_train: pd.DataFrame | None = None,
+    metric=mse,
+    seasonality: int | None = None,
+    y_bench: pd.DataFrame | None = None,
+    num_parts: int | None = None,
+) -> pd.DataFrame:
+    """Per-series metric over a panel -> DataFrame [unique_id, error].
+
+    Inputs are pandas panels (unique_id, ds, y / y_hat) like the
+    reference; execution is a Ray co-partitioned shuffle. Validation
+    mirrors reference metrics.py:318-322.
+    """
+    import ray.data as rd
+
+    metric_name = metric if isinstance(metric, str) else metric.__name__
+    metric_fn = _METRICS[metric_name]
+
+    uids = y_test["unique_id"].unique()
+    assert len(y_test) == len(y_hat), "not same length"
+    assert all(uids == y_hat["unique_id"].unique()), "not same u_ids"
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def tag(df: pd.DataFrame, role: str, value_col: str) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "unique_id": df["unique_id"].astype(str),
+                "ds": df["ds"],
+                "value": df[value_col].astype("float64"),
+                "role": role,
+            }
+        )
+        out["part"] = stable_part(out["unique_id"].to_numpy(), num_parts)
+        return out
+
+    frames = [tag(y_test, "test", "y"), tag(y_hat, "hat", "y_hat")]
+    needs_train = metric_name in ("mase", "rmsse", "mini_owa")
+    if needs_train:
+        frames.append(tag(y_train, "train", "y"))
+    if metric_name == "mini_owa":
+        frames.append(tag(y_bench, "bench", "y_hat"))
+    allp = rd.from_pandas(pd.concat(frames, ignore_index=True))
+
+    def eval_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["unique_id", "role", "ds"], kind="mergesort")
+        out = []
+        for uid, sub in g.groupby("unique_id", sort=False):
+            pieces = {r: s["value"].to_numpy() for r, s in sub.groupby("role")}
+            kwargs = {"y": pieces["test"], "y_hat": pieces["hat"]}
+            if needs_train:
+                kwargs["y_train"] = pieces["train"]
+                kwargs["seasonality"] = seasonality
+            if metric_name == "mini_owa":
+                kwargs["y_bench"] = pieces["bench"]
+            out.append((uid, metric_fn(**kwargs)))
+        return pd.DataFrame(out, columns=["unique_id", "error"])
+
+    res = (
+        allp.groupby("part")
+        .map_groups(eval_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values("unique_id", kind="mergesort").reset_index(drop=True)

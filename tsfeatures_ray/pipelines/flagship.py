@@ -24,10 +24,12 @@ from ..stages.pack import PACKED_SCHEMA, pack_series
 from ..stages.rollup import gapfill_rollup, rollup
 
 
-def derived_pipeline(sf_dir: str, num_parts: int | None = None) -> "rd.Dataset":
+def derived_pipeline(
+    sf_dir: str, num_parts: int | None = None, slim: bool = False
+) -> "rd.Dataset":
     """transcripts parquet -> per-turn derived metrics Dataset."""
     ds = rd.read_parquet(transcripts_path(sf_dir))
-    return derive_turn_metrics(ds, num_parts=num_parts)
+    return derive_turn_metrics(ds, num_parts=num_parts, slim=slim)
 
 
 def rollup_pipeline(
@@ -36,8 +38,9 @@ def rollup_pipeline(
     gapfill: bool = False,
     num_parts: int | None = None,
 ) -> "rd.Dataset":
-    """transcripts parquet -> rollup Dataset at the given tiers."""
-    derived = derived_pipeline(sf_dir, num_parts=num_parts)
+    """transcripts parquet -> rollup Dataset at the given tiers (the
+    shuffle runs slim: payload columns never enter the exchange)."""
+    derived = derived_pipeline(sf_dir, num_parts=num_parts, slim=True)
     return rollup(derived, tiers=tiers, gapfill=gapfill, num_parts=num_parts)
 
 
@@ -52,9 +55,10 @@ def feature_pipeline(
 ) -> "rd.Dataset":
     """Flagship: transcripts -> rollups -> packed series -> features."""
     rolled = rollup_pipeline(sf_dir, tiers=tiers, num_parts=num_parts)
-    packed = pack_series(rolled, metric=metric, num_parts=num_parts)
+    # rollup merge blocks are complete hash partitions -> shuffle-free pack
+    packed = pack_series(rolled, metric=metric, pre_partitioned=True)
     return features_over_packed(
-        packed, features=features, scale=scale, concurrency=concurrency
+        packed, features=features, scale=scale, concurrency=concurrency,
     )
 
 
@@ -81,6 +85,7 @@ def _pack_long_partition(g: pd.DataFrame) -> pa.Table:
         [
             pa.array(uid[first], type=pa.string()),
             pa.array(["-"] * len(first), type=pa.string()),
+            pa.array(["y"] * len(first), type=pa.string()),
             pa.array(freq, type=pa.int32()),
             pa.array(counts, type=pa.int64()),
             y,
@@ -139,6 +144,7 @@ def tsfeatures_wide(
             {
                 "unique_id": pa.array(panel["unique_id"].astype(str)),
                 "tier": pa.array(["-"] * len(panel)),
+                "metric": pa.array(["y"] * len(panel)),
                 "freq": pa.array(panel["seasonality"].astype("int32")),
                 "n_buckets": pa.array([len(v) for v in panel["y"]], type=pa.int64()),
                 "y": pa.array([list(map(float, v)) for v in panel["y"]],
@@ -151,6 +157,7 @@ def tsfeatures_wide(
             cols = {
                 "unique_id": t["unique_id"].cast(pa.string()),
                 "tier": pa.array(["-"] * len(t)),
+                "metric": pa.array(["y"] * len(t)),
                 "freq": t["seasonality"].cast(pa.int32()),
                 "n_buckets": pa.compute.list_value_length(t["y"]).cast(pa.int64()),
                 "y": t["y"].cast(pa.list_(pa.float64())),

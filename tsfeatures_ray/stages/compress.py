@@ -220,13 +220,20 @@ class BlockCodec:
         self.metric = metric
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([self.key, "tier", "bucket_us"], kind="mergesort")
+        keys = g[self.key].to_numpy()
+        tiers = g["tier"].to_numpy()
+        ts_all = g["bucket_us"].to_numpy(dtype="int64")
+        vals_all = g[self.metric].to_numpy(dtype="float64", na_value=np.nan)
+        # group boundaries without pandas-groupby overhead
+        change = (keys[1:] != keys[:-1]) | (tiers[1:] != tiers[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
         out = []
-        for (k, tier), sub in g.groupby([self.key, "tier"], sort=False):
-            sub = sub.sort_values("bucket_us", kind="mergesort")
-            ts = sub["bucket_us"].to_numpy(dtype="int64")
-            vals = sub[self.metric].to_numpy(dtype="float64", na_value=np.nan)
-            blk = encode_block(ts, vals)
-            out.append((k, tier, len(ts), int(ts[0]) if len(ts) else 0, blk))
+        for s0, e0 in zip(starts, ends):
+            ts = ts_all[s0:e0]
+            blk = encode_block(ts, vals_all[s0:e0])
+            out.append((keys[s0], tiers[s0], e0 - s0, int(ts[0]), blk))
         return pd.DataFrame(
             out, columns=[self.key, "tier", "n_points", "start_ts_us", "block"]
         )
@@ -237,20 +244,26 @@ def compress_rollup(
     key: str = "conv_id",
     metric: str = "token_len_sum",
     num_parts: int | None = None,
+    pre_partitioned: bool = False,
 ) -> "ray.data.Dataset":
     from .derive import default_num_parts, stable_part
 
+    codec = BlockCodec(key=key, metric=metric)
+
+    def encode_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return codec(g)
+
+    if pre_partitioned:
+        # same block-alignment assumption as pack_series(pre_partitioned=True)
+        return rollup_ds.map_batches(
+            encode_partition, batch_format="pandas", batch_size=None
+        )
     if num_parts is None:
         num_parts = default_num_parts()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df["part"] = stable_part(df[key].to_numpy(), num_parts)
         return df
-
-    codec = BlockCodec(key=key, metric=metric)
-
-    def encode_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return codec(g)
 
     ds = rollup_ds.map_batches(add_part, batch_format="pandas")
     return ds.groupby("part").map_groups(encode_partition, batch_format="pandas")

@@ -76,10 +76,20 @@ def _latency_per_partition(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def derive_turn_metrics(
-    ds: "ray.data.Dataset", num_parts: int | None = None
+    ds: "ray.data.Dataset",
+    num_parts: int | None = None,
+    slim: bool = False,
 ) -> "ray.data.Dataset":
     """transcripts Dataset -> per-turn derived Dataset
-    (schema.DERIVED_SCHEMA + the reusable ``part`` column)."""
+    (schema.DERIVED_SCHEMA + the reusable ``part`` column).
+
+    ``slim=True`` drops the payload columns (role/text/tool) BEFORE the
+    shuffle: the rollup path only needs (conv_id, turn_idx, ts,
+    token_len), so shipping text through the exchange would multiply the
+    shuffle volume several-fold for nothing. The full variant exists for
+    per-turn products that must carry text (the per-row text-equality
+    invariant is checked against that path).
+    """
     if num_parts is None:
         num_parts = default_num_parts()
     ds = ds.map_batches(
@@ -87,4 +97,6 @@ def derive_turn_metrics(
         batch_format="pyarrow",
         batch_size=65536,
     )
+    if slim:
+        ds = ds.select_columns(["conv_id", "turn_idx", "ts", "token_len", "part"])
     return ds.groupby("part").map_groups(_latency_per_partition, batch_format="pandas")

