@@ -116,7 +116,9 @@ def _q_series_stats(sf_dir: str):
         features=["statistics", "series_length", "sparsity", "crossing_points"],
         scale=False,
     )
-    return _round_floats(out.drop_columns(["tier"]), overrides=_STAT_ROUNDING)
+    return _round_floats(
+        out.drop_columns(["tier", "metric"]), overrides=_STAT_ROUNDING
+    )
 
 
 def _q_features_default(sf_dir: str):
@@ -169,7 +171,7 @@ def _q_events_user_stats(sf_dir: str):
     return _round_floats(
         tsfeatures(
             panel, freq=1, features=["statistics", "series_length"], scale=False
-        ).drop_columns(["tier"]),
+        ).drop_columns(["tier", "metric"]),
         overrides=_STAT_ROUNDING,
     )
 
