@@ -293,6 +293,70 @@ def _q_media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (orders -> small customer dim) + partial
+    aggregation before the tiny final groupby (SURVEY.md §2.4/§2.5)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    joined = broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"].agg(["sum", "size"])
+        return g.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_mktsegment", sort=False).agg(
+            total_price=("s", "sum"), n_orders=("n", "sum")
+        ).reset_index()
+        out["total_price"] = out["total_price"].round(4)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return partials.groupby("c_mktsegment").map_groups(merge, batch_format="pandas")
+
+
+def _q_events_count_entropy(sf_dir: str):
+    """count_entropy extra kernel over per-user event values
+    (reference tsfeatures.py:136-154) -- SQL-checkable."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines import tsfeatures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def to_panel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "unique_id": df["user_id"].astype(str),
+                "ds": range(len(df)),
+                "y": df["value"].astype("float64"),
+            }
+        )
+
+    panel = ds.map_batches(to_panel, batch_format="pandas")
+    out = tsfeatures(panel, freq=1, features=["count_entropy"], scale=False)
+    return _round_floats(out.drop_columns(["tier", "metric"]))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -326,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": _q_embeddings_knn,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "media_features": _q_media_features,
+        "orders_by_segment": _q_orders_by_segment,
+        "events_count_entropy": _q_events_count_entropy,
     }
 
 
@@ -506,6 +572,22 @@ SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
 
+    orders_by_segment = """
+SELECT c.c_mktsegment,
+       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+    events_count_entropy = """
+SELECT CAST(user_id AS VARCHAR) AS unique_id,
+       ROUND(-SUM(CASE WHEN value > 0 THEN value * ln(value) ELSE 0 END), 6)
+           AS count_entropy
+FROM events
+GROUP BY user_id
+"""
+
     return {
         "derived_turns": turns + "SELECT * FROM turns",
         "rollup_1m": rollup_sql("minute"),
@@ -519,6 +601,8 @@ FROM ranked WHERE rank <= 10
         "docs_text_metrics": docs_text_metrics,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "orders_by_segment": orders_by_segment,
+        "events_count_entropy": events_count_entropy,
         # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
         # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
         # rows-only check by the driver.

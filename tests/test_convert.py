@@ -1,0 +1,55 @@
+"""Layout converters: wide<->long round trip + date synthesis (analog of
+reference m4_data prep ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import pytest
+
+
+def test_wide_long_roundtrip(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.convert import long_to_wide, wide_to_long
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for uid, n in [("a", 7), ("b", 3), ("c", 12)]:
+        rows.append(
+            pd.DataFrame({"unique_id": uid, "ds": range(n), "y": rng.rand(n)})
+        )
+    long_df = pd.concat(rows, ignore_index=True)
+    wide = long_to_wide(rd.from_pandas(long_df), seasonality=4)
+    wdf = wide.to_pandas().set_index("unique_id")
+    assert wdf.loc["a", "n_buckets"] == 7
+    assert list(wdf.loc["b", "y"]) == pytest.approx(
+        long_df[long_df.unique_id == "b"]["y"].tolist()
+    )
+
+    back = wide_to_long(wide).to_pandas()
+    back = back.sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    orig = long_df.sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, orig)
+
+
+def test_synth_date_range(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.convert import synth_date_range
+
+    df = pd.DataFrame({"unique_id": "u", "ds": range(5), "y": 1.0})
+    out = synth_date_range(rd.from_pandas(df), start_us=0, step_us=3_600_000_000)
+    ts = out.to_pandas()["ts"]
+    assert ts.iloc[1] - ts.iloc[0] == pd.Timedelta(hours=1)
+
+
+def test_limit_and_union_parity(ray_session):
+    # reference nrows truncation (m4_data.py:79) -> ds.limit;
+    # pd.concat train+test (m4_data.py:105) -> ds.union
+    import ray.data as rd
+
+    a = rd.range(100)
+    b = rd.range(50)
+    assert a.limit(10).count() == 10
+    assert a.union(b).count() == 150

@@ -1,0 +1,47 @@
+"""User-extension surface: custom feature callables plug into the
+pipeline exactly like the reference's (reference README.md:70-81
+documents a custom ``number_zeros`` kernel; tsfeatures.py:932 accepts
+any f(x, freq) -> dict)."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+# custom kernels defined outside an importable package must be shipped by
+# value (the standard Ray/cloudpickle pattern; documented in
+# tsfeatures_ray.stages.features)
+import ray.cloudpickle as cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def number_zeros(x: np.ndarray, freq: int = 1) -> dict:
+    return {"number_zeros": float((x == 0).sum())}
+
+
+def test_custom_feature_through_pipeline(ray_session):
+    from tsfeatures_ray.pipelines import tsfeatures
+
+    z = np.zeros(30)
+    z[[3, 7]] = 5.0
+    panel = pd.DataFrame({"unique_id": "u1", "ds": range(30), "y": z})
+    out = tsfeatures(panel, freq=7, features=[number_zeros, "series_length"],
+                     scale=False).to_pandas()
+    assert out["number_zeros"].iloc[0] == 28.0
+    assert out["series_length"].iloc[0] == 30.0
+
+
+def test_custom_feature_first_wins_on_collision():
+    # ChainMap semantics: first feature in the list wins on key collision
+    # (reference tsfeatures.py:926-928)
+    from tsfeatures_ray.kernels import compute_features
+
+    def a(x, freq=1):
+        return {"dup": 1.0}
+
+    def b(x, freq=1):
+        return {"dup": 2.0}
+
+    assert compute_features(np.ones(5), 1, [a, b], scale=False)["dup"] == 1.0
+    assert compute_features(np.ones(5), 1, [b, a], scale=False)["dup"] == 2.0
