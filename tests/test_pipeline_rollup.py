@@ -131,3 +131,32 @@ def test_duplicate_ts_last_tiebreak(ray_session, tpath):
             GROUP BY 1,2 HAVING COUNT(*) > 1 LIMIT 1"""
     ).fetchall()
     assert dups, "synth fixture must contain duplicate timestamps"
+
+
+def test_salted_rollup_exact(ray_session, tpath):
+    """Salted repartitioning (hot-key skew path) must produce the exact
+    same rollup as the unsalted merge (merge-on-read associativity)."""
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.rollup import gapfill_rollup, rollup
+
+    derived = derived_pipeline(SF, slim=True).materialize()
+    plain = _ray_df(rollup(derived, tiers=["1m"]))
+    salted = _ray_df(rollup(derived, tiers=["1m"], salt_window_us=3_600_000_000))
+    key = ["conv_id", "bucket_us"]
+    plain = plain.sort_values(key, kind="mergesort").reset_index(drop=True)
+    salted = salted.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+    # gap-fill applied after the salted merge matches inline gap-fill
+    gf_after = _ray_df(
+        gapfill_rollup(rollup(derived, tiers=["1m"], salt_window_us=3_600_000_000))
+    )
+    gf_inline = _ray_df(rollup(derived, tiers=["1m"], gapfill=True))
+    a = gf_after.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = gf_inline.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("token_len_count", "token_len_sum", "latency_last", "filled"):
+        ga = a[col].astype("float64").to_numpy()
+        gb = b[col].astype("float64").to_numpy()
+        ok = (ga == gb) | (np.isnan(ga) & np.isnan(gb))
+        assert ok.all(), col

@@ -182,19 +182,39 @@ def rollup(
     num_parts: int | None = None,
     spec: RollupSpec = DEFAULT_SPEC,
     int_values: bool = True,
+    salt_window_us: int | None = None,
 ) -> "ray.data.Dataset":
-    """Keyed stream Dataset -> rollup Dataset at the given tiers."""
+    """Keyed stream Dataset -> rollup Dataset at the given tiers.
+
+    ``salt_window_us`` enables SALTED repartitioning for hot keys
+    (SURVEY.md §4): the merge partition becomes
+    hash(key) (+) bucket_us // salt_window_us, so one giant key's
+    partials spread across many partitions instead of pinning one
+    straggler. Safe because every (key, tier, bucket) group still lands
+    intact in exactly one partition and the merge is associative
+    (merge-on-read). Gap-fill needs whole-key locality, so with salting
+    it must be applied afterwards via ``gapfill_rollup``.
+    """
     tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
     tier_widths = {t.name: t.bucket_us for t in tier_objs}
     if num_parts is None:
         num_parts = default_num_parts()
+    if salt_window_us is not None and gapfill:
+        raise ValueError(
+            "salted rollup cannot gap-fill inline; run gapfill_rollup() after"
+        )
 
     partials = ds.map_batches(
         _partial_agg(tier_objs, spec), batch_format="pandas", batch_size=65536
     )
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["part"] = stable_part(df[spec.key].to_numpy(), num_parts)
+        part = stable_part(df[spec.key].to_numpy(), num_parts).astype(np.uint64)
+        if salt_window_us is not None:
+            salt = (df["bucket_us"].to_numpy().astype(np.uint64)
+                    // np.uint64(salt_window_us))
+            part = (part + salt * np.uint64(0x9E3779B9)) % np.uint64(num_parts)
+        df["part"] = part.astype(np.int64)
         return df
 
     partials = partials.map_batches(add_part, batch_format="pandas")
