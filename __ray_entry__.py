@@ -293,6 +293,17 @@ def _q_media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _q_rollup_compact_1h(sf_dir: str):
+    """1h rollups produced by COMPACTING the 1m tier (tier-expiry
+    compaction path) -- must match the direct 1h oracle exactly."""
+    from tsfeatures_ray.pipelines import rollup_pipeline
+    from tsfeatures_ray.stages.retention import compact_tier
+
+    fine = rollup_pipeline(sf_dir, tiers=["1m"])
+    out = compact_tier(fine, "1m", "1h")
+    return out.drop_columns(["bucket_us", "filled", "tier"])
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Broadcast hash join (orders -> small customer dim) + partial
     aggregation before the tiny final groupby (SURVEY.md §2.4/§2.5)."""
@@ -376,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
+        "rollup_compact_1h": _q_rollup_compact_1h,
         "series_stats": _q_series_stats,
         "features_default_1h": _q_features_default,
         "events_rollup_1h": _q_events_rollup("1h"),
@@ -594,6 +606,7 @@ GROUP BY user_id
         "rollup_1h": rollup_sql("hour"),
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
+        "rollup_compact_1h": rollup_sql("hour"),
         "series_stats": series_stats,
         "events_rollup_1h": events_rollup.format(unit="hour"),
         "events_rollup_1d": events_rollup.format(unit="day"),
