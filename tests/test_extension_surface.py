@@ -45,3 +45,36 @@ def test_custom_feature_first_wins_on_collision():
 
     assert compute_features(np.ones(5), 1, [a, b], scale=False)["dup"] == 1.0
     assert compute_features(np.ones(5), 1, [b, a], scale=False)["dup"] == 2.0
+
+
+def test_freq_inference_parity(ray_session):
+    # reference tsfeatures.py:898-913: freq=None -> pd.infer_freq + FREQS
+    from tsfeatures_ray.pipelines import tsfeatures
+
+    ds_idx = pd.date_range("2020-01-01", periods=36, freq="MS")
+    panel = pd.DataFrame(
+        {"unique_id": "m", "ds": ds_idx, "y": np.arange(36, dtype=float)}
+    )
+    out = tsfeatures(panel, features=["stl_features"]).to_pandas()
+    assert out["seasonal_period"].iloc[0] == 12.0  # monthly -> 12
+
+    import pytest as _pytest
+
+    # non-datetime ds raises (pd.infer_freq TypeError propagates, exactly
+    # as it would in the reference's _get_feats)
+    bad = pd.DataFrame(
+        {"unique_id": "x", "ds": [1.5, 2.25, 9.0], "y": [1.0, 2.0, 3.0]}
+    )
+    with _pytest.raises(Exception):
+        tsfeatures(bad, features=["series_length"]).to_pandas()
+
+    # irregular datetimes -> infer_freq returns None -> reference error text
+    irr = pd.DataFrame(
+        {
+            "unique_id": "x",
+            "ds": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-10"]),
+            "y": [1.0, 2.0, 3.0],
+        }
+    )
+    with _pytest.raises(Exception, match="Failed to infer frequency"):
+        tsfeatures(irr, features=["series_length"]).to_pandas()

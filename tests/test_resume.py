@@ -73,3 +73,26 @@ def test_manifest_tolerates_torn_write(tmp_path):
         f.write('{"partition": "part-1", "rows":')  # crash mid-append
     loaded = m.load()
     assert set(loaded) == {"part-0"}
+
+
+def test_resumable_with_features(ray_session):
+    import pandas as pd
+
+    from tsfeatures_ray.state.lineage import run_resumable_rollup
+
+    out = "/tmp/tsfr_resume_feat"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    run_resumable_rollup(SF, out, tiers=["1d"], num_parts=3, with_features=True)
+    parts = [
+        p for p in os.listdir(os.path.join(out, "rollup"))
+        if os.path.exists(os.path.join(out, "rollup", p, "features.parquet"))
+    ]
+    assert parts
+    feats = pd.concat(
+        [
+            pd.read_parquet(os.path.join(out, "rollup", p, "features.parquet"))
+            for p in parts
+        ]
+    )
+    assert len(feats) > 0 and "x_acf1" in feats.columns

@@ -94,24 +94,56 @@ def _pack_long_partition(g: pd.DataFrame) -> pa.Table:
     )
 
 
+def infer_panel_freq(sample: pd.DataFrame, dict_freqs=None) -> int:
+    """Reference-parity frequency inference (tsfeatures.py:898-913):
+    ``pd.infer_freq`` on the ``ds`` column mapped through FREQS, raising
+    the reference's errors on failure. Runs on a per-series sample."""
+    from ..kernels import FREQS
+
+    dict_freqs = dict_freqs or FREQS
+    inf_freq = pd.infer_freq(sample["ds"])
+    if inf_freq is None:
+        raise Exception(
+            "Failed to infer frequency from the `ds` column, "
+            "please provide the frequency using the `freq` argument."
+        )
+    # normalize pandas offset aliases to their base letter (e.g. MS -> M)
+    freq = dict_freqs.get(inf_freq, dict_freqs.get(inf_freq[:1].upper()))
+    if freq is None:
+        raise Exception(
+            "Error trying to convert infered frequency from the `ds` column "
+            "to integer. Please provide a dictionary with that frequency "
+            "as key and the integer frequency as value. "
+            f"Infered frequency: {inf_freq}"
+        )
+    return int(freq)
+
+
 def tsfeatures(
     panel: "rd.Dataset | pd.DataFrame",
-    freq: int,
+    freq: int | None = None,
     features=None,
     scale: bool = True,
     num_parts: int | None = None,
     concurrency=None,
+    dict_freqs=None,
 ) -> "rd.Dataset":
     """Ray-native analog of reference ``tsfeatures(ts, freq)``
     (tsfeatures.py:930-976): long panel with columns
     (unique_id, ds, y) -> wide feature Dataset, one row per series.
 
-    ``freq`` is explicit (the engine pins seasonality per tier/config
-    instead of inferring from timestamps, SURVEY.md §1.3)."""
+    ``freq=None`` infers the seasonal period from the ``ds`` column the
+    way the reference does (pd.infer_freq + FREQS / ``dict_freqs``,
+    raising on failure) using one sampled series -- the engine otherwise
+    pins seasonality per tier/config (SURVEY.md §1.3)."""
     if isinstance(panel, pd.DataFrame):
         panel = rd.from_pandas(panel)
     if num_parts is None:
         num_parts = default_num_parts()
+    if freq is None:
+        head = panel.limit(2000).to_pandas()
+        one = head[head["unique_id"] == head["unique_id"].iloc[0]]
+        freq = infer_panel_freq(one.sort_values("ds"), dict_freqs)
 
     def add_cols(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

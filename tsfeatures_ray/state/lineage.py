@@ -81,15 +81,19 @@ def run_resumable_rollup(
     num_parts: int = 8,
     gapfill: bool = False,
     kill_after: int | None = None,
+    with_features: bool = False,
 ) -> dict:
-    """Resumable transcripts -> rollup run. Returns summary stats.
-
-    ``kill_after=k`` aborts after k stage-B partitions (test hook for the
-    kill-and-resume gate)."""
+    """Resumable transcripts -> rollup (-> features) run. Returns summary
+    stats. Each hash partition's rollup (and, with ``with_features``,
+    its feature matrix) is written atomically and recorded in the
+    manifest; ``kill_after=k`` aborts after k stage-B partitions (test
+    hook for the kill-and-resume gate)."""
     import ray.data as rd
 
     from ..sources.synth import transcripts_path
     from ..stages.derive import derive_turn_metrics
+    from ..stages.features import FeatureKernels
+    from ..stages.pack import _pack_partition
     from ..stages.rollup import DEFAULT_SPEC, rollup
 
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
@@ -139,6 +143,12 @@ def run_resumable_rollup(
         tmp = final + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         df.to_parquet(os.path.join(tmp, "data.parquet"), index=False)
+        if with_features:
+            packed = _pack_partition("token_len_sum")(df)
+            feats = FeatureKernels()(packed)
+            feats.to_pandas().to_parquet(
+                os.path.join(tmp, "features.parquet"), index=False
+            )
         if os.path.exists(final):
             import shutil
 
