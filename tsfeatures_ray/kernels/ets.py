@@ -107,7 +107,7 @@ def holt_parameters(x: np.ndarray, freq: int = 1) -> dict:
             return _holt_sse_fast(float(a), float(b), float(l), float(bb), y_list)
 
         p, _ = nelder_mead(
-            obj, np.array([a_c, b_c, l0, b0]), step=0.02, max_iter=150
+            obj, np.array([a_c, b_c, l0, b0]), step=0.02, max_iter=100
         )
         params = {"alpha": float(p[0]), "beta": float(p[1])}
     except Exception:
@@ -239,7 +239,7 @@ def hw_parameters(x: np.ndarray, freq: int = 1) -> dict:
                 return _PENALTY
             return _hw_sse_fast(float(a), float(b), float(g), l0, b0, s0_list, y_list)
 
-        p, _ = nelder_mead(obj, np.array([a_c, b_c, g_c]), step=0.03, max_iter=120)
+        p, _ = nelder_mead(obj, np.array([a_c, b_c, g_c]), step=0.03, max_iter=50)
         params = {
             "hw_alpha": float(p[0]),
             "hw_beta": float(p[1]),
