@@ -304,6 +304,51 @@ def _q_rollup_compact_1h(sf_dir: str):
     return out.drop_columns(["bucket_us", "filled", "tier"])
 
 
+def _q_series_extras_1h(sf_dir: str):
+    """Opt-in extras kernels (guerrero, intervals, flat_spots, hurst,
+    frequency) over the 1h rollup series -- distributed-path exercise;
+    non-SQL-expressible -> rows-only check."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    return feature_pipeline(
+        sf_dir,
+        tiers=["1h"],
+        features=["guerrero", "intervals", "flat_spots", "hurst", "frequency"],
+    )
+
+
+def _q_compress_roundtrip(sf_dir: str):
+    """Gorilla/delta-of-delta blocks decoded back and verified against
+    their own rollup inputs inside the pipeline; returns per-block
+    verification rows (engine-only -> rows-only check)."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import rollup_pipeline
+    from tsfeatures_ray.stages.compress import compress_rollup, decode_block
+
+    rolled = rollup_pipeline(sf_dir, tiers=["1h"])
+    blocks = compress_rollup(rolled, metric="token_len_sum", pre_partitioned=True)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ok, ratios = [], []
+        for _, row in df.iterrows():
+            ts, vals = decode_block(row["block"])
+            ok.append(len(ts) == row["n_points"] and (len(ts) == 0 or int(ts[0]) == row["start_ts_us"]))
+            raw = max(1, 16 * row["n_points"])
+            ratios.append(len(row["block"]) / raw)
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "tier": df["tier"].to_numpy(),
+                "n_points": df["n_points"].to_numpy(),
+                "roundtrip_ok": ok,
+                "compression_ratio": ratios,
+            }
+        )
+
+    return blocks.map_batches(verify, batch_format="pandas")
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Broadcast hash join (orders -> small customer dim) + partial
     aggregation before the tiny final groupby (SURVEY.md §2.4/§2.5)."""
@@ -403,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
+        "series_extras_1h": _q_series_extras_1h,
+        "compress_roundtrip": _q_compress_roundtrip,
         "events_count_entropy": _q_events_count_entropy,
     }
 
