@@ -60,10 +60,18 @@ def run_bench() -> dict:
     blk_dir = os.path.join(out_root, "blocks")
 
     # warm the OS page cache AND the Ray worker pool (process spawn +
-    # library imports) so we measure compute+shuffle, not cold start
+    # engine imports in every worker) so we measure compute+shuffle,
+    # not cold start
     pq.read_table(tpath)
+
+    def _warm(b):
+        import tsfeatures_ray.kernels  # noqa: F401  (preload in workers)
+        import tsfeatures_ray.stages.features  # noqa: F401
+
+        return b
+
     rd.range(num_cpus * 1000).map_batches(
-        lambda b: b, batch_size=1000, num_cpus=1
+        _warm, batch_size=500, num_cpus=1
     ).count()
 
     timings: dict[str, float] = {}
