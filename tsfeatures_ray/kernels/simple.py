@@ -25,7 +25,6 @@ from ._math import (
     ols_r2,
     pacf_ldb,
     periodogram_psd,
-    poly,
     scalets,
 )
 

@@ -16,12 +16,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..schema import TIERS
 from ..sources.synth import transcripts_path
 from ..stages.derive import default_num_parts, derive_turn_metrics, stable_part
 from ..stages.features import features_over_packed
 from ..stages.pack import PACKED_SCHEMA, pack_series
-from ..stages.rollup import gapfill_rollup, rollup
+from ..stages.rollup import rollup
 
 
 def derived_pipeline(

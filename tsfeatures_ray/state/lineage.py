@@ -94,7 +94,7 @@ def run_resumable_rollup(
     from ..stages.derive import derive_turn_metrics
     from ..stages.features import FeatureKernels
     from ..stages.pack import _pack_partition
-    from ..stages.rollup import DEFAULT_SPEC, rollup
+    from ..stages.rollup import rollup
 
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     done = manifest.load()
