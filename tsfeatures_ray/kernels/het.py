@@ -65,12 +65,22 @@ def _ar_by_aic_resid(x: np.ndarray) -> np.ndarray:
 
 def _garch11_mean_resid(x: np.ndarray) -> np.ndarray:
     """Fit GARCH(1,1) with constant mean by Gaussian MLE; return x - mu
-    (the arch package's ``.resid`` for a constant-mean model)."""
+    (the arch package's ``.resid`` for a constant-mean model).
+
+    Profile-likelihood split: conditional on the volatility path the MLE
+    of mu is the closed-form 1/sigma^2-weighted mean, so we fit
+    (omega, a, b) with mu fixed (3-param simplex over a likelihood whose
+    squared-residual series is HOISTED out of the objective) and update
+    mu in closed form -- same estimate as the joint 4-param search at a
+    fraction of the cost. Only mu feeds the kernel's outputs.
+    """
+    import math
+
     x = np.asarray(x, dtype=float)
     n = len(x)
     if n < 10:
         raise ValueError("series too short for GARCH fit")
-    mu0 = float(np.mean(x))
+    mu = float(np.mean(x))
     var0 = float(np.var(x))
     if var0 <= 0:
         raise ValueError("zero variance")
@@ -79,68 +89,47 @@ def _garch11_mean_resid(x: np.ndarray) -> np.ndarray:
     tau = min(75, n)
     w = 0.94 ** np.arange(tau)
     w /= w.sum()
+    l2pi = math.log(2 * math.pi)
 
-    def nll(p: np.ndarray) -> float:
-        mu, omega, a, b = p
-        if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
-            return 1e12
-        e = x - mu
-        e2 = e**2
-        backcast = float(np.dot(w, e2[:tau]))
-        if n <= 200:
-            # short series: plain-float loop beats numpy overhead
-            e2l = e2.tolist()
-            s_prev = omega + (a + b) * backcast
-            ll = 0.0
-            log = np.log
-            s_t = s_prev
-            prev_e2 = backcast
-            import math
-            l2pi = math.log(2 * math.pi)
-            ok = True
-            for t in range(n):
-                if t > 0:
-                    s_t = omega + a * prev_e2 + b * s_t
-                if s_t <= 0:
-                    ok = False
-                    break
-                ll += l2pi + math.log(s_t) + e2l[t] / s_t
-                prev_e2 = e2l[t]
-            if not ok or not math.isfinite(ll):
+    def make_nll(e2l: list, backcast: float):
+        def nll(q: np.ndarray) -> float:
+            # plain floats: numpy-scalar arithmetic in the loop is ~10x slower
+            omega, a, b = float(q[0]), float(q[1]), float(q[2])
+            if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
                 return 1e12
-            return 0.5 * ll
-        # closed-form unroll of s_t = omega + a*e2_{t-1} + b*s_{t-1}:
-        #   s_t = b^t*(omega + (a+b)*backcast)
-        #       + omega*(b^0+..+b^{t-1}) + a*sum_{k=0}^{t-2} b^k e2_{t-1-k}
-        # computed with one convolution instead of a Python loop.
-        bp = np.empty(n)
-        bp[0] = 1.0
-        if n > 1:
-            bp[1:] = np.cumprod(np.full(n - 1, b))
-        geo = np.concatenate([[0.0], np.cumsum(bp[:-1])])  # sum b^0..b^{t-1}
-        if n <= 513:
-            conv = np.convolve(e2[: n - 1], bp[: n - 1])[: n - 1] if n > 1 else np.empty(0)
-        else:  # FFT convolution for long series (O(n log n))
-            N = 1 << int(np.ceil(np.log2(2 * n)))
-            conv = np.fft.irfft(
-                np.fft.rfft(e2[: n - 1], N) * np.fft.rfft(bp[: n - 1], N), N
-            )[: n - 1]
-        sigma2 = np.empty(n)
-        sigma2[0] = omega + (a + b) * backcast
-        if n > 1:
-            sigma2[1:] = (
-                bp[1:] * sigma2[0] + omega * geo[1:] + a * conv
-            )
-        if np.any(sigma2 <= 0) or not np.all(np.isfinite(sigma2)):
-            return 1e12
-        ll = 0.5 * np.sum(np.log(2 * np.pi) + np.log(sigma2) + e2 / sigma2)
-        return float(ll) if np.isfinite(ll) else 1e12
+            s_t = backcast
+            prev_e2 = backcast
+            ll = 0.0
+            for e2t in e2l:
+                s_t = omega + a * prev_e2 + b * s_t
+                if s_t <= 0:
+                    return 1e12
+                ll += l2pi + math.log(s_t) + e2t / s_t
+                prev_e2 = e2t
+            return 0.5 * ll if math.isfinite(ll) else 1e12
 
-    p0 = np.array([mu0, var0 * 0.1, 0.1, 0.8])
-    # only mu feeds the output (resid = x - mu); it converges far
-    # earlier than the volatility params, so a short simplex suffices
-    p, _ = nelder_mead(nll, p0, step=0.2, max_iter=80)
-    mu = p[0]
+        return nll
+
+    q = np.array([var0 * 0.1, 0.1, 0.8])
+    for _ in range(2):
+        e2 = (x - mu) ** 2
+        backcast = float(np.dot(w, e2[:tau]))
+        q, _ = nelder_mead(make_nll(e2.tolist(), backcast), q, step=0.2, max_iter=60)
+        omega, a, b = q
+        if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
+            break
+        sigma2 = np.empty(n)
+        s_prev = backcast
+        prev_e2 = backcast
+        e2l = e2
+        for t in range(n):
+            s_prev = omega + a * prev_e2 + b * s_prev
+            sigma2[t] = s_prev
+            prev_e2 = e2l[t]
+        if np.any(sigma2 <= 0) or not np.all(np.isfinite(sigma2)):
+            break
+        wgt = 1.0 / sigma2
+        mu = float(np.dot(wgt, x) / wgt.sum())
     return x - mu
 
 
