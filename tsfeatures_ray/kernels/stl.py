@@ -55,11 +55,39 @@ def _loess_grid(y: np.ndarray, q: int) -> np.ndarray:
     out = np.empty(n)
     interior = np.correlate(y, w[::-1], mode="valid")  # length n - q + 1
     out[h : n - h] = interior
-    edges = np.concatenate([np.arange(h), np.arange(n - h, n)]).astype(float)
-    out_edges = _loess_at(y, q, edges)
-    out[:h] = out_edges[:h]
-    out[n - h :] = out_edges[h:]
+    # edges: every position < h shares the window [0, q) (the q nearest
+    # points pin to the boundary), so both edges vectorize over a fixed
+    # window just like the interior
+    out[:h] = _loess_fixed_window(y[:q], np.arange(h, dtype=float), 0.0)
+    out[n - h :] = _loess_fixed_window(
+        y[n - q :], np.arange(n - h, n, dtype=float), float(n - q)
+    )
     return out
+
+
+def _loess_fixed_window(
+    ywin: np.ndarray, eval_pos: np.ndarray, win_start: float
+) -> np.ndarray:
+    """Loess (degree 1, tricube) of a FIXED window of points at positions
+    win_start..win_start+len(ywin)-1, evaluated at ``eval_pos`` --
+    vectorized across eval positions."""
+    qn = len(ywin)
+    pos = win_start + np.arange(qn, dtype=float)
+    d = np.abs(pos[None, :] - eval_pos[:, None])
+    dmax = d.max(axis=1)
+    dmax = np.where(dmax <= 0, 1.0, dmax)
+    w = np.clip(1.0 - (d / dmax[:, None]) ** 3, 0.0, None) ** 3
+    sw = w.sum(axis=1)
+    w = w / np.where(sw > 0, sw, 1.0)[:, None]
+    xbar = w @ pos
+    ybar = w @ ywin
+    dev = pos[None, :] - xbar[:, None]
+    ssx = (w * dev**2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (w * dev * ywin[None, :]).sum(axis=1) / ssx
+    lin = ybar + slope * (eval_pos - xbar)
+    use_lin = np.sqrt(np.maximum(ssx, 0.0)) > 1e-3 * np.maximum(dmax, 1.0)
+    return np.where(use_lin & np.isfinite(lin), lin, ybar)
 
 
 def _loess_at(y: np.ndarray, q: int, eval_pos: np.ndarray) -> np.ndarray:
@@ -73,6 +101,26 @@ def _loess_at(y: np.ndarray, q: int, eval_pos: np.ndarray) -> np.ndarray:
     pos = np.arange(n, dtype=float)
     out = np.empty(len(eval_pos))
     qq = min(q, n)
+    if q >= n and n >= 1:
+        # window == all points for every eval position: fully vectorized
+        # across eval positions (the common case for short STL
+        # cycle-subseries, where q=13 exceeds the subseries length)
+        ep = np.asarray(eval_pos, dtype=float)
+        d = np.abs(pos[None, :] - ep[:, None])
+        dmax = d.max(axis=1) + (q - n) / 2.0
+        dmax = np.where(dmax <= 0, 1.0, dmax)
+        w = np.clip(1.0 - (d / dmax[:, None]) ** 3, 0.0, None) ** 3
+        sw = w.sum(axis=1)
+        w = w / np.where(sw > 0, sw, 1.0)[:, None]
+        xbar = w @ pos
+        ybar = w @ y
+        dev = pos[None, :] - xbar[:, None]
+        ssx = (w * dev**2).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (w * dev * y[None, :]).sum(axis=1) / ssx
+        lin = ybar + slope * (ep - xbar)
+        use_lin = np.sqrt(np.maximum(ssx, 0.0)) > 1e-3 * np.maximum(dmax, 1.0)
+        return np.where(use_lin & np.isfinite(lin), lin, ybar)
     for k, xe in enumerate(eval_pos):
         # nearest-q contiguous window around xe
         lo = int(np.clip(round(xe) - (qq - 1) // 2, 0, n - qq))
@@ -145,8 +193,22 @@ def stl_decompose(x: np.ndarray, period: int, seasonal: int = 13):
         for k in range(m):
             sub = detrended[k::m]
             n_k = len(sub)
-            eval_pos = np.arange(-1, n_k + 1, dtype=float)
-            sm = _loess_at(sub, n_s, eval_pos)
+            if n_s < n_k:
+                # body via the vectorized grid smoother; the two
+                # extension points use the boundary-pinned fixed windows
+                qn = n_s
+                sm = np.concatenate(
+                    [
+                        _loess_fixed_window(sub[:qn], np.array([-1.0]), 0.0),
+                        _loess_grid(sub, n_s),
+                        _loess_fixed_window(
+                            sub[n_k - qn :], np.array([float(n_k)]), float(n_k - qn)
+                        ),
+                    ]
+                )
+            else:
+                eval_pos = np.arange(-1, n_k + 1, dtype=float)
+                sm = _loess_at(sub, n_s, eval_pos)
             # positions in C: index k + m*(j+1) corresponds to sub[j];
             # extension j=-1 -> index k, j=n_k -> index k + m*(n_k+1)
             idxs = k + m * np.arange(0, n_k + 2)
