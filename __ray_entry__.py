@@ -413,6 +413,63 @@ def _q_events_count_entropy(sf_dir: str):
     return _round_floats(out.drop_columns(["tier", "metric"]))
 
 
+def _q_events_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) over the event stream --
+    the streaming-shaped operator (SURVEY.md §2.7); SQL-checkable."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return sessionize(ds)
+
+
+def _q_orders_semi_building(sf_dir: str):
+    """Semi join (broadcast key-set filter) + aggregate: orders from
+    BUILDING-segment customers per priority."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    filtered = broadcast_join(
+        orders, building, left_on="o_custkey", right_on="c_custkey", how="semi"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)["o_totalprice"].agg(
+            ["sum", "size"]
+        )
+        return g.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+    partials = filtered.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", sort=False).agg(
+            total_price=("s", "sum"), n_orders=("n", "sum")
+        ).reset_index()
+        out["total_price"] = out["total_price"].round(4)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return partials.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -451,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_extras_1h": _q_series_extras_1h,
         "compress_roundtrip": _q_compress_roundtrip,
         "events_count_entropy": _q_events_count_entropy,
+        "events_sessions": _q_events_sessions,
+        "orders_semi_building": _q_orders_semi_building,
     }
 
 
@@ -599,7 +658,11 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
            AS n_alpha,
        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
-           AS n_digit
+           AS n_digit,
+       CAST(length(regexp_extract_all(lower(text),
+            '\b(the|and|of|a|to|in|is|it|that|was)\b')) AS BIGINT)
+           AS n_stopwords,
+       CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
 FROM documents
 """
 
@@ -639,6 +702,36 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
 
+    events_sessions = """
+WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+    orders_semi_building = """
+SELECT o.o_orderpriority,
+       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
     events_count_entropy = """
 SELECT CAST(user_id AS VARCHAR) AS unique_id,
        ROUND(-SUM(CASE WHEN value > 0 THEN value * ln(value) ELSE 0 END), 6)
@@ -663,6 +756,8 @@ GROUP BY user_id
         "embeddings_knn": embeddings_knn,
         "orders_by_segment": orders_by_segment,
         "events_count_entropy": events_count_entropy,
+        "events_sessions": events_sessions,
+        "orders_semi_building": orders_semi_building,
         # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
         # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
         # rows-only check by the driver.

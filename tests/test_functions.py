@@ -148,3 +148,22 @@ def test_text_metrics_counts(docs_ds):
     assert out.loc[0, "n_chars_m"] == len(s)
     assert out.loc[0, "n_ws_tokens"] == len(s.split())
     assert out.loc[5, "n_ws_tokens"] == 1
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import sessionize
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # user 1: two sessions separated by a 2h gap
+    for i, mins in enumerate([0, 5, 10, 130, 135]):
+        rows.append(("u-ignore", i, base + pd.Timedelta(minutes=mins), 1.0))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    out = sessionize(
+        rd.from_pandas(df), key="user_id", gap_us=30 * 60 * 1_000_000
+    ).to_pandas().sort_values("session_idx")
+    assert len(out) == 2
+    assert out.iloc[0]["n_events"] == 3 and out.iloc[1]["n_events"] == 2
+    assert out.iloc[0]["value_sum"] == 3.0

@@ -22,6 +22,10 @@ _WORD_RE = r"\S+"
 # non-word chars (so punctuation counts as its own token).
 _BPE_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
 
+# RE2-compatible whole-word stopword pattern (same in the DuckDB oracle)
+_STOP_RE = r"\b(the|and|of|a|to|in|is|it|that|was)\b"
+_PUNCT_RE = r"[.,;:!?]"
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
     "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los"},
@@ -37,6 +41,8 @@ class TextMetrics:
         self.text_col = text_col
         self.word = re.compile(_WORD_RE)
         self.bpe = re.compile(_BPE_RE)
+        self.stop = re.compile(_STOP_RE)
+        self.punct = re.compile(_PUNCT_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch[self.text_col]
@@ -52,6 +58,12 @@ class TextMetrics:
         alpha = pa.array(
             [sum(c.isalpha() for c in s) for s in texts], pa.int64()
         )
+        stops = pa.array(
+            [len(self.stop.findall(s.lower())) for s in texts], pa.int64()
+        )
+        punct = pa.array(
+            [len(self.punct.findall(s)) for s in texts], pa.int64()
+        )
         digits = pa.array(
             [sum(c.isdigit() for c in s) for s in texts], pa.int64()
         )
@@ -60,6 +72,8 @@ class TextMetrics:
         out = out.append_column("n_bpe_tokens", bpe_tokens)
         out = out.append_column("n_alpha", alpha)
         out = out.append_column("n_digit", digits)
+        out = out.append_column("n_stopwords", stops)
+        out = out.append_column("n_punct", punct)
         return out
 
 
