@@ -167,3 +167,20 @@ def test_sessionize(ray_session):
     assert len(out) == 2
     assert out.iloc[0]["n_events"] == 3 and out.iloc[1]["n_events"] == 2
     assert out.iloc[0]["value_sum"] == 3.0
+
+
+def test_broadcast_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    big = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "v": list("abcdef")})
+    small = pd.DataFrame({"key": [2, 4], "dim": ["x", "y"]})
+    ds = rd.from_pandas(big)
+    semi = broadcast_join(ds, small, "k", "key", how="semi").to_pandas()
+    anti = broadcast_join(ds, small, "k", "key", how="anti").to_pandas()
+    inner = broadcast_join(ds, small, "k", "key", how="inner").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5, 6]
+    assert sorted(inner["dim"]) == ["x", "y"]
+    assert len(semi) + len(anti) == len(big)
