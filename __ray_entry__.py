@@ -478,6 +478,24 @@ def _q_orders_semi_building(sf_dir: str):
     )
 
 
+def _q_docs_dedup_purged(sf_dir: str):
+    """End-to-end dedup purge: keep only each distinct text's min-id
+    representative (exact dedup -> broadcast semi join back against the
+    corpus); returns the purged doc list -- SQL-checkable."""
+    import ray
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import exact_dedup
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    keepers = exact_dedup(ds).to_pandas()[["keep_id"]]
+    docs = rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
+    kept = broadcast_join(docs, keepers, left_on="doc_id", right_on="keep_id",
+                          how="semi")
+    return kept
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -518,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_count_entropy": _q_events_count_entropy,
         "events_sessions": _q_events_sessions,
         "orders_semi_building": _q_orders_semi_building,
+        "docs_dedup_purged": _q_docs_dedup_purged,
     }
 
 
@@ -766,6 +785,10 @@ GROUP BY user_id
         "events_count_entropy": events_count_entropy,
         "events_sessions": events_sessions,
         "orders_semi_building": orders_semi_building,
+        "docs_dedup_purged": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+""",
         # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
         # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
         # rows-only check by the driver.
