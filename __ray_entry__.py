@@ -147,7 +147,7 @@ def _q_events_rollup(tier: str):
             os.path.join(sf_dir, "events.parquet"),
             columns=["user_id", "event_id", "ts", "value"],
         )
-        out = rollup(ds, tiers=[tier], spec=spec, int_values=False)
+        out = rollup(ds, tiers=[tier], spec=spec)
         return _round_floats(out.drop_columns(["bucket_us", "filled", "tier"]))
 
     return run
@@ -544,9 +544,9 @@ _TURNS_CTE = """
 WITH turns AS (
     SELECT conv_id, turn_idx, role, text, tool, ts,
            CAST(length(text) AS BIGINT) AS token_len,
-           date_diff('microsecond',
+           CAST(date_diff('microsecond',
                      lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx),
-                     ts) AS latency_us
+                     ts) AS DOUBLE) AS latency_us
     FROM read_parquet('{path}')
 )
 """
@@ -554,16 +554,16 @@ WITH turns AS (
 _ROLLUP_AGG = """
     SELECT conv_id, date_trunc('{unit}', ts) AS bucket,
            COUNT(*) AS token_len_count,
-           CAST(SUM(token_len) AS BIGINT) AS token_len_sum,
-           MIN(token_len) AS token_len_min,
-           MAX(token_len) AS token_len_max,
-           arg_max(token_len, turn_idx) AS token_len_last,
+           CAST(SUM(token_len) AS DOUBLE) AS token_len_sum,
+           CAST(MIN(token_len) AS DOUBLE) AS token_len_min,
+           CAST(MAX(token_len) AS DOUBLE) AS token_len_max,
+           CAST(arg_max(token_len, turn_idx) AS DOUBLE) AS token_len_last,
            COUNT(latency_us) AS latency_count,
-           CAST(SUM(latency_us) AS BIGINT) AS latency_sum,
-           MIN(latency_us) AS latency_min,
-           MAX(latency_us) AS latency_max,
-           max_by(latency_us, turn_idx) FILTER (latency_us IS NOT NULL)
-               AS latency_last
+           CAST(SUM(latency_us) AS DOUBLE) AS latency_sum,
+           CAST(MIN(latency_us) AS DOUBLE) AS latency_min,
+           CAST(MAX(latency_us) AS DOUBLE) AS latency_max,
+           CAST(max_by(latency_us, turn_idx) FILTER (latency_us IS NOT NULL)
+               AS DOUBLE) AS latency_last
     FROM turns
     GROUP BY 1, 2
 """

@@ -30,7 +30,7 @@ def _mk_turns(rng: np.random.RandomState, n_convs: int, max_turns: int) -> pd.Da
     df = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "ts", "token_len", "latency_us"]
     )
-    df["latency_us"] = df["latency_us"].astype("Int64")
+    df["latency_us"] = df["latency_us"].astype("float64")
     return df
 
 
@@ -47,7 +47,7 @@ def _run(df: pd.DataFrame, splits: list[int]) -> pd.DataFrame:
         if len(chunk):
             partials.append(partial(df.iloc[chunk]))
     merged = _final_merge(False, {t.name: t.bucket_us for t in tiers},
-                          DEFAULT_SPEC, True)(pd.concat(partials, ignore_index=True))
+                          DEFAULT_SPEC)(pd.concat(partials, ignore_index=True))
     return merged.sort_values(["conv_id", "tier", "bucket_us"]).reset_index(drop=True)
 
 

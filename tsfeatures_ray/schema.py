@@ -29,7 +29,10 @@ DERIVED_SCHEMA = pa.schema(
     list(TRANSCRIPT_SCHEMA)
     + [
         ("token_len", pa.int64()),
-        ("latency_us", pa.int64()),  # null for turn 0 of each conv
+        # float64, NaN for turn 0 of each conv: nullable ints would need a
+        # masked extension dtype in pandas, which does not hash like an
+        # Arrow primitive at the contract boundary
+        ("latency_us", pa.float64()),
     ]
 )
 

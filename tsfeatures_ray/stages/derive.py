@@ -71,7 +71,10 @@ def _latency_per_partition(g: pd.DataFrame) -> pd.DataFrame:
     same_conv = g["conv_id"].eq(g["conv_id"].shift())
     lat = ts_us.diff()
     lat[~same_conv] = np.nan
-    g["latency_us"] = lat.astype("Int64")
+    # plain float64 (NaN for turn 0), NOT pandas' masked-Int64 extension
+    # dtype: extension arrays serialize differently from Arrow primitives
+    # and break value-hash comparison at the contract boundary
+    g["latency_us"] = lat.astype("float64")
     return g
 
 

@@ -53,8 +53,8 @@ def _fold(df: pd.DataFrame, key: str, prefixes: list[str]) -> pd.DataFrame:
         picked = picked.reset_index(drop=True)
         out[f"{p}_last"] = picked[f"{p}_last"].to_numpy()
         out[f"{p}_lastsrc"] = picked[f"{p}_lastsrc"].to_numpy()
-        out.loc[out[f"{p}_count"] == 0, f"{p}_sum"] = pd.NA
-        out.loc[out[f"{p}_lastsrc"].isna() | (out[f"{p}_lastsrc"] < 0), f"{p}_last"] = pd.NA
+        out.loc[out[f"{p}_count"] == 0, f"{p}_sum"] = np.nan
+        out.loc[out[f"{p}_lastsrc"].isna() | (out[f"{p}_lastsrc"] < 0), f"{p}_last"] = np.nan
     return out
 
 

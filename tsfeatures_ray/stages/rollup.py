@@ -88,7 +88,7 @@ def _partial_one_tier(df: pd.DataFrame, tier: Tier, spec: RollupSpec) -> pd.Data
     if not spec.order:
         out["last_ord_tie"] = 0
     for pref in spec.values.values():
-        out.loc[out[f"{pref}_count"] == 0, f"{pref}_sum"] = pd.NA
+        out.loc[out[f"{pref}_count"] == 0, f"{pref}_sum"] = np.nan
     out["tier"] = tier.name
     return out
 
@@ -133,13 +133,12 @@ def _gapfill_partition(
             continue
         gaps = gaps.assign(tier=tname, filled=True)
         for col in spec.agg_cols:
-            gaps[col] = 0 if col.endswith("_count") else pd.NA
+            gaps[col] = 0 if col.endswith("_count") else np.nan
         pieces.append(gaps)
     return pd.concat(pieces, ignore_index=True)
 
 
-def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec,
-                 int_values: bool):
+def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec):
     key = spec.key
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -156,7 +155,7 @@ def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec,
             aggs[f"{pref}_last"] = (f"{pref}_last", "last")
         merged = gb.agg(**aggs).reset_index()
         for pref in spec.values.values():
-            merged.loc[merged[f"{pref}_count"] == 0, f"{pref}_sum"] = pd.NA
+            merged.loc[merged[f"{pref}_count"] == 0, f"{pref}_sum"] = np.nan
         if gapfill:
             merged = _gapfill_partition(merged, tier_widths, spec)
         else:
@@ -165,9 +164,11 @@ def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec,
         for c in spec.agg_cols:
             if c.endswith("_count"):
                 merged[c] = merged[c].astype("int64")
-            elif int_values:
-                merged[c] = merged[c].astype("Int64")
             else:
+                # plain float64 (NaN = no observation), never pandas'
+                # masked-Int64 extension dtype: extension arrays do not
+                # hash/serialize like Arrow primitives at the contract
+                # boundary; integer inputs stay exact in float64
                 merged[c] = merged[c].astype("float64")
         cols = [key, "tier", "bucket", "bucket_us"] + spec.agg_cols + ["filled"]
         return merged[cols]
@@ -181,7 +182,6 @@ def rollup(
     gapfill: bool = False,
     num_parts: int | None = None,
     spec: RollupSpec = DEFAULT_SPEC,
-    int_values: bool = True,
     salt_window_us: int | None = None,
 ) -> "ray.data.Dataset":
     """Keyed stream Dataset -> rollup Dataset at the given tiers.
@@ -219,7 +219,7 @@ def rollup(
 
     partials = partials.map_batches(add_part, batch_format="pandas")
     return partials.groupby("part").map_groups(
-        _final_merge(gapfill, tier_widths, spec, int_values), batch_format="pandas"
+        _final_merge(gapfill, tier_widths, spec), batch_format="pandas"
     )
 
 
