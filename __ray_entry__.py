@@ -134,6 +134,36 @@ def _q_features_default(sf_dir: str):
     return feature_pipeline(sf_dir, tiers=["1h"])
 
 
+_FEATURES_SQL_ROUNDING = {"lumpiness": 4, "stability": 4, "unitroot_kpss": 5}
+
+
+def _q_features_sql_1m(sf_dir: str):
+    """SQL-expressible subset of the default feature set, computed through
+    the FULL distributed pipeline (derive -> rollup -> pack -> kernels,
+    scale=True) over the 1m tier: acf_features (7 cols), lumpiness,
+    stability, unitroot_kpss, series_length. Gives the flagship kernel
+    path a hard DuckDB oracle (reference semantics tsfeatures.py:35-101,
+    448-479, 614-645, 793-816). crossing_points is deliberately absent:
+    its hard `z <= median(z)` comparison can flip on a 1-ulp
+    np.median-vs-quantile_cont difference when a point sits exactly on an
+    even-length median; it has an exact oracle on the raw integer series
+    in `series_stats` instead."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    out = feature_pipeline(
+        sf_dir,
+        tiers=["1m"],
+        features=[
+            "acf_features", "lumpiness", "stability",
+            "unitroot_kpss", "series_length",
+        ],
+        scale=True,
+    )
+    return _round_floats(
+        out.drop_columns(["tier", "metric"]), overrides=_FEATURES_SQL_ROUNDING
+    )
+
+
 def _q_events_rollup(tier: str):
     def run(sf_dir: str):
         import ray.data as rd
@@ -518,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_compact_1h": _q_rollup_compact_1h,
         "series_stats": _q_series_stats,
         "features_default_1h": _q_features_default,
+        "features_sql_1m": _q_features_sql_1m,
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_rollup_1d": _q_events_rollup("1d"),
         "events_user_stats": _q_events_user_stats,
@@ -643,6 +674,145 @@ SELECT s.conv_id AS unique_id, s.total_sum, s.mean, s.variance, s.median,
        s.series_length, s.sparsity,
        CAST(COALESCE(c.cp, 0) AS DOUBLE) AS crossing_points
 FROM stats s LEFT JOIN crossings c ON s.conv_id = c.conv_id
+"""
+    )
+
+    # --- features_sql_1m oracle -------------------------------------------
+    # Reproduces the full distributed path: dense 1m token_len_sum series
+    # per conv (gaps -> 0), z-scored with ddof=1 (scalets), then the exact
+    # kernel formulas. ACF lag-k = sum(e_t e_{t-k}) / sum(e_t^2) on the
+    # re-demeaned series; KPSS Bartlett lags L = floor(4*(n/100)^0.25)
+    # (valid here for n < 11160 where L <= 12); lumpiness/stability tile
+    # width 60 (1m-tier freq), full tiles only, 0.0 when n < 120.
+    e_lags = ", ".join(
+        f"lag(e, {k}) OVER w AS e{k}" for k in [*range(1, 13), 60]
+    )
+    c_sums = ", ".join(f"SUM(e * e{k}) AS c{k}" for k in [*range(1, 13), 60])
+    d_lags = ", ".join(f"lag(d, {k}) OVER w AS d{k}" for k in range(1, 11))
+    g_lags = ", ".join(f"lag(g, {k}) OVER w AS g{k}" for k in range(1, 11))
+    dc_sums = ", ".join(f"SUM(d * d{k}) AS dc{k}" for k in range(1, 11))
+    gc_sums = ", ".join(f"SUM(g * g{k}) AS gc{k}" for k in range(1, 11))
+    acf10_num = " + ".join(f"a.c{k} * a.c{k}" for k in range(1, 11))
+    dacf10_num = " + ".join(
+        f"COALESCE(d.dc{k}, 0) * COALESCE(d.dc{k}, 0)" for k in range(1, 11)
+    )
+    gacf10_num = " + ".join(
+        f"COALESCE(d.gc{k}, 0) * COALESCE(d.gc{k}, 0)" for k in range(1, 11)
+    )
+    bartlett = " + ".join(
+        f"CASE WHEN {i} <= k.L THEN (1.0 - {i} / (k.L + 1.0)) * "
+        f"COALESCE(a.c{i}, 0) ELSE 0 END"
+        for i in range(1, 13)
+    )
+    features_sql_1m = (
+        turns
+        + f""",
+agg AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+spans AS (SELECT conv_id, MIN(bucket) lo, MAX(bucket) hi FROM agg GROUP BY 1),
+dense AS (
+    SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+    FROM spans
+),
+serie AS (
+    SELECT d.conv_id, COALESCE(a.v, 0.0) AS y,
+           row_number() OVER (PARTITION BY d.conv_id ORDER BY d.bucket) - 1 AS rn
+    FROM dense d LEFT JOIN agg a ON d.conv_id = a.conv_id AND d.bucket = a.bucket
+),
+st0 AS (
+    SELECT conv_id, COUNT(*) AS n, AVG(y) AS mu, stddev_samp(y) AS sd
+    FROM serie GROUP BY 1
+),
+z AS (
+    SELECT s.conv_id, s.rn, t.n, (s.y - t.mu) / t.sd AS z
+    FROM serie s JOIN st0 t ON s.conv_id = t.conv_id
+),
+zmu AS (SELECT conv_id, AVG(z) AS m FROM z GROUP BY 1),
+ez AS (
+    SELECT z.conv_id, z.rn, z.n, z.z, z.z - zmu.m AS e
+    FROM z JOIN zmu ON z.conv_id = zmu.conv_id
+),
+lagged AS (
+    SELECT conv_id, rn, n, z, e, {e_lags},
+           lag(z, 1) OVER w AS zl1, lag(z, 2) OVER w AS zl2,
+           SUM(e) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM ez WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+acv AS (
+    SELECT conv_id, any_value(n) AS n, SUM(e * e) AS c0, {c_sums},
+           SUM(s * s) AS ss
+    FROM lagged GROUP BY 1
+),
+dmu AS (
+    SELECT conv_id, AVG(z - zl1) AS dm, AVG(z - 2 * zl1 + zl2) AS gm
+    FROM lagged GROUP BY 1
+),
+diffs AS (
+    SELECT l.conv_id, l.rn, (l.z - l.zl1) - m.dm AS d,
+           (l.z - 2 * l.zl1 + l.zl2) - m.gm AS g
+    FROM lagged l JOIN dmu m ON l.conv_id = m.conv_id
+),
+dlag AS (
+    SELECT conv_id, d, g, {d_lags}, {g_lags}
+    FROM diffs WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+dacv AS (
+    SELECT conv_id, SUM(d * d) AS dc0, {dc_sums}, SUM(g * g) AS gc0, {gc_sums}
+    FROM dlag GROUP BY 1
+),
+tiles AS (
+    SELECT conv_id, CAST(floor(rn / 60) AS BIGINT) AS tile,
+           var_samp(z) AS tv, AVG(z) AS tm, COUNT(*) AS c
+    FROM z GROUP BY 1, 2
+),
+tileagg AS (
+    SELECT conv_id,
+           var_samp(tv) FILTER (WHERE c = 60) AS lump,
+           var_samp(tm) FILTER (WHERE c = 60) AS stab
+    FROM tiles GROUP BY 1
+),
+kl AS (
+    SELECT conv_id, CAST(floor(4 * pow(n / 100.0, 0.25)) AS INT) AS L
+    FROM st0
+)
+SELECT a.conv_id AS unique_id,
+       ROUND(a.c1 / NULLIF(a.c0, 0) + 0.0000001, 6) AS x_acf1,
+       CASE WHEN a.n > 10 THEN
+            ROUND(({acf10_num}) / NULLIF(a.c0 * a.c0, 0) + 0.0000001, 6)
+       END AS x_acf10,
+       CASE WHEN a.n > 10 THEN
+            ROUND(d.dc1 / NULLIF(d.dc0, 0) + 0.0000001, 6)
+       END AS diff1_acf1,
+       CASE WHEN a.n > 10 THEN
+            ROUND(({dacf10_num}) / NULLIF(d.dc0 * d.dc0, 0) + 0.0000001, 6)
+       END AS diff1_acf10,
+       CASE WHEN a.n > 11 THEN
+            ROUND(d.gc1 / NULLIF(d.gc0, 0) + 0.0000001, 6)
+       END AS diff2_acf1,
+       CASE WHEN a.n > 11 THEN
+            ROUND(({gacf10_num}) / NULLIF(d.gc0 * d.gc0, 0) + 0.0000001, 6)
+       END AS diff2_acf10,
+       CASE WHEN a.n >= 61 THEN
+            ROUND(a.c60 / NULLIF(a.c0, 0) + 0.0000001, 6)
+       END AS seas_acf1,
+       CASE WHEN a.n < 120 THEN 0.0
+            ELSE ROUND(t.lump + 0.0000001, 4) END AS lumpiness,
+       CASE WHEN a.n < 120 THEN 0.0
+            ELSE ROUND(t.stab + 0.0000001, 4) END AS stability,
+       CASE WHEN k.L >= a.n THEN NULL
+            ELSE ROUND((a.ss / (a.n * a.n)) /
+                       (a.c0 / a.n + (2.0 / a.n) * ({bartlett}))
+                       + 0.0000001, 5)
+       END AS unitroot_kpss,
+       CAST(a.n AS DOUBLE) AS series_length
+FROM acv a
+JOIN dacv d ON a.conv_id = d.conv_id
+JOIN tileagg t ON a.conv_id = t.conv_id
+JOIN kl k ON a.conv_id = k.conv_id
 """
     )
 
@@ -775,6 +945,7 @@ GROUP BY user_id
         "rollup_gapfill_1h": gapfill_1h,
         "rollup_compact_1h": rollup_sql("hour"),
         "series_stats": series_stats,
+        "features_sql_1m": features_sql_1m,
         "events_rollup_1h": events_rollup.format(unit="hour"),
         "events_rollup_1d": events_rollup.format(unit="day"),
         "events_user_stats": events_user_stats,
