@@ -269,19 +269,16 @@ def _q_docs_simhash(sf_dir: str):
 
 
 def _q_docs_near_dups(sf_dir: str):
-    import ray
+    """LSH candidates verified by exact n-gram Jaccard, fully
+    distributed: candidate pairs are co-partitioned with the corpus via
+    hash-partitioned joins -- the driver never materializes texts."""
     import ray.data as rd
 
-    from tsfeatures_ray.functions import minhash_near_dups
-
-    import pyarrow.parquet as pq
+    from tsfeatures_ray.functions import minhash_near_dups_distributed
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    ref = ray.put(texts)
-    return minhash_near_dups(ds, ref, threshold=0.5)
+    return minhash_near_dups_distributed(ds, threshold=0.5)
 
 
 def _q_embeddings_knn(sf_dir: str):
@@ -510,21 +507,17 @@ def _q_orders_semi_building(sf_dir: str):
 
 def _q_docs_dedup_purged(sf_dir: str):
     """End-to-end dedup purge: keep only each distinct text's min-id
-    representative (exact dedup -> broadcast semi join back against the
-    corpus); returns the purged doc list -- SQL-checkable."""
-    import ray
+    representative. Fully distributed -- the keeper set stays a Dataset
+    and filters the corpus through a hash-partitioned semi join (no
+    driver collect); SQL-checkable."""
     import ray.data as rd
 
-    from tsfeatures_ray.functions import exact_dedup
-    from tsfeatures_ray.functions.join import broadcast_join
+    from tsfeatures_ray.functions import dedup_purge
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    keepers = exact_dedup(ds).to_pandas()[["keep_id"]]
     docs = rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
-    kept = broadcast_join(docs, keepers, left_on="doc_id", right_on="keep_id",
-                          how="semi")
-    return kept
+    return dedup_purge(ds, docs)
 
 # ---------------------------------------------------------------------------
 # the contract

@@ -184,3 +184,77 @@ def test_broadcast_join_semi_anti(ray_session):
     assert sorted(anti["k"]) == [1, 3, 5, 6]
     assert sorted(inner["dim"]) == ["x", "y"]
     assert len(semi) + len(anti) == len(big)
+
+
+def test_partitioned_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 40, 200), "lv": rng.randn(200)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 50, 2), "rv": np.arange(25) * 10}
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    for how in ("inner", "left", "semi", "anti"):
+        got = partitioned_join(
+            lds, rds, left_on="k", right_on="rk", how=how, num_parts=7
+        ).to_pandas()
+        if how in ("semi", "anti"):
+            mask = left["k"].isin(set(right["rk"]))
+            want = left[mask if how == "semi" else ~mask]
+            got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+            want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
+        else:
+            want = left.merge(
+                right, left_on="k", right_on="rk", how=how
+            ).drop(columns=["rk"])
+            got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+            want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_partitioned_join_rejects_column_overlap(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+    b = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2.0]}))
+    with pytest.raises(ValueError, match="overlapping"):
+        partitioned_join(a, b, left_on="k")
+
+
+def test_minhash_near_dups_distributed_equals_broadcast(docs_ds, ray_session):
+    """The de-drivered near-dup path (hash-partitioned text joins) must
+    produce the exact pair set + jaccard values of the broadcast-lookup
+    path."""
+    import ray
+
+    from tsfeatures_ray.functions import (
+        minhash_near_dups,
+        minhash_near_dups_distributed,
+    )
+
+    ds, df = docs_ds
+    ref = ray.put(dict(zip(df.doc_id, df.text)))
+    old = minhash_near_dups(ds, ref, threshold=0.5).to_pandas()
+    new = minhash_near_dups_distributed(ds, threshold=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    old = old.sort_values(key).reset_index(drop=True)
+    new = new.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(new[["id_a", "id_b", "jaccard"]],
+                                  old[["id_a", "id_b", "jaccard"]])
+
+
+def test_dedup_purge_distributed(docs_ds, ray_session):
+    from tsfeatures_ray.functions import dedup_purge
+
+    ds, df = docs_ds
+    kept = dedup_purge(ds, ds).to_pandas()
+    # one representative (min id) per distinct text
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]

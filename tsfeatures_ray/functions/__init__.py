@@ -1,8 +1,10 @@
 from .text import text_metrics, language_id, fingerprint  # noqa: F401
 from .dedup import (  # noqa: F401
+    dedup_purge,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_near_dups,
+    minhash_near_dups_distributed,
     simhash_signatures,
     ngram_jaccard_pairs,
 )

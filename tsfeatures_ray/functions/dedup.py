@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -214,6 +215,107 @@ def minhash_near_dups(
         batch_size=4096,
         concurrency=2,
         num_cpus=1,
+    )
+
+
+def _pa_type_of(ds: "ray.data.Dataset", col: str):
+    """pyarrow type of one column of a (cheap-to-peek) Dataset."""
+    from .join import _pa_type
+
+    sch = ds.schema()
+    return _pa_type(dict(zip(sch.names, sch.types))[col])
+
+
+def minhash_near_dups_distributed(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Near-dup pipeline with NO driver-side corpus materialization:
+    LSH candidate pairs are co-partitioned with the (id, text) table via
+    two hash-partitioned joins (texts fetched for the id_a side, then the
+    id_b side), and exact n-gram Jaccard runs per co-located batch. The
+    corpus streams through the exchanges; the driver never holds it.
+    Scale path for ``minhash_near_dups`` (whose broadcast {id: text}
+    lookup caps out at driver memory)."""
+    from .join import partitioned_join
+
+    k = kwargs.get("k", 5)
+    cand = minhash_lsh_candidates(
+        ds, text_col=text_col, id_col=id_col, **kwargs
+    )
+
+    def rename_to(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).rename_columns(
+                [f"id_{side}", f"text_{side}"]
+            )
+
+        return fn
+
+    texts_a = ds.map_batches(rename_to("a"), batch_format="pyarrow")
+    texts_b = ds.map_batches(rename_to("b"), batch_format="pyarrow")
+    # explicit schemas: cand / with_a are lazy shuffle pipelines, and
+    # Dataset.schema() would execute them an extra time just to peek
+    id_t = _pa_type_of(ds, id_col)
+    cand_schema = pa.schema([("id_a", id_t), ("id_b", id_t)])
+    texts_schema = lambda s: pa.schema(  # noqa: E731
+        [(f"id_{s}", id_t), (f"text_{s}", pa.string())]
+    )
+    with_a = partitioned_join(
+        cand, texts_a, left_on="id_a", num_parts=num_parts,
+        left_schema=cand_schema, right_schema=texts_schema("a"),
+    )
+    with_ab = partitioned_join(
+        with_a, texts_b, left_on="id_b", num_parts=num_parts,
+        left_schema=pa.schema(
+            [("id_a", id_t), ("id_b", id_t), ("text_a", pa.string())]
+        ),
+        right_schema=texts_schema("b"),
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        sims = [
+            ngram_jaccard(a, b, k)
+            for a, b in zip(batch["text_a"], batch["text_b"])
+        ]
+        out = batch[["id_a", "id_b"]].copy()
+        out["jaccard"] = sims
+        return out[out["jaccard"] >= threshold]
+
+    return with_ab.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+def dedup_purge(
+    ds: "ray.data.Dataset",
+    full: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """End-to-end exact-dedup purge with no driver collect: keeper ids
+    (min id per distinct text) stay a Dataset and filter ``full`` through
+    a hash-partitioned semi join. ``ds`` supplies (id, text); ``full`` is
+    the table to purge (any columns, must include ``id_col``)."""
+    from .join import partitioned_join
+
+    keepers = exact_dedup(ds, text_col=text_col, id_col=id_col).drop_columns(
+        ["n_copies"]
+    )
+    return partitioned_join(
+        full, keepers, left_on=id_col, right_on="keep_id", how="semi",
+        num_parts=num_parts,
+        # keepers is a lazy shuffle pipeline; don't execute it to peek
+        right_schema=pa.schema([("keep_id", _pa_type_of(ds, id_col))]),
     )
 
 

@@ -1,15 +1,27 @@
-"""Broadcast hash join (SURVEY.md §2.4): the reference's only join shape
-is panel-to-small-metadata (reference m4_data.py:117 ``df.merge(m4_info)``).
-At scale the small side is broadcast once via ``ray.put`` and read in
-each actor's ``__init__`` -- never re-shipped per batch, never shuffled.
-Semi/anti joins reuse the same shape with a key-set filter.
+"""Joins (SURVEY.md §2.4). Two shapes:
+
+- ``broadcast_join``: panel-to-small-metadata (the reference's only join,
+  m4_data.py:117 ``df.merge(m4_info)``). The small side is broadcast once
+  via ``ray.put`` and read in each actor's ``__init__`` -- never
+  re-shipped per batch, never shuffled. Requires the small side to fit
+  in memory.
+- ``partitioned_join``: distributed hash-partitioned join for two
+  Datasets of arbitrary size. Both sides are hash-partitioned on the
+  join key (same ``stable_part`` as every other stage) and co-grouped in
+  ONE ``groupby(part).map_groups`` exchange; nothing is materialized on
+  the driver. This is the scale path for keeper-set semi joins and
+  candidate-pair lookups where the "small" side is unbounded.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
+
+from ..stages.derive import default_num_parts, stable_part
 
 
 class _BroadcastJoiner:
@@ -59,3 +71,129 @@ def broadcast_join(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+_SIDE, _PART = "__join_side", "__join_part"
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() entry to a pyarrow DataType (pandas-
+    backed Datasets report numpy dtypes / python classes; object dtype is
+    assumed to hold strings)."""
+    if isinstance(t, pa.DataType):
+        return t
+    for py, at in ((str, pa.string()), (bool, pa.bool_()),
+                   (int, pa.int64()), (float, pa.float64())):
+        if t is py:
+            return at
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def partitioned_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_parts: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Distributed hash-partitioned join of two Datasets (no driver
+    materialization, no broadcast -- both sides stream through ONE
+    ``groupby(part)`` exchange and merge per partition).
+
+    ``how`` in {'inner', 'left', 'semi', 'anti'}. Non-key column names
+    must be disjoint between the two sides (rename before joining).
+    Partitioning assumption (SURVEY.md §2 custom-operator rule): rows of
+    both sides with equal key hash land in the same partition -- enforced
+    here by computing the same ``stable_part`` on both sides, so it holds
+    regardless of upstream block layout.
+
+    Pass ``left_schema`` / ``right_schema`` (pyarrow) when the side is a
+    lazy multi-stage pipeline: ``Dataset.schema()`` on such a Dataset
+    executes part of the plan, so an explicit schema avoids running the
+    upstream pipeline an extra time.
+    """
+    right_on = right_on or left_on
+    if num_parts is None:
+        num_parts = default_num_parts()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    overlap = (set(lnames) & set(rnames)) - {left_on}
+    if overlap:
+        raise ValueError(
+            f"partitioned_join: overlapping non-key columns {sorted(overlap)}; "
+            "rename before joining"
+        )
+    semi_like = how in ("semi", "anti")
+    # semi/anti only need the right KEY -- never ship right payload
+    rpayload = [] if semi_like else [n for n in rnames if n != right_on]
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    out_names = lnames + rpayload
+    # the right key rides in the left key's column slot; both sides share
+    # the unified schema so the two Datasets union cleanly
+    types = {**{n: rtypes[n] for n in rpayload}, **ltypes}
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            key_col = t[left_on if side == 0 else right_on]
+            part = stable_part(key_col.to_numpy(zero_copy_only=False), num_parts)
+            arrays = []
+            for name in out_names:
+                if name == left_on:
+                    arrays.append(key_col.cast(types[name]))
+                elif (side == 0 and name in lnames) or (side == 1 and name in rpayload):
+                    arrays.append(t[name])
+                else:
+                    arrays.append(pa.nulls(n, types[name]))
+            arrays += [
+                pa.array(np.full(n, side, dtype=np.int8)),
+                pa.array(part, type=pa.int64()),
+            ]
+            return pa.Table.from_arrays(arrays, names=out_names + [_SIDE, _PART])
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        # the union-with-nulls encoding upcasts the OTHER side's int/bool
+        # payload columns to float64/object; restore the declared dtype
+        # wherever no nulls remain so keys stay hash- and merge-stable
+        # through chained joins
+        for n in df.columns:
+            if n == left_on:
+                continue
+            try:
+                want = np.dtype(types[n].to_pandas_dtype())
+            except (TypeError, NotImplementedError):
+                continue
+            if df[n].dtype != want and not df[n].isna().any():
+                df[n] = df[n].astype(want)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g[_SIDE].to_numpy() == 0
+        ldf = g.loc[lmask, lnames]
+        rkeys = set(g.loc[~lmask, left_on])
+        if how == "semi":
+            return restore_dtypes(ldf[ldf[left_on].isin(rkeys)])
+        if how == "anti":
+            return restore_dtypes(ldf[~ldf[left_on].isin(rkeys)])
+        rdf = g.loc[~lmask, [left_on] + rpayload]
+        out = ldf.merge(
+            rdf, on=left_on, how=("left" if how == "left" else "inner")
+        )[out_names]
+        return restore_dtypes(out)
+
+    return both.groupby(_PART).map_groups(merge, batch_format="pandas")
