@@ -47,7 +47,7 @@ def run_bench() -> dict:
     from tsfeatures_ray.stages.compress import compress_rollup
     from tsfeatures_ray.stages.derive import derive_turn_metrics
     from tsfeatures_ray.stages.features import features_over_packed
-    from tsfeatures_ray.stages.pack import pack_series
+    from tsfeatures_ray.stages.pack import assert_unique_series, pack_series
     from tsfeatures_ray.stages.rollup import rollup
 
     tpath = transcripts_path(sf_dir)  # generated+cached before timing
@@ -90,6 +90,10 @@ def run_bench() -> dict:
     packed = pack_series(
         rolled, metric=["token_len_sum", "latency_sum"], pre_partitioned=True
     )
+    # loud guard on the fast path's block-alignment assumption: raises if
+    # any series was split across blocks (covers the codec stage too --
+    # it reads the same materialized block layout)
+    packed = assert_unique_series(packed)
     feats = features_over_packed(packed)
     feats.write_parquet(feat_dir)
     timings["features"] = time.perf_counter() - t0

@@ -102,3 +102,51 @@ def test_tsfeatures_wide_api(ray_session):
     # seasonal-only column exists but is NaN for the nonseasonal series
     assert np.isnan(df.loc["www", "seas_acf1"])
     assert df.loc["usacc", "seas_acf1"] == pytest.approx(0.62, abs=0.01)
+
+
+def test_rollup_packed_fused_matches_shuffle_pack(ray_session):
+    """The fused rollup+pack (layout-independent map_groups) must produce
+    exactly the series of the explicit shuffle pack path."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.pack import pack_series
+    from tsfeatures_ray.stages.rollup import rollup, rollup_packed
+
+    sf = "/root/testdata/sf0.001"
+    derived = derived_pipeline(sf, slim=True).materialize()
+    fused = rollup_packed(derived, tiers=["1m", "1h"]).to_pandas()
+    shuffled = pack_series(
+        rollup(derived, tiers=["1m", "1h"]), pre_partitioned=False
+    ).to_pandas()
+    key = ["unique_id", "tier", "metric"]
+    fused = fused.sort_values(key).reset_index(drop=True)
+    shuffled = shuffled.sort_values(key).reset_index(drop=True)
+    assert len(fused) == len(shuffled)
+    pd.testing.assert_frame_equal(
+        fused[key + ["freq", "n_buckets"]], shuffled[key + ["freq", "n_buckets"]]
+    )
+    for a, b in zip(fused["y"], shuffled["y"]):
+        assert list(a) == list(b)
+
+
+def test_pre_partitioned_pack_fails_loudly_on_split_blocks(ray_session):
+    """Simulate Ray's dynamic block splitting (repartition slices the
+    rollup partitions arbitrarily): the pre-partitioned fast path then
+    produces split series, and assert_unique_series must catch it
+    instead of letting the pipeline silently emit duplicates."""
+    import pytest as _pytest
+
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.pack import assert_unique_series, pack_series
+    from tsfeatures_ray.stages.rollup import rollup
+
+    sf = "/root/testdata/sf0.001"
+    rolled = rollup(derived_pipeline(sf, slim=True), tiers=["1m"])
+    resplit = rolled.repartition(97)  # breaks block == partition
+    packed = pack_series(resplit, pre_partitioned=True)
+    with _pytest.raises(ValueError, match="split across blocks"):
+        assert_unique_series(packed)
+    # and the guard passes on an intact layout
+    ok = pack_series(rolled.materialize(), pre_partitioned=True)
+    assert_unique_series(ok)

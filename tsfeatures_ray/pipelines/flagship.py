@@ -19,15 +19,20 @@ import ray.data as rd
 from ..sources.synth import transcripts_path
 from ..stages.derive import default_num_parts, derive_turn_metrics, stable_part
 from ..stages.features import features_over_packed
-from ..stages.pack import PACKED_SCHEMA, pack_series
-from ..stages.rollup import rollup
+from ..stages.pack import PACKED_SCHEMA
+from ..stages.rollup import rollup, rollup_packed
 
 
 def derived_pipeline(
     sf_dir: str, num_parts: int | None = None, slim: bool = False
 ) -> "rd.Dataset":
-    """transcripts parquet -> per-turn derived metrics Dataset."""
-    ds = rd.read_parquet(transcripts_path(sf_dir))
+    """transcripts parquet -> per-turn derived metrics Dataset.
+
+    The slim path prunes AT THE READ: role/tool never leave storage
+    (token_len needs text; at scale the payload columns are most of the
+    bytes, so reading them for a rollup would dominate I/O)."""
+    cols = ["conv_id", "turn_idx", "ts", "text"] if slim else None
+    ds = rd.read_parquet(transcripts_path(sf_dir), columns=cols)
     return derive_turn_metrics(ds, num_parts=num_parts, slim=slim)
 
 
@@ -52,12 +57,20 @@ def feature_pipeline(
     num_parts: int | None = None,
     concurrency=None,
 ) -> "rd.Dataset":
-    """Flagship: transcripts -> rollups -> packed series -> features."""
-    rolled = rollup_pipeline(sf_dir, tiers=tiers, num_parts=num_parts)
-    # rollup merge blocks are complete hash partitions -> shuffle-free pack
-    packed = pack_series(rolled, metric=metric, pre_partitioned=True)
+    """Flagship: transcripts -> rollups -> packed series -> features.
+
+    Rollup and pack run FUSED in one map_groups (rollup_packed), so the
+    pack step depends only on groupby semantics -- never on block layout
+    -- and the engine-packed table skips the balancing random_shuffle
+    (pack already mixes series within each partition; the fine
+    repartition in the feature stage slices those mixed runs)."""
+    derived = derived_pipeline(sf_dir, num_parts=num_parts, slim=True)
+    packed = rollup_packed(
+        derived, tiers=tiers, metrics=metric, num_parts=num_parts
+    )
     return features_over_packed(
         packed, features=features, scale=scale, concurrency=concurrency,
+        balance=False,
     )
 
 

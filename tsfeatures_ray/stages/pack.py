@@ -93,6 +93,29 @@ def _pack_partition(metrics):
     return fn
 
 
+def assert_unique_series(packed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Loud guard for the pre-partitioned fast path: raises ValueError if
+    any (unique_id, tier, metric) series spans more than one packed row --
+    the symptom of a violated block-alignment assumption (e.g. Ray split
+    a rollup partition into several blocks before a
+    ``pack_series(pre_partitioned=True)``). Cheap: aggregates only the
+    packed table (one row per series). Returns the materialized packed
+    Dataset so callers can keep streaming from it."""
+    packed = packed.materialize()
+    total = packed.count()
+    distinct = (
+        packed.groupby(["unique_id", "tier", "metric"]).count().count()
+    )
+    if total != distinct:
+        raise ValueError(
+            f"pack produced {total} rows for {distinct} distinct "
+            "(unique_id, tier, metric) series: a series was split across "
+            "blocks. Use rollup_packed() (fused, layout-independent) or "
+            "pack_series(pre_partitioned=False)."
+        )
+    return packed
+
+
 def pack_series(
     rollup_ds: "ray.data.Dataset",
     metric: str | list[str] = "token_len_sum",
@@ -104,11 +127,12 @@ def pack_series(
     ``pre_partitioned=True`` skips the shuffle entirely and packs each
     BLOCK independently (``batch_size=None`` -> one batch per block).
     Partitioning assumption (SURVEY.md §2 custom-operator rule): every
-    (conv_id, tier) group lies within one block -- true for any Dataset
-    produced by the rollup stage's ``groupby("part").map_groups`` (one
-    block per hash partition, well under the dynamic split threshold),
-    including after ``materialize()``. NOT true for a rollup table read
-    back from Parquet (files may be re-split at read).
+    (conv_id, tier) group lies within one block. Ray's dynamic block
+    splitting CAN break this silently (duplicate partial series), so the
+    fast path is only for callers that control the upstream block layout
+    and should be guarded with ``assert_unique_series``; the
+    layout-independent shapes are ``rollup_packed`` (fused, preferred)
+    or the shuffle path below.
     """
     fn = _pack_partition(metric)
     if pre_partitioned:

@@ -203,7 +203,13 @@ def rollup(
         raise ValueError(
             "salted rollup cannot gap-fill inline; run gapfill_rollup() after"
         )
+    partials = _partials_with_part(ds, tier_objs, spec, num_parts, salt_window_us)
+    return partials.groupby("part").map_groups(
+        _final_merge(gapfill, tier_widths, spec), batch_format="pandas"
+    )
 
+
+def _partials_with_part(ds, tier_objs, spec, num_parts, salt_window_us=None):
     partials = ds.map_batches(
         _partial_agg(tier_objs, spec), batch_format="pandas", batch_size=65536
     )
@@ -217,10 +223,41 @@ def rollup(
         df["part"] = part.astype(np.int64)
         return df
 
-    partials = partials.map_batches(add_part, batch_format="pandas")
-    return partials.groupby("part").map_groups(
-        _final_merge(gapfill, tier_widths, spec), batch_format="pandas"
-    )
+    return partials.map_batches(add_part, batch_format="pandas")
+
+
+def rollup_packed(
+    ds: "ray.data.Dataset",
+    tiers: list[str] | None = None,
+    metrics: str | list[str] = "token_len_sum",
+    num_parts: int | None = None,
+    spec: RollupSpec = DEFAULT_SPEC,
+) -> "ray.data.Dataset":
+    """Rollup + pack fused into ONE ``groupby(part).map_groups``: each
+    hash partition is merged and immediately packed to list<double>
+    series inside the same group call.
+
+    This is the scale-safe replacement for
+    ``pack_series(rollup(...), pre_partitioned=True)``: map_groups hands
+    the ENTIRE partition to the function regardless of how Ray split the
+    underlying blocks, so correctness never depends on block layout --
+    the assumption that made the pre-partitioned fast path silently wrong
+    under dynamic block splitting -- and the packed table needs no second
+    exchange."""
+    from .pack import _pack_partition
+
+    tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
+    tier_widths = {t.name: t.bucket_us for t in tier_objs}
+    if num_parts is None:
+        num_parts = default_num_parts()
+    merge_fn = _final_merge(False, tier_widths, spec)
+    pack_fn = _pack_partition(metrics)
+
+    def fused(g: pd.DataFrame):
+        return pack_fn(merge_fn(g))
+
+    partials = _partials_with_part(ds, tier_objs, spec, num_parts)
+    return partials.groupby("part").map_groups(fused, batch_format="pandas")
 
 
 def gapfill_rollup(
