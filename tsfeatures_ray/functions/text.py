@@ -34,46 +34,109 @@ _STOPWORDS = {
 }
 
 
+def _byte_class_tables():
+    """256-entry membership tables for the counting byte classes.
+    Semantics pinned to the DuckDB/RE2 oracle: ASCII classes; \\s is
+    RE2's [\\t\\n\\f\\r ]."""
+    space = np.zeros(256, dtype=bool)
+    space[[9, 10, 12, 13, 32]] = True
+    word = np.zeros(256, dtype=bool)
+    for lo, hi in ((48, 58), (65, 91), (97, 123)):
+        word[lo:hi] = True
+    word[95] = True  # _
+    alpha = np.zeros(256, dtype=bool)
+    alpha[65:91] = alpha[97:123] = True
+    digit = np.zeros(256, dtype=bool)
+    digit[48:58] = True
+    punct = np.zeros(256, dtype=bool)
+    punct[[ord(c) for c in ".,;:!?"]] = True
+    return space, word, alpha, digit, punct
+
+
 class TextMetrics:
-    """Per-doc counting / quality metrics (vectorized; SQL-checkable)."""
+    """Per-doc counting / quality metrics, zero Python per-row work.
+
+    Fast path (pure-ASCII batch, the common corpus case): ONE numpy pass
+    over the batch's raw UTF-8 buffer -- per-byte class lookups + a
+    cumulative sum sliced at the string offsets give every per-doc count
+    (run starts for tokenizers, memberships for char classes). This is
+    exact because ASCII class members can only appear as ASCII bytes in
+    UTF-8. Non-ASCII batches fall back to Arrow ``count_substring_regex``
+    (RE2) kernels, still whole-batch vectorized. Counting semantics are
+    pinned to the DuckDB oracle (ASCII classes, RE2 \\s), which the hash
+    gate verifies exactly."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(_WORD_RE)
-        self.bpe = re.compile(_BPE_RE)
-        self.stop = re.compile(_STOP_RE)
-        self.punct = re.compile(_PUNCT_RE)
+        (self.space, self.word, self.alpha, self.digit,
+         self.punct) = _byte_class_tables()
+
+    @staticmethod
+    def _count(text, pattern) -> pa.Array:
+        return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+    def _regex_counts(self, text) -> dict[str, pa.Array]:
+        return {
+            "n_ws_tokens": self._count(text, _WORD_RE),
+            "n_bpe_tokens": self._count(text, _BPE_RE),
+            "n_alpha": self._count(text, "[A-Za-z]"),
+            "n_digit": self._count(text, "[0-9]"),
+            "n_punct": self._count(text, _PUNCT_RE),
+        }
+
+    def _byte_counts(self, b: np.ndarray, offs: np.ndarray) -> dict[str, pa.Array]:
+        def per_doc(ind: np.ndarray) -> pa.Array:
+            cs = np.empty(len(ind) + 1, dtype=np.int64)
+            cs[0] = 0
+            np.cumsum(ind, out=cs[1:])
+            return pa.array(cs[offs[1:]] - cs[offs[:-1]], type=pa.int64())
+
+        is_space = self.space[b]
+        is_word = self.word[b]
+        nonspace = ~is_space
+        # run starts: first byte of each doc counts iff in-class; force a
+        # run break at every doc boundary
+        prev_ns = np.empty_like(nonspace)
+        prev_ns[0] = False
+        prev_ns[1:] = nonspace[:-1]
+        prev_w = np.empty_like(is_word)
+        prev_w[0] = False
+        prev_w[1:] = is_word[:-1]
+        starts = offs[:-1][offs[:-1] < len(b)]
+        prev_ns[starts] = False
+        prev_w[starts] = False
+        return {
+            "n_ws_tokens": per_doc(nonspace & ~prev_ns),
+            "n_bpe_tokens": per_doc((is_word & ~prev_w) | (nonspace & ~is_word)),
+            "n_alpha": per_doc(self.alpha[b]),
+            "n_digit": per_doc(self.digit[b]),
+            "n_punct": per_doc(self.punct[b]),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch[self.text_col]
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        texts = text.to_pylist()
-        # whitespace token count == len(str.split()); compiled regex per actor
-        ws_tokens = pa.array(
-            [len(self.word.findall(s)) for s in texts], pa.int64()
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        bufs = text.buffers()
+        off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            text.offset: text.offset + len(text) + 1
+        ].astype(np.int64)
+        b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        if len(b) == 0 or b.max() < 128:  # pure ASCII -> byte fast path
+            counts = self._byte_counts(b, offs)
+        else:
+            counts = self._regex_counts(text)
+        out = batch.append_column(
+            "n_chars_m", pc.cast(pc.utf8_length(text), pa.int64())
         )
-        bpe_tokens = pa.array(
-            [len(self.bpe.findall(s)) for s in texts], pa.int64()
+        for name in ("n_ws_tokens", "n_bpe_tokens", "n_alpha", "n_digit"):
+            out = out.append_column(name, counts[name])
+        out = out.append_column(
+            "n_stopwords", self._count(pc.utf8_lower(text), _STOP_RE)
         )
-        alpha = pa.array(
-            [sum(c.isalpha() for c in s) for s in texts], pa.int64()
-        )
-        stops = pa.array(
-            [len(self.stop.findall(s.lower())) for s in texts], pa.int64()
-        )
-        punct = pa.array(
-            [len(self.punct.findall(s)) for s in texts], pa.int64()
-        )
-        digits = pa.array(
-            [sum(c.isdigit() for c in s) for s in texts], pa.int64()
-        )
-        out = batch.append_column("n_chars_m", n_chars)
-        out = out.append_column("n_ws_tokens", ws_tokens)
-        out = out.append_column("n_bpe_tokens", bpe_tokens)
-        out = out.append_column("n_alpha", alpha)
-        out = out.append_column("n_digit", digits)
-        out = out.append_column("n_stopwords", stops)
-        out = out.append_column("n_punct", punct)
+        out = out.append_column("n_punct", counts["n_punct"])
         return out
 
 
@@ -143,23 +206,32 @@ class Fingerprint:
         if len(b) == 0:
             return 0, 0
         with np.errstate(over="ignore"):
-            # vectorized polynomial rolling hash via cumulative products
-            h = np.uint64(1469598103934665603)
-            full = h
-            for c in b.astype(np.uint64):  # full-doc FNV-1a style
-                full = np.uint64((full ^ c) * self.BASE)
-            w = min(self.window, len(b))
+            bu = b.astype(np.uint64)
+            # full-doc polynomial hash sum(b_i * BASE^(n-1-i)) mod 2^64,
+            # vectorized exactly like the windowed path below (uint64
+            # cumprod wraps modulo 2^64) -- no per-character Python loop
+            n = len(bu)
+            pows = np.empty(n, dtype=np.uint64)
+            pows[0] = 1
+            if n > 1:
+                np.cumprod(
+                    np.full(n - 1, self.BASE, dtype=np.uint64), out=pows[1:]
+                )
+            full = int(
+                (bu * pows[::-1]).sum(dtype=np.uint64)
+                ^ np.uint64(1469598103934665603)
+            )
+            w = min(self.window, n)
             # windowed hashes, vectorized with a stride trick
-            if len(b) >= w:
+            if n >= w:
                 windows = np.lib.stride_tricks.sliding_window_view(b, w).astype(
                     np.uint64
                 )
-                pows = self.BASE ** np.arange(w, dtype=np.uint64)
-                wh = (windows * pows[::-1]).sum(axis=1)
+                wh = (windows * pows[:w][::-1]).sum(axis=1)
                 wmin = int(wh.min())
             else:
-                wmin = int(full)
-        return int(full), wmin
+                wmin = full
+        return full, wmin
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         res = [self._doc_hash(s) for s in batch[self.text_col]]
