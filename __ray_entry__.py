@@ -319,6 +319,26 @@ def _q_embeddings_knn_lsh(sf_dir: str):
     return out
 
 
+def _q_embeddings_knn_lsh_recall(sf_dir: str):
+    """Recall@10 of the multi-probe LSH ANN path vs the (oracle-green)
+    exact brute-force top-k, per query -- the ANN quality harness
+    (rows-only; pytest pins a recall floor)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import ann_recall
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(4)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = ann_recall(ds, queries, k=10)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -553,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dups": _q_docs_near_dups,
         "embeddings_knn": _q_embeddings_knn,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
+        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,

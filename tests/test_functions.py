@@ -258,3 +258,21 @@ def test_dedup_purge_distributed(docs_ds, ray_session):
     kept = dedup_purge(ds, ds).to_pandas()
     # one representative (min id) per distinct text
     assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+def test_ann_recall_floor_and_monotonicity(ray_session):
+    """Multi-table multi-probe LSH must reach the pinned recall floor on
+    the synthetic embeddings, and widening the probe must not hurt."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import ann_recall
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    t = pq.read_table(path).to_pandas().sort_values("vec_id").head(6)
+    queries = np.stack([np.asarray(v, float) for v in t["embedding"]])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    wide = ann_recall(ds, queries, k=10)  # default bits=8 tables=8 radius=2
+    assert wide["recall_at_k"].mean() >= 0.85
+    narrow = ann_recall(ds, queries, k=10, bits=8, tables=8, radius=0)
+    assert wide["recall_at_k"].mean() >= narrow["recall_at_k"].mean()

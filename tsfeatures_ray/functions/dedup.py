@@ -115,7 +115,7 @@ def minhash_lsh_candidates(
         },
         batch_format="pandas",
         batch_size=2048,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -353,6 +353,6 @@ def simhash_signatures(
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )

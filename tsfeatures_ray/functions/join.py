@@ -68,7 +68,7 @@ def broadcast_join(
         },
         batch_format="pandas",
         batch_size=65536,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 

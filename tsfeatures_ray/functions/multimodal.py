@@ -90,6 +90,6 @@ def media_features(
         MediaFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,  # small: large binary rows
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )

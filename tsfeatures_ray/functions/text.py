@@ -147,7 +147,7 @@ def text_metrics(ds: "ray.data.Dataset", text_col: str = "text",
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -184,7 +184,7 @@ def language_id(ds: "ray.data.Dataset", text_col: str = "text",
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -251,6 +251,6 @@ def fingerprint(ds: "ray.data.Dataset", text_col: str = "text",
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
