@@ -164,6 +164,22 @@ def _q_features_sql_1m(sf_dir: str):
     )
 
 
+def _q_series_extras_sql_1m(sf_dir: str):
+    """Opt-in extras kernels with exact SQL semantics (intervals run
+    stats via gaps-and-islands, sparsity, frequency) through the FULL
+    distributed pipeline over the raw (unscaled) dense 1m series --
+    reference semantics tsfeatures.py:227-243, 425-446, 596-612."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    out = feature_pipeline(
+        sf_dir,
+        tiers=["1m"],
+        features=["intervals", "sparsity", "frequency"],
+        scale=False,
+    )
+    return _round_floats(out.drop_columns(["tier", "metric"]))
+
+
 def _q_events_rollup(tier: str):
     def run(sf_dir: str):
         import ray.data as rd
@@ -562,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_stats": _q_series_stats,
         "features_default_1h": _q_features_default,
         "features_sql_1m": _q_features_sql_1m,
+        "series_extras_sql_1m": _q_series_extras_sql_1m,
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_rollup_1d": _q_events_rollup("1d"),
         "events_user_stats": _q_events_user_stats,
@@ -830,6 +847,51 @@ JOIN kl k ON a.conv_id = k.conv_id
 """
     )
 
+    series_extras_sql_1m = (
+        turns
+        + """,
+agg AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+spans AS (SELECT conv_id, MIN(bucket) lo, MAX(bucket) hi FROM agg GROUP BY 1),
+dense AS (
+    SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+    FROM spans
+),
+serie AS (
+    SELECT d.conv_id, COALESCE(a.v, 0.0) AS y,
+           row_number() OVER (PARTITION BY d.conv_id ORDER BY d.bucket) - 1 AS rn
+    FROM dense d LEFT JOIN agg a ON d.conv_id = a.conv_id AND d.bucket = a.bucket
+),
+pos AS (
+    SELECT conv_id, rn,
+           rn - row_number() OVER (PARTITION BY conv_id ORDER BY rn) AS grp
+    FROM serie WHERE y > 0
+),
+runs AS (
+    SELECT conv_id, grp, CAST(COUNT(*) AS DOUBLE) AS run_len
+    FROM pos GROUP BY 1, 2
+),
+iv AS (
+    SELECT conv_id,
+           ROUND(AVG(run_len) + 0.0000001, 6) AS intervals_mean,
+           ROUND(stddev_samp(run_len) + 0.0000001, 6) AS intervals_sd
+    FROM runs GROUP BY 1
+),
+sp AS (
+    SELECT conv_id,
+           ROUND(AVG(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) + 0.0000001, 6)
+               AS sparsity
+    FROM serie GROUP BY 1
+)
+SELECT sp.conv_id AS unique_id, iv.intervals_mean, iv.intervals_sd,
+       sp.sparsity, 60.0 AS frequency
+FROM sp LEFT JOIN iv ON sp.conv_id = iv.conv_id
+"""
+    )
+
     events_rollup = """
 SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        COUNT(value) AS value_count,
@@ -960,6 +1022,7 @@ GROUP BY user_id
         "rollup_compact_1h": rollup_sql("hour"),
         "series_stats": series_stats,
         "features_sql_1m": features_sql_1m,
+        "series_extras_sql_1m": series_extras_sql_1m,
         "events_rollup_1h": events_rollup.format(unit="hour"),
         "events_rollup_1d": events_rollup.format(unit="day"),
         "events_user_stats": events_user_stats,

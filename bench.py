@@ -2,9 +2,12 @@
 """Headline benchmark: rolled-up points + feature vectors per second.
 
 Stages timed separately over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
-  1. rollup:   transcripts -> derive -> 3-tier gap-filled rollup -> parquet
-  2. features: rollup parquet -> packed series -> default kernel set -> parquet
-  3. compress: rollup parquet -> Gorilla/delta-of-delta blocks -> parquet
+  1. derive:   transcripts (pruned read) -> per-turn metrics, materialized
+               once and shared by the three consumers below
+  2. rollup:   derived -> 3-tier gap-filled rollup -> partitioned parquet
+  3. features: derived -> fused rollup+pack (one map_groups) -> default
+               kernel set -> parquet
+  4. compress: rollup -> Gorilla/delta-of-delta blocks -> parquet
 
 Prints ONE JSON line. ``--scaling`` runs the same job in fresh processes
 at num_cpus=8 and num_cpus=32 and reports both throughputs plus the
@@ -47,8 +50,7 @@ def run_bench() -> dict:
     from tsfeatures_ray.stages.compress import compress_rollup
     from tsfeatures_ray.stages.derive import derive_turn_metrics
     from tsfeatures_ray.stages.features import features_over_packed
-    from tsfeatures_ray.stages.pack import assert_unique_series, pack_series
-    from tsfeatures_ray.stages.rollup import rollup
+    from tsfeatures_ray.stages.rollup import rollup, rollup_packed
 
     tpath = transcripts_path(sf_dir)  # generated+cached before timing
     out_root = f"/tmp/tsfr_bench_{num_cpus}"
@@ -77,24 +79,25 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(tpath)
-    derived = derive_turn_metrics(ds, slim=True)
-    # materialized once: the rollup table is orders of magnitude smaller
-    # than the input and feeds three consumers (sink, features, codec)
+    ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "ts", "text"])
+    # the engine's ONE full-data exchange, materialized once and shared
+    # by the rollup sink, the feature path and the codec
+    derived = derive_turn_metrics(ds, slim=True).materialize()
+    timings["derive"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # materialized: the rollup table is orders of magnitude smaller than
+    # the input and feeds both the sink and the codec
     rolled = rollup(derived, gapfill=True).materialize()
     rolled.write_parquet(rollup_dir)
     timings["rollup"] = time.perf_counter() - t0
     n_points = rolled.count()
 
     t0 = time.perf_counter()
-    packed = pack_series(
-        rolled, metric=["token_len_sum", "latency_sum"], pre_partitioned=True
-    )
-    # loud guard on the fast path's block-alignment assumption: raises if
-    # any series was split across blocks (covers the codec stage too --
-    # it reads the same materialized block layout)
-    packed = assert_unique_series(packed)
-    feats = features_over_packed(packed)
+    # fused rollup+pack: layout-independent (no pre-partitioned block
+    # assumption, no balancing shuffle -- pack mixes within partitions)
+    packed = rollup_packed(derived, metrics=["token_len_sum", "latency_sum"])
+    feats = features_over_packed(packed, balance=False)
     feats.write_parquet(feat_dir)
     timings["features"] = time.perf_counter() - t0
     n_vectors = sum(
@@ -118,7 +121,9 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "rollup_points": int(n_points),
         "feature_vectors": int(n_vectors),
-        "points_per_sec": round(n_points / timings["rollup"], 1),
+        "points_per_sec": round(
+            n_points / (timings["derive"] + timings["rollup"]), 1
+        ),
         "vectors_per_sec": round(n_vectors / timings["features"], 1),
         "throughput_rows_per_sec": round((n_points + n_vectors) / total, 1),
     }
@@ -181,12 +186,16 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # best-of-2 per level with a settle pause between sessions: raylet
+    # best-of-N per level with a settle pause between sessions: raylet
     # teardown of the previous run otherwise bleeds into the next
-    # measurement and dominates the efficiency number on a ~30s job
+    # measurement and dominates the efficiency number on a ~30s job.
+    # GRAFT_BENCH_RUNS=1 for long (sf>=0.5) inputs where one run is
+    # already stable and two would double a ~10min measurement.
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+
     def best_of(n):
         results = []
-        for _ in range(2):
+        for _ in range(n_runs):
             results.append(run(n))
             time.sleep(5)
         return min(results, key=lambda r: r["value"])

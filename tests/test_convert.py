@@ -53,3 +53,27 @@ def test_limit_and_union_parity(ray_session):
     b = rd.range(50)
     assert a.limit(10).count() == 10
     assert a.union(b).count() == 150
+
+
+def test_train_test_split(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.convert import train_test_split
+
+    rows = []
+    lengths = {"a": 12, "b": 7, "c": 3}
+    for uid, n in lengths.items():
+        for i in range(n):
+            rows.append((uid, i, float(i)))
+    panel = rd.from_pandas(pd.DataFrame(rows, columns=["unique_id", "ds", "y"]))
+    train, test = train_test_split(panel, horizon=4)
+    tr, te = train.to_pandas(), test.to_pandas()
+    assert len(tr) + len(te) == sum(lengths.values())
+    for uid, n in lengths.items():
+        t = te[te.unique_id == uid].sort_values("ds")
+        # last min(h, n) observations per series are test
+        h = min(4, n)
+        assert list(t["ds"]) == list(range(n - h, n))
+        assert len(tr[tr.unique_id == uid]) == n - h

@@ -132,7 +132,7 @@ def test_media_features_plumbing(ray_session):
     out = media_features(ds, batch_size=8).to_pandas()
     assert len(out) == 32
     assert all(len(v) == 64 for v in out["features"])
-    # deterministic stub: same payload -> same features
+    # deterministic decode: same payload -> same features
     out2 = media_features(rd.from_arrow(synth_media_table(32)), batch_size=8).to_pandas()
     a = np.stack(out.sort_values("media_id")["features"].to_numpy())
     b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
@@ -276,3 +276,55 @@ def test_ann_recall_floor_and_monotonicity(ray_session):
     assert wide["recall_at_k"].mean() >= 0.85
     narrow = ann_recall(ds, queries, k=10, bits=8, tables=8, radius=0)
     assert wide["recall_at_k"].mean() >= narrow["recall_at_k"].mean()
+
+
+def test_media_codecs_roundtrip():
+    """Real codec round-trips: PPM and the VID0 container are exact;
+    WAV PCM16 is exact at 16-bit quantization."""
+    from tsfeatures_ray.functions.multimodal import (
+        decode_media,
+        decode_ppm,
+        decode_video,
+        decode_wav,
+        encode_ppm,
+        encode_video,
+        encode_wav,
+        resize_nearest,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(13, 9, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+    frames = rng.randint(0, 256, size=(4, 6, 7, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_video(encode_video(frames)), frames)
+
+    sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(800) / 8000.0)
+    dec, rate = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000
+    assert np.abs(dec - sig).max() < 1.0 / 32000  # 16-bit quantization
+
+    # unsupported codecs fail loudly, not silently
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG....", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"ID3....", "audio")
+
+    # transforms are real
+    r = resize_nearest(img, 4, 4)
+    assert r.shape == (4, 4, 3)
+    s = sample_frames(frames, 2)
+    assert s.shape[0] == 2 and s[0].shape == frames[0].shape
+
+
+def test_media_features_discriminate():
+    """Audio features must reflect actual signal content: a 200 Hz tone
+    and a 3 kHz tone at the same rate get clearly different spectral
+    centroids (feature index 2)."""
+    from tsfeatures_ray.functions.multimodal import encode_wav, extract_features
+
+    t = np.arange(4000) / 8000.0
+    low = extract_features(encode_wav(np.sin(2 * np.pi * 200 * t), 8000), "audio")
+    high = extract_features(encode_wav(np.sin(2 * np.pi * 3000 * t), 8000), "audio")
+    assert high[2] > low[2] + 0.3

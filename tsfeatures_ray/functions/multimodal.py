@@ -1,15 +1,34 @@
 """Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata
-(media_type, width/height or sample_rate, n_frames). The decode /
-resize / frame-sample kernels are STUBS in this container (no
-image/audio libraries available) -- clearly marked and swappable -- but
-the Ray-side plumbing is real and tested: schema handling, actor-pool
-signature, small batches for large binary rows, deterministic fake
-decode so tests can assert the output layout.
+(media_type, width/height or sample_rate, n_frames). Unlike round 1's
+stub, decode is REAL for the three container formats this engine
+defines/supports without external libraries:
+
+- image: binary PPM (P6), decoded with numpy (header parse + frombuffer);
+- audio: RIFF/WAV PCM16, decoded with the stdlib ``wave`` module;
+- video: a trivial concatenated-PPM container (``VID0`` magic +
+  frame count + back-to-back P6 frames) -- a real, parseable format.
+
+Compressed codecs (JPEG/PNG/MP3/MP4) need external libraries that are
+not in this container; payloads with those magics raise
+``NotImplementedError`` from ``decode_media`` (clearly marked seam: real
+deployments plug PIL/libav into ``MediaFeatures(decode=...)``).
+
+Feature extraction, resize, and frame sampling are real numpy kernels:
+images -> intensity stats + 4x4 luminance grid + channel histogram;
+audio -> RMS / zero-crossing / spectral centroid + band energies +
+framed RMS stats; video -> frame-sampled image features + temporal
+diff energy.
+
+Ray-side shape: actor-pool ``map_batches`` with SMALL batches (large
+binary rows; batch x concurrency must fit the worker heap).
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -28,48 +47,262 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+FEATURE_DIM = 64
+_VIDEO_MAGIC = b"VID0"
+
+
+# ---------------------------------------------------------------------------
+# real encoders / decoders (no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8 (numpy, no external deps)."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "unsupported image codec (only binary PPM is decodable without "
+            "external libraries; plug PIL into MediaFeatures(decode=...))"
+        )
+    # header: magic, whitespace-separated width/height/maxval, then raster
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float array in [-1, 1] -> RIFF/WAV PCM16 bytes (stdlib wave)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 -> (float64 samples in [-1, 1], sample_rate)."""
+    if not payload.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "unsupported audio codec (only RIFF/WAV PCM is decodable "
+            "without external libraries)"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    return samples, rate
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> concatenated-PPM container."""
+    n = len(frames)
+    out = [_VIDEO_MAGIC, n.to_bytes(4, "little")]
+    out += [encode_ppm(f) for f in frames]
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Concatenated-PPM container -> (n, h, w, 3) uint8."""
+    if not payload.startswith(_VIDEO_MAGIC):
+        raise NotImplementedError(
+            "unsupported video codec (only the VID0 concatenated-PPM "
+            "container is decodable without external libraries)"
+        )
+    n = int.from_bytes(payload[4:8], "little")
+    frames = []
+    i = 8
+    for _ in range(n):
+        # each frame is a P6 blob; parse its header to find its length
+        hdr_end = payload.index(b"\n", payload.index(b"\n", payload.index(b"\n", i) + 1) + 1) + 1
+        dims = payload[i + 3 : hdr_end].split()
+        w, h = int(dims[0]), int(dims[1])
+        end = hdr_end + w * h * 3
+        frames.append(decode_ppm(payload[i:end]))
+        i = end
+    return np.stack(frames)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Dispatching real decoder; raises NotImplementedError for codecs
+    that need external libraries."""
+    if media_type == "image":
+        return decode_ppm(payload)
+    if media_type == "audio":
+        return decode_wav(payload)
+    if media_type == "video":
+        return decode_video(payload)
+    raise NotImplementedError(f"unknown media_type {media_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# real transforms
+# ---------------------------------------------------------------------------
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index maps)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Evenly sample up to k frames."""
+    n = len(frames)
+    idx = np.linspace(0, n - 1, min(k, n)).round().astype(int)
+    return frames[idx]
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    lum = img.astype(np.float64).mean(axis=2)
+    grid = resize_nearest(lum, 4, 4).reshape(-1) / 255.0  # 16
+    hist = np.stack(
+        [np.bincount(img[..., c].reshape(-1) >> 5, minlength=8) for c in range(3)]
+    ).astype(np.float64)  # 3x8 coarse channel histograms
+    hist /= max(1, img.shape[0] * img.shape[1])
+    stats = np.array(
+        [lum.mean() / 255.0, lum.std() / 255.0,
+         img.shape[0] / 4096.0, img.shape[1] / 4096.0]
+    )
+    out = np.concatenate([grid, hist.reshape(-1), stats])  # 16+24+4 = 44
+    return np.pad(out, (0, FEATURE_DIM - len(out)))
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    n = max(1, len(samples))
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if len(samples) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples)) if len(samples) else np.zeros(1)
+    power = spec**2
+    total = power.sum()
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate) if len(samples) else np.zeros(1)
+    centroid = float((freqs * power).sum() / total) / (rate / 2) if total > 0 else 0.0
+    # 16 log-spaced band energies (normalized)
+    edges = np.unique(np.geomspace(1, len(power), 17).astype(int))
+    bands = np.add.reduceat(power, np.r_[0, edges[:-1]])[:16]
+    bands = bands / total if total > 0 else bands
+    bands = np.pad(bands, (0, 16 - len(bands)))
+    # framed RMS stats (32 frames)
+    nf = 32
+    frame_len = max(1, n // nf)
+    framed = samples[: frame_len * nf].reshape(-1, frame_len) if len(samples) >= nf else None
+    if framed is not None:
+        fr = np.sqrt((framed**2).mean(axis=1))
+        frstats = np.array([fr.mean(), fr.std(), fr.max(), fr.min()])
+    else:
+        frstats = np.zeros(4)
+    head = np.array([rms, zc, centroid, n / (rate * 60.0)])
+    out = np.concatenate([head, frstats, bands])  # 4+4+16 = 24
+    return np.pad(out, (0, FEATURE_DIM - len(out)))
+
+
+def _video_features(frames: np.ndarray) -> np.ndarray:
+    sampled = sample_frames(frames, 8)
+    per_frame = np.stack([_image_features(f)[:44] for f in sampled])
+    mean_feat = per_frame.mean(axis=0)  # 44
+    lum = sampled.astype(np.float64).mean(axis=3)
+    if len(sampled) > 1:
+        diffs = np.abs(np.diff(lum, axis=0)).mean(axis=(1, 2)) / 255.0
+        motion = np.array([diffs.mean(), diffs.std(), diffs.max()])
+    else:
+        motion = np.zeros(3)
+    out = np.concatenate([mean_feat, motion, [len(frames) / 300.0]])  # 48
+    return np.pad(out, (0, FEATURE_DIM - len(out)))
+
+
+def extract_features(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode -> real per-modality feature vector (FEATURE_DIM)."""
+    decoded = decode_media(payload, media_type)
+    if media_type == "image":
+        return _image_features(decoded)
+    if media_type == "audio":
+        return _audio_features(*decoded)
+    return _video_features(decoded)
+
+
+# ---------------------------------------------------------------------------
+# synthetic media + the Ray stage
+# ---------------------------------------------------------------------------
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL payloads: PPM images, WAV
+    PCM16 audio, VID0 concatenated-PPM video."""
     rng = np.random.Generator(np.random.PCG64(seed))
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
+    payloads, widths, heights, rates, framecounts = [], [], [], [], []
+    for i in range(n):
+        t = types[i]
+        if t == "image":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+            widths.append(w); heights.append(h); rates.append(0); framecounts.append(1)
+        elif t == "audio":
+            rate = 8000
+            dur = int(rng.integers(400, 4000))
+            tgrid = np.arange(dur) / rate
+            f0 = float(rng.uniform(100, 1500))
+            sig = 0.6 * np.sin(2 * np.pi * f0 * tgrid) + 0.1 * rng.standard_normal(dur)
+            payloads.append(encode_wav(sig, rate))
+            widths.append(0); heights.append(0); rates.append(rate); framecounts.append(dur)
+        else:
+            nf = int(rng.integers(2, 8))
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+            payloads.append(encode_video(frames))
+            widths.append(w); heights.append(h); rates.append(0); framecounts.append(nf)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(rng.integers(32, 512, n).astype("int32")),
-            "height": pa.array(rng.integers(32, 512, n).astype("int32")),
-            "sample_rate": pa.array(np.full(n, 16000, dtype="int32")),
-            "n_frames": pa.array(rng.integers(1, 300, n).astype("int32")),
+            "width": pa.array(np.array(widths, dtype="int32")),
+            "height": pa.array(np.array(heights, dtype="int32")),
+            "sample_rate": pa.array(np.array(rates, dtype="int32")),
+            "n_frames": pa.array(np.array(framecounts, dtype="int32")),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
-def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB: real deployments plug a PIL/libav decode here. The stub is
-    deterministic (hash-seeded) so the downstream feature layout is
-    testable without media libraries."""
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.random(64, dtype=np.float64)
-
-
 class MediaFeatures:
     """Actor-pool decode + feature-extract stage. Small batch_size on
     purpose: binary payloads are large, batch x concurrency must fit the
-    worker heap (ray_guide memory note)."""
+    worker heap (ray_guide memory note). ``decode`` is the plug-in seam
+    for external-library codecs."""
 
-    def __init__(self, decode=None, out_dim: int = 64):
-        self.decode = decode or _decode_stub
+    def __init__(self, decode=None, out_dim: int = FEATURE_DIM):
+        self.extract = decode or extract_features
         self.out_dim = out_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
-        feats = np.stack([self.decode(p, t)[: self.out_dim] for p, t in zip(payloads, types)])
+        feats = np.stack(
+            [self.extract(p, t)[: self.out_dim] for p, t in zip(payloads, types)]
+        )
         flat = pa.array(feats.reshape(-1), pa.float64())
         offs = pa.array(
             np.arange(0, (len(payloads) + 1) * self.out_dim, self.out_dim, dtype="int32")

@@ -89,6 +89,45 @@ def long_to_wide(
     )
 
 
+def train_test_split(
+    ds: "rd.Dataset", horizon: int, num_parts: int | None = None
+) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """Per-series holdout split of a long panel (unique_id, ds, y): the
+    LAST ``horizon`` observations of every series become the test panel,
+    the rest the train panel -- the reference's M4 prep shape
+    (m4_data.py:88-106: per-uid length via groupby-max, then offset
+    split). One shuffle on the series key, shared by both outputs via a
+    materialized tagged table; no driver-side pandas."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df["unique_id"].astype(str).to_numpy(), num_parts)
+        return df
+
+    def tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["unique_id", "ds"], kind="mergesort")
+        uid = g["unique_id"].astype(str).to_numpy()
+        first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[first, len(uid)])
+        pos = np.arange(len(uid)) - np.repeat(first, counts)
+        is_test = pos >= np.repeat(counts - horizon, counts)
+        out = g.drop(columns=["part"])
+        out["_test"] = is_test
+        return out
+
+    tagged = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(tag, batch_format="pandas")
+        .materialize()
+    )
+    train = tagged.filter(expr="_test == False").drop_columns(["_test"])
+    test = tagged.filter(expr="_test == True").drop_columns(["_test"])
+    return train, test
+
+
 def synth_date_range(
     ds: "rd.Dataset", start_us: int = 0, step_us: int = 86_400_000_000
 ) -> "rd.Dataset":
