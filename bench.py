@@ -141,9 +141,12 @@ def hw_ceiling() -> dict:
     ctx = mp.get_context("spawn")
     results = {}
     for procs in (8, 32):
-        with ctx.Pool(procs) as p:
-            counts = p.map(_hw_work, range(procs))
-        results[procs] = sum(counts) / 6.0
+        best = 0.0
+        for _ in range(2):  # best-of-2: the ceiling is as noisy as the engine
+            with ctx.Pool(procs) as p:
+                counts = p.map(_hw_work, range(procs))
+            best = max(best, sum(counts) / 6.0)
+        results[procs] = best
     return {
         "per_proc_8": round(results[8] / 8, 1),
         "per_proc_32": round(results[32] / 32, 1),
@@ -197,7 +200,7 @@ def run_scaling() -> None:
         results = []
         for _ in range(n_runs):
             results.append(run(n))
-            time.sleep(5)
+            time.sleep(15)  # raylet teardown settle
         return min(results, key=lambda r: r["value"])
 
     r_lo = best_of(lo)

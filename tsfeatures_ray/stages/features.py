@@ -208,7 +208,11 @@ def features_over_packed(
     # packed inputs that did NOT come from this engine's pack stage
     if balance:
         packed = packed.random_shuffle(seed=7)
-    packed = packed.repartition(concurrency * 4)
+    # x8 over-decomposition: packed blocks carry wildly uneven kernel
+    # cost (series length mix), so fine blocks + work stealing beat
+    # coarse ones; measured 12.9s (x4) -> 11.5s (x8) at 32 CPUs, with
+    # x16+ giving the overhead back (sf0.1 sweep, BASELINE.md)
+    packed = packed.repartition(concurrency * 8)
     if use_actors:
         return packed.map_batches(
             FeatureKernels,
