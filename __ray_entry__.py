@@ -229,6 +229,44 @@ def _q_events_user_stats(sf_dir: str):
     )
 
 
+def _q_events_forecast_metrics(sf_dir: str):
+    """Panel forecast metrics (reference metrics.py evaluate_panel) with
+    a naive last-train-value forecast over a per-user last-10 holdout:
+    per-user mse, smape and mase(seasonality=1), evaluated co-partitioned
+    (SURVEY.md §2.5) -- SQL-checkable."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tsfeatures_ray.metrics import evaluate_panel
+
+    df = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    ).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    df["unique_id"] = df["user_id"].astype(str)
+    df["ds"] = df.groupby("unique_id").cumcount()
+    df["y"] = df["value"].astype("float64")
+    n = df.groupby("unique_id")["ds"].transform("size")
+    h = 10
+    train = df[df["ds"] < n - h][["unique_id", "ds", "y"]]
+    test = df[df["ds"] >= n - h][["unique_id", "ds", "y"]]
+    last_train = train.groupby("unique_id")["y"].last()
+    hat = test[["unique_id", "ds"]].copy()
+    hat["y_hat"] = test["unique_id"].map(last_train).astype("float64")
+
+    out = None
+    for m in ("mse", "smape", "mase"):
+        e = evaluate_panel(
+            test, hat, y_train=train, metric=m, seasonality=1
+        ).rename(columns={"error": m})
+        out = e if out is None else out.merge(e, on="unique_id")
+    for c in ("mse", "smape", "mase"):
+        v = out[c].to_numpy() + 1e-7  # same nudge+half-away as the oracle
+        out[c] = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+    return out
+
+
 def _q_docs_text_metrics(sf_dir: str):
     import ray.data as rd
 
@@ -259,7 +297,7 @@ def _q_docs_lang_id(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
-    return language_id(ds).drop_columns(["text"])
+    return _round_floats(language_id(ds).drop_columns(["text"]))
 
 
 def _q_docs_fingerprint(sf_dir: str):
@@ -582,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_rollup_1d": _q_events_rollup("1d"),
         "events_user_stats": _q_events_user_stats,
+        "events_forecast_metrics": _q_events_forecast_metrics,
         "docs_text_metrics": _q_docs_text_metrics,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_lang_id": _q_docs_lang_id,
@@ -1005,6 +1044,60 @@ WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILD
 GROUP BY 1
 """
 
+    events_forecast_metrics = """
+WITH o AS (
+    SELECT CAST(user_id AS VARCHAR) AS uid, CAST(value AS DOUBLE) AS y,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+naive AS (SELECT uid, y AS f FROM o WHERE rn = n - 11),
+test AS (SELECT o.uid, o.y, naive.f FROM o JOIN naive ON o.uid = naive.uid
+         WHERE o.rn >= o.n - 10),
+scale AS (
+    SELECT uid, AVG(ABS(d)) AS s FROM (
+        SELECT uid, y - lag(y) OVER (PARTITION BY uid ORDER BY rn) AS d
+        FROM o WHERE rn < n - 10
+    ) WHERE d IS NOT NULL GROUP BY 1
+)
+SELECT t.uid AS unique_id,
+       ROUND(AVG((t.y - t.f) * (t.y - t.f)) + 0.0000001, 4) AS mse,
+       ROUND(200.0 * AVG(ABS(t.y - t.f) /
+             CASE WHEN ABS(t.y) + ABS(t.f) = 0 THEN 0.001
+                  ELSE ABS(t.y) + ABS(t.f) END) + 0.0000001, 4) AS smape,
+       ROUND(100.0 * AVG(ABS(t.y - t.f)) / any_value(sc.s) + 0.0000001, 4)
+           AS mase
+FROM test t JOIN scale sc ON t.uid = sc.uid
+GROUP BY 1
+"""
+
+    docs_lang_id = r"""
+WITH w AS (
+    SELECT doc_id, lang,
+           list_distinct(regexp_extract_all(lower(text),
+               '[a-zàáéíóúüñäöëßàèçê]+')) AS words
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang, len(words) AS nw,
+           len(list_intersect(words, ['the','and','of','to','a','in','is','it','that','was'])) AS h_en,
+           len(list_intersect(words, ['el','la','de','que','y','en','un','una','es','los'])) AS h_es,
+           len(list_intersect(words, ['der','die','das','und','ist','von','ein','eine','zu','den'])) AS h_de,
+           len(list_intersect(words, ['le','la','de','et','est','un','une','les','des','que'])) AS h_fr
+    FROM w
+)
+SELECT doc_id, lang,
+       CASE WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'unknown'
+            WHEN h_en > 0 AND h_es <= h_en AND h_de <= h_en AND h_fr <= h_en THEN 'en'
+            WHEN h_es > 0 AND h_es > h_en AND h_de <= h_es AND h_fr <= h_es THEN 'es'
+            WHEN h_de > 0 AND h_de > h_en AND h_de > h_es AND h_fr <= h_de THEN 'de'
+            ELSE 'fr' END AS lang_pred,
+       ROUND(CAST(greatest(h_en, h_es, h_de, h_fr) AS DOUBLE)
+             / greatest(1, nw) + 0.0000001, 6) AS lang_score
+FROM hits
+"""
+
     events_count_entropy = """
 SELECT CAST(user_id AS VARCHAR) AS unique_id,
        ROUND(-SUM(CASE WHEN value > 0 THEN value * ln(value) ELSE 0 END) + 0.0000001, 6)
@@ -1026,7 +1119,9 @@ GROUP BY user_id
         "events_rollup_1h": events_rollup.format(unit="hour"),
         "events_rollup_1d": events_rollup.format(unit="day"),
         "events_user_stats": events_user_stats,
+        "events_forecast_metrics": events_forecast_metrics,
         "docs_text_metrics": docs_text_metrics,
+        "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
         "orders_by_segment": orders_by_segment,
