@@ -536,6 +536,37 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(ds)
 
 
+def _q_events_hopping_1h30m(sf_dir: str):
+    """Hopping-window aggregate (1h windows every 30min) over the event
+    stream -- overlapping-window operator the reference lacks (SURVEY.md
+    §2.7 streaming-analog); partial+merge, SQL-checkable."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import hopping_window
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    out = hopping_window(ds)
+    return _round_floats(out)
+
+
+def _q_events_user_distinct_hll(sf_dir: str):
+    """Approximate distinct event values per user via mergeable
+    HyperLogLog registers (partial per batch, elementwise-max merge) --
+    the sketch-aggregate scale pattern; approximate by design ->
+    rows-only check (pytest pins the 5% error bound vs exact)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import hll_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    return hll_distinct(ds, "value", group_col="user_id")
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -636,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip": _q_compress_roundtrip,
         "events_count_entropy": _q_events_count_entropy,
         "events_sessions": _q_events_sessions,
+        "events_hopping_1h30m": _q_events_hopping_1h30m,
+        "events_user_distinct_hll": _q_events_user_distinct_hll,
         "orders_semi_building": _q_orders_semi_building,
         "docs_dedup_purged": _q_docs_dedup_purged,
     }
@@ -1035,6 +1068,28 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
 FROM s GROUP BY user_id, sid
 """
 
+    events_hopping = """
+WITH e AS (
+    SELECT user_id, CAST(value AS DOUBLE) AS v,
+           epoch_us(ts) AS eus
+    FROM events
+),
+x AS (
+    SELECT user_id, v, eus,
+           (eus // 1800000000) * 1800000000
+               - unnest(generate_series(0, 1)) * 1800000000 AS ws
+    FROM e
+)
+SELECT user_id,
+       make_timestamp(ws) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(v) + 0.0000001, 6) AS v_sum,
+       ROUND(MIN(v) + 0.0000001, 6) AS v_min,
+       ROUND(MAX(v) + 0.0000001, 6) AS v_max
+FROM x WHERE ws + 3600000000 > eus
+GROUP BY 1, 2
+"""
+
     orders_semi_building = """
 SELECT o.o_orderpriority,
        ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,
@@ -1127,6 +1182,7 @@ GROUP BY user_id
         "orders_by_segment": orders_by_segment,
         "events_count_entropy": events_count_entropy,
         "events_sessions": events_sessions,
+        "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,
         "docs_dedup_purged": """
 SELECT doc_id, lang, n_chars FROM documents

@@ -328,3 +328,91 @@ def test_media_features_discriminate():
     low = extract_features(encode_wav(np.sin(2 * np.pi * 200 * t), 8000), "audio")
     high = extract_features(encode_wav(np.sin(2 * np.pi * 3000 * t), 8000), "audio")
     assert high[2] > low[2] + 0.3
+
+
+def test_hopping_window_matches_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import hopping_window
+
+    rng = np.random.RandomState(2)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 7, n),
+            "ts": pd.to_datetime(
+                1_700_000_000_000_000 + rng.randint(0, 86_400_000_000, n), unit="us"
+            ),
+            "value": rng.randn(n).round(3),
+        }
+    )
+    W, H = 3_600_000_000, 1_800_000_000
+    got = (
+        hopping_window(rd.from_pandas(df), window_us=W, hop_us=H)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # brute force: for each (user, window) check membership directly
+    eus = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    rows = []
+    for u in sorted(df["user_id"].unique()):
+        m = df["user_id"].to_numpy() == u
+        t, v = eus[m], df["value"].to_numpy()[m]
+        starts = np.unique(
+            np.concatenate([(t // H) * H, (t // H) * H - H])
+        )
+        for ws in starts:
+            sel = (t >= ws) & (t < ws + W)
+            if sel.any():
+                rows.append((u, ws, int(sel.sum()), v[sel].sum(),
+                             v[sel].min(), v[sel].max()))
+    want = pd.DataFrame(
+        rows, columns=["user_id", "ws", "n_events", "v_sum", "v_min", "v_max"]
+    ).sort_values(["user_id", "ws"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["v_sum"], want["v_sum"])
+    assert np.allclose(got["v_min"], want["v_min"])
+    assert (got["window_start"].astype("datetime64[us]").astype("int64").to_numpy()
+            == want["ws"].to_numpy()).all()
+
+
+def test_hll_error_bound_and_merge():
+    from tsfeatures_ray.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    rng = np.random.RandomState(9)
+    for true_n in (100, 5000, 100_000):
+        vals = rng.randint(0, 10**12, true_n * 2)[:true_n]  # may contain dups
+        true = len(set(vals.tolist()))
+        est = hll_estimate(hll_build(vals))
+        assert abs(est - true) / true < 0.05, (true_n, est, true)
+        # mergeability: sketch(union) == merge(sketch(a), sketch(b))
+        a, b = vals[: true_n // 2], vals[true_n // 2 :]
+        merged = hll_merge(hll_build(a), hll_build(b))
+        np.testing.assert_array_equal(merged, hll_build(vals))
+
+
+def test_hll_distinct_grouped(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import hll_distinct
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 5, 60_000),
+            "v": rng.randint(0, 8000, 60_000),
+        }
+    )
+    got = hll_distinct(rd.from_pandas(df), "v", group_col="g").to_pandas()
+    truth = df.groupby("g")["v"].nunique()
+    for _, row in got.iterrows():
+        t = truth[row["group"]]
+        assert abs(row["approx_distinct"] - t) / t < 0.05

@@ -1,0 +1,99 @@
+"""Mergeable sketches for approximate distributed aggregation.
+
+HyperLogLog distinct counting (Flajolet et al. 2007, public algorithm)
+as a partial+merge Ray op: every batch builds per-group register arrays
+vectorized (numpy scatter-max), only the fixed-size registers -- never
+raw values -- go through the one small exchange, and registers merge by
+elementwise max (associative + idempotent, so retries/splits are safe).
+Standard error ~1.04/sqrt(2^p); p=12 -> 4096 registers (~1.6%).
+
+At 100 TB this is the shape for "distinct users per key" style
+questions where exact distinct would shuffle every row: the exchange
+carries 2^p bytes per (group, batch) regardless of row count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from ..stages.derive import default_num_parts, stable_part
+
+
+def hll_build(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Register array (uint8[2^p]) for one set of values (vectorized)."""
+    m = 1 << p
+    h = pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits
+    nbits = 64 - p
+    # rho = leading zeros within nbits window + 1; exact via float log2
+    # (values < 2^52 are exactly representable; powers of two are exact)
+    rho = np.full(len(h), nbits + 1, dtype=np.uint8)
+    nz = w > 0
+    rho[nz] = (nbits - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise max: associative, commutative, idempotent."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_col: str | None = None,
+    p: int = 12,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Approximate distinct ``value_col`` count per ``group_col`` (or
+    globally when group_col is None). Partial registers per batch ->
+    one groupby over (group, registers) -> merged estimate."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if group_col is None:
+            groups = [(0, df)]
+        else:
+            groups = df.groupby(group_col, sort=False)
+        for gkey, sub in groups:
+            regs = hll_build(sub[value_col].to_numpy(), p)
+            rows.append((gkey, regs.tobytes()))
+        out = pd.DataFrame(rows, columns=["group", "regs"])
+        out["part"] = stable_part(out["group"].to_numpy(), num_parts)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gkey, sub in g.groupby("group", sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for blob in sub["regs"]:
+                regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((gkey, round(hll_estimate(regs))))
+        return pd.DataFrame(rows, columns=["group", "approx_distinct"]).astype(
+            {"approx_distinct": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -68,3 +68,58 @@ def sessionize(
         .groupby("part")
         .map_groups(windows, batch_format="pandas")
     )
+
+
+def hopping_window(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_us: int = 3_600_000_000,
+    hop_us: int = 1_800_000_000,
+    num_parts: int | None = None,
+):
+    """Hopping (overlapping) window aggregate: one row per
+    (key, window_start) with count/sum/min/max of ``value`` over events
+    in [window_start, window_start + window_us), windows every hop_us.
+
+    Scale shape (same partial/merge split as the rollup stage): each
+    batch explodes its events to the ceil(window/hop) covering windows
+    and IMMEDIATELY collapses to per-batch partial aggregates, so only
+    (key, window, partial) rows -- not exploded events -- enter the one
+    small exchange; partials merge associatively (merge-on-read)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    nwin = -(-window_us // hop_us)  # ceil
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        eus = ts_to_us(df[ts]).to_numpy()
+        keys = np.repeat(df[key].to_numpy(), nwin)
+        vals = np.repeat(df[value].to_numpy(dtype="float64"), nwin)
+        reps = np.repeat(eus, nwin)
+        offs = np.tile(np.arange(nwin, dtype=np.int64) * hop_us, len(df))
+        wstart = (reps // hop_us) * hop_us - offs
+        keep = wstart + window_us > reps
+        g = pd.DataFrame(
+            {key: keys[keep], "wstart": wstart[keep], "v": vals[keep]}
+        ).groupby([key, "wstart"], sort=False)["v"].agg(
+            ["size", "sum", "min", "max"]
+        ).reset_index()
+        g.columns = [key, "wstart", "n_events", "v_sum", "v_min", "v_max"]
+        g["part"] = stable_part(g[key].to_numpy(), num_parts)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key, "wstart"], sort=False).agg(
+            n_events=("n_events", "sum"), v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max"),
+        ).reset_index()
+        out["window_start"] = out["wstart"].astype("datetime64[us]")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[[key, "window_start", "n_events", "v_sum", "v_min", "v_max"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
