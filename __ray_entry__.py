@@ -393,6 +393,28 @@ def _q_embeddings_knn_lsh_recall(sf_dir: str):
     return out
 
 
+def _q_embeddings_knn_ivf(sf_dir: str):
+    """IVF ANN (k-means coarse quantizer on a bounded sample, broadcast
+    centroids, nprobe nearest cells exact-scored) -- the second ANN
+    scale path; approximate -> rows-only (pytest pins recall floor via
+    ann_recall(method='ivf'))."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import ivf_knn
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(4)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = ivf_knn(ds, queries, k=10, nlist=32, nprobe=16)
+    if len(out):
+        out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -661,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": _q_embeddings_knn,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
+        "embeddings_knn_ivf": _q_embeddings_knn_ivf,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,

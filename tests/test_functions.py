@@ -416,3 +416,25 @@ def test_hll_distinct_grouped(ray_session):
     for _, row in got.iterrows():
         t = truth[row["group"]]
         assert abs(row["approx_distinct"] - t) / t < 0.05
+
+
+def test_ivf_knn_recall_and_self(ray_session):
+    """IVF coarse-quantizer ANN: self is always retrieved (its own cell
+    is the nearest probe), and recall@10 vs brute force meets the pinned
+    floor at nprobe/nlist = 0.5 on the clusterless synthetic vectors."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import ann_recall, ivf_knn
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    t = pq.read_table(path).to_pandas().sort_values("vec_id").head(5)
+    queries = np.stack([np.asarray(v, float) for v in t["embedding"]])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = ivf_knn(ds, queries, k=10, nlist=32, nprobe=16)
+    qids = t["vec_id"].to_numpy()
+    for qi in range(len(queries)):
+        sub = out[out.query_id == qi]
+        assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == qids[qi]
+    rec = ann_recall(ds, queries, k=10, method="ivf", nlist=32, nprobe=16)
+    assert rec["recall_at_k"].mean() >= 0.7

@@ -8,4 +8,9 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
     ngram_jaccard_pairs,
 )
-from .similarity import ann_recall, brute_knn, lsh_bucketed_knn  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_recall,
+    brute_knn,
+    ivf_knn,
+    lsh_bucketed_knn,
+)

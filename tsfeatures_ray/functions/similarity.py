@@ -188,6 +188,112 @@ def lsh_bucketed_knn(
     return pd.concat(out, ignore_index=True)
 
 
+def _kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 11) -> np.ndarray:
+    """Small numpy k-means (cosine/normalized-L2) for the IVF coarse
+    quantizer -- trained on a driver-side SAMPLE, never the corpus."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = xn[rng.choice(len(xn), size=min(k, len(xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                v = xn[m].mean(axis=0)
+                cent[j] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+class _IvfScorer(_BruteScorer):
+    def __init__(self, query_ref, cent_ref, k, id_col, vec_col, nprobe):
+        super().__init__(query_ref, k, id_col, vec_col)
+        self.cent = ray.get(cent_ref)  # (nlist, dim), broadcast once
+        sims = self.qn @ self.cent.T
+        np_ = min(nprobe, sims.shape[1])
+        self.qlists = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        assign = np.argmax(mn @ self.cent.T, axis=1)
+        ids = batch[self.id_col].to_numpy()
+        out = []
+        for qi in range(len(self.qn)):
+            mask = np.isin(assign, self.qlists[qi])
+            if not mask.any():
+                continue
+            s = mn[mask] @ self.qn[qi]
+            sub_ids = ids[mask]
+            kk = min(self.k, len(sub_ids))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": sub_ids[top],
+                     "cosine": s[top].astype("float64")}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def ivf_knn(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 8,
+    train_sample: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """IVF approximate cosine top-k: a k-means coarse quantizer (trained
+    on a bounded sample) partitions the space into nlist cells; each
+    query exact-scores only vectors assigned to its nprobe nearest
+    cells. Centroids are broadcast once (ray.put); the corpus streams;
+    expected scored fraction ~nprobe/nlist on balanced cells."""
+    queries = np.asarray(queries, dtype=np.float64)
+    n_total = ds.count()
+    frac = min(1.0, train_sample / max(1, n_total))
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    train = _to_matrix(sample[vec_col].to_numpy())
+    cent = _kmeans(train, nlist, seed=seed)
+    qref = ray.put(queries)
+    cref = ray.put(cent)
+    partials = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs={
+            "query_ref": qref, "cent_ref": cref, "k": k,
+            "id_col": id_col, "vec_col": vec_col, "nprobe": nprobe,
+        },
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    allp = partials.to_pandas()
+    out = []
+    for qi, grp in allp.groupby("query_id"):
+        top = (
+            grp.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top["rank"] = np.arange(1, len(top) + 1)
+        out.append(top)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "vec_id", "cosine", "rank"])
+    return pd.concat(out, ignore_index=True)
+
+
 def ann_recall(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -197,12 +303,13 @@ def ann_recall(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
     **kwargs,
 ) -> pd.DataFrame:
-    """Recall@k of the LSH-bucketed path against exact brute force, per
-    query: |approx top-k  (intersect)  exact top-k| / k. The quality
-    harness for the ANN scale path -- run it whenever bits/radius/tables
-    change.
+    """Recall@k of an approximate path (``method`` in {'lsh', 'ivf'})
+    against exact brute force, per query:
+    |approx top-k (intersect) exact top-k| / k. The quality harness for
+    the ANN scale paths -- run it whenever parameters change.
 
     Defaults are tuned for the synthetic near-orthogonal embeddings
     (top-k neighbors at cosine ~0.25-0.3, per-bit collision p~0.6):
@@ -211,10 +318,15 @@ def ann_recall(
     tables, radius 0-1) reach the same recall with strong pruning --
     that tuning is exactly what this harness measures."""
     exact = brute_knn(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
-    approx = lsh_bucketed_knn(
-        ds, queries, k=k, bits=bits, radius=radius, tables=tables,
-        id_col=id_col, vec_col=vec_col, **kwargs,
-    )
+    if method == "ivf":
+        approx = ivf_knn(
+            ds, queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    else:
+        approx = lsh_bucketed_knn(
+            ds, queries, k=k, bits=bits, radius=radius, tables=tables,
+            id_col=id_col, vec_col=vec_col, **kwargs,
+        )
     rows = []
     for qi in range(len(queries)):
         want = set(exact.loc[exact["query_id"] == qi, "vec_id"])
