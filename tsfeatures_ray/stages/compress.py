@@ -88,8 +88,32 @@ _DOD_RANGES = (
 )
 
 
+def _pack_fields(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """Pack a sequence of (value, bit-width) fields MSB-first into bytes
+    in ONE vectorized pass: expand every field to its bit positions via
+    repeat/offset arithmetic, then np.packbits. Identical output to the
+    sequential _BitWriter."""
+    if len(vals) == 0:
+        return b""
+    vals = vals.astype(np.uint64)
+    bits = bits.astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(bits)])
+    total = int(offsets[-1])
+    field_idx = np.repeat(np.arange(len(vals)), bits)
+    bit_in_field = np.arange(total, dtype=np.int64) - offsets[field_idx]
+    shift = (bits[field_idx] - 1 - bit_in_field).astype(np.uint64)
+    out_bits = ((vals[field_idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(out_bits).tobytes()
+
+
 def encode_block(ts: np.ndarray, values: np.ndarray) -> bytes:
-    """Compress parallel (int64 timestamps, float64 values) arrays."""
+    """Compress parallel (int64 timestamps, float64 values) arrays.
+
+    Bit layout is unchanged from the sequential writer (round-trip
+    identity pytest-pinned); encoding builds vectorized (value, width)
+    field arrays -- timestamp delta-of-deltas fully vectorized, Gorilla
+    control decisions in a light loop over CHANGED values only -- and
+    packs them in one pass (_pack_fields)."""
     ts = np.asarray(ts, dtype=np.int64)
     values = np.asarray(values, dtype=np.float64)
     n = len(ts)
@@ -99,57 +123,109 @@ def encode_block(ts: np.ndarray, values: np.ndarray) -> bytes:
     if n == 0:
         return head
     head += struct.pack("<q", int(ts[0])) + struct.pack("<d", float(values[0]))
-    w = _BitWriter()
-    # --- timestamps ---
+    fvals: list[np.ndarray] = []
+    fbits: list[np.ndarray] = []
+    # --- timestamps: classify every dod vectorized, emit merged
+    # (prefix<<payload | payload) fields; the 64-bit escape keeps prefix
+    # and payload as two fields (68 bits would overflow uint64) ---
     if n > 1:
         deltas = np.diff(ts)
-        w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
+        fvals.append(np.array([np.int64(deltas[0])]).astype(np.uint64))
+        fbits.append(np.array([64]))
         dods = np.diff(deltas)
-        for D in dods:
-            D = int(D)
-            if D == 0:
-                w.write(0, 1)
-                continue
-            for lo, hi, prefix, bits in _DOD_RANGES:
-                if -lo <= D <= hi:
-                    w.write(int(prefix, 2), len(prefix))
-                    w.write(D + lo, bits)
-                    break
-            else:
-                w.write(0b1111, 4)
-                w.write(D & ((1 << 64) - 1), 64)
-    # --- values (Gorilla XOR) ---
+        if len(dods):
+            m = len(dods)
+            v = np.zeros((m, 2), dtype=np.uint64)
+            b = np.zeros((m, 2), dtype=np.int64)
+            b[:, 0] = 1  # default: single '0' bit, value 0 (dod == 0)
+            done = dods == 0
+            for lo, hi, prefix, pbits in _DOD_RANGES:
+                sel = ~done & (dods >= -lo) & (dods <= hi)
+                pfx = int(prefix, 2)
+                v[sel, 0] = (
+                    (np.uint64(pfx) << np.uint64(pbits))
+                    | (dods[sel] + lo).astype(np.uint64)
+                )
+                b[sel, 0] = len(prefix) + pbits
+                done |= sel
+            esc = ~done
+            v[esc, 0] = 0b1111
+            b[esc, 0] = 4
+            v[esc, 1] = dods[esc].astype(np.uint64)
+            b[esc, 1] = 64
+            keep = b.reshape(-1) > 0
+            fvals.append(v.reshape(-1)[keep])
+            fbits.append(b.reshape(-1)[keep])
+    # --- values (Gorilla XOR): lead/trail vectorized; the sequential
+    # control-window chain loops only over points whose value CHANGED ---
     bits_v = values.view(np.uint64)
-    prev = int(bits_v[0])
-    prev_lead, prev_trail = -1, -1
-    for i in range(1, n):
-        cur = int(bits_v[i])
-        xor = prev ^ cur
-        if xor == 0:
-            w.write(0, 1)
-        else:
-            w.write(1, 1)
-            lead = 64 - xor.bit_length()
-            if lead > 31:
-                lead = 31
-            trail = (xor & -xor).bit_length() - 1
-            if (
-                prev_lead >= 0
-                and lead >= prev_lead
-                and trail >= prev_trail
-            ):
-                w.write(0, 1)
-                mbits = 64 - prev_lead - prev_trail
-                w.write(xor >> prev_trail, mbits)
+    xors = bits_v[:-1] ^ bits_v[1:]
+    ctrl = np.zeros(n - 1, dtype=np.uint64)  # '0' single bit when xor==0
+    cbits = np.ones(n - 1, dtype=np.int64)
+    changed = np.flatnonzero(xors)
+    if len(changed):
+        xs = xors[changed]
+
+        def popcount(a: np.ndarray) -> np.ndarray:
+            return (
+                np.unpackbits(a.view(np.uint8)).reshape(len(a), 64).sum(axis=1)
+            ).astype(np.int64)
+
+        # exact leading-zero count: smear all bits below the msb, then
+        # 64 - popcount (no float log2 -- it rounds near powers of two)
+        y = xs.copy()
+        for s in (1, 2, 4, 8, 16, 32):
+            y |= y >> np.uint64(s)
+        leads = np.minimum(64 - popcount(y), 31)
+        trails = popcount((xs & (~xs + np.uint64(1))) - np.uint64(1))
+        # control-window chain: plain-int loop over CHANGED points only
+        # (appends; numpy-scalar ops here would cost more than they save)
+        pv0: list[int] = []
+        pb0: list[int] = []
+        pv1: list[int] = []
+        pb1: list[int] = []
+        prev_lead, prev_trail = -1, -1
+        for lead, trail, xor in zip(leads.tolist(), trails.tolist(), xs.tolist()):
+            if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
+                # '1''0' control, then the window payload as its OWN
+                # field (mbits can be 64 -- a merged field would overflow)
+                pv0.append(0b10)
+                pb0.append(2)
+                pv1.append(xor >> prev_trail)
+                pb1.append(64 - prev_lead - prev_trail)
             else:
-                w.write(1, 1)
                 mbits = 64 - lead - trail
-                w.write(lead, 5)
-                w.write(mbits - 1, 6)
-                w.write(xor >> trail, mbits)
+                # '1''1' + 5b lead + 6b mbits-1 as one field, payload next
+                pv0.append((0b11 << 11) | (lead << 6) | (mbits - 1))
+                pb0.append(13)
+                pv1.append(xor >> trail)
+                pb1.append(mbits)
                 prev_lead, prev_trail = lead, trail
-        prev = cur
-    return head + w.finish()
+        payload_v = np.column_stack(
+            [np.array(pv0, dtype=np.uint64), np.array(pv1, dtype=np.uint64)]
+        )
+        payload_b = np.column_stack(
+            [np.array(pb0, dtype=np.int64), np.array(pb1, dtype=np.int64)]
+        )
+        # splice: replace the single '0' control of changed points with
+        # their payload fields
+        all_v = np.zeros((n - 1, 3), dtype=np.uint64)
+        all_b = np.zeros((n - 1, 3), dtype=np.int64)
+        all_b[:, 0] = cbits
+        all_v[:, 0] = ctrl
+        all_v[changed, 0] = payload_v[:, 0]
+        all_b[changed, 0] = payload_b[:, 0]
+        all_v[changed, 1] = payload_v[:, 1]
+        all_b[changed, 1] = payload_b[:, 1]
+        keep = all_b.reshape(-1) > 0
+        fvals.append(all_v.reshape(-1)[keep])
+        fbits.append(all_b.reshape(-1)[keep])
+    elif n > 1:
+        fvals.append(ctrl)
+        fbits.append(cbits)
+    if not fvals:
+        return head
+    return head + _pack_fields(np.concatenate(fvals), np.concatenate(fbits))
 
 
 def decode_block(data: bytes) -> tuple[np.ndarray, np.ndarray]:
