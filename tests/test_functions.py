@@ -438,3 +438,21 @@ def test_ivf_knn_recall_and_self(ray_session):
         assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == qids[qi]
     rec = ann_recall(ds, queries, k=10, method="ivf", nlist=32, nprobe=16)
     assert rec["recall_at_k"].mean() >= 0.7
+
+
+def test_lsh_bucket_cap_star_linkage(ray_session):
+    """A degenerate bucket (hundreds of identical docs) must produce
+    linear star pairs, not O(n^2) all-pairs."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import minhash_lsh_candidates
+
+    n = 300
+    df = pd.DataFrame({"doc_id": range(n), "text": ["same text here"] * n})
+    cand = minhash_lsh_candidates(
+        rd.from_pandas(df), max_bucket=100
+    ).to_pandas().drop_duplicates()
+    # star: every doc paired with min id exactly once
+    assert len(cand) == n - 1
+    assert (cand["id_a"] == 0).all()
+    assert sorted(cand["id_b"]) == list(range(1, n))

@@ -24,28 +24,46 @@ import ray
 _HASH_KEY = 0x9E3779B97F4A7C15
 
 
-def _content_hash(texts) -> np.ndarray:
+def _content_hash(texts, hash_key: str = "0123456789123456") -> np.ndarray:
     """Deterministic 64-bit content hash (pandas fixed-key siphash)."""
-    return pd.util.hash_array(np.asarray(texts, dtype=object)).astype("uint64")
+    return pd.util.hash_array(
+        np.asarray(texts, dtype=object), hash_key=hash_key
+    ).astype("uint64")
 
 
 def exact_dedup(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
     """Keep the min-id representative per exact text. Returns a Dataset
-    of (hash int64 not exposed; id_col, n_copies) -- one row per
-    distinct text, ``keep_id`` = min id, ``n_copies`` = group size."""
+    of (id_col, n_copies) -- one row per distinct text, ``keep_id`` =
+    min id, ``n_copies`` = group size.
+
+    Identity is a 128-bit pair of independent siphashes: one 64-bit hash
+    collides with near-certainty at web-corpus scale (birthday bound at
+    ~2^32 distinct docs), two independent 64-bit keys push collision
+    odds below 1e-12 even at 10^12 docs. The shuffle ships only
+    (h1, h2, id) partials, never text."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _content_hash(batch[text_col].to_numpy())
-        df = pd.DataFrame({"h": h.astype("int64"), "id": batch[id_col].to_numpy()})
-        g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
+        texts = batch[text_col].to_numpy()
+        h1 = _content_hash(texts)
+        h2 = _content_hash(texts, hash_key="fedcba9876543210")
+        df = pd.DataFrame(
+            {
+                "h": h1.astype("int64"),
+                "h2": h2.astype("int64"),
+                "id": batch[id_col].to_numpy(),
+            }
+        )
+        g = df.groupby(["h", "h2"], sort=False)["id"].agg(
+            ["min", "size"]
+        ).reset_index()
         return g.rename(columns={"min": "keep_id", "size": "n_copies"})
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", sort=False).agg(
+        out = g.groupby(["h", "h2"], sort=False).agg(
             keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
         )
         return out.reset_index()[["keep_id", "n_copies"]]
@@ -103,9 +121,18 @@ def minhash_lsh_candidates(
     bands: int = 16,
     k: int = 5,
     concurrency: int = 4,
+    max_bucket: int = 2000,
 ) -> "ray.data.Dataset":
     """Docs -> candidate near-dup pairs via banded LSH. Returns a
-    Dataset of (id_a, id_b) with id_a < id_b (unique pairs)."""
+    Dataset of (id_a, id_b) with id_a < id_b (unique pairs).
+
+    ``max_bucket`` caps quadratic pair explosion from degenerate buckets
+    (e.g. millions of identical boilerplate docs -> one bucket ->
+    O(n^2) pairs). An oversized bucket instead pairs every member with
+    the bucket's min id (a star, linear in bucket size) -- for true
+    duplicates that is exactly the exact-dedup linkage; pairwise
+    candidates beyond the cap are traded for bounded output
+    (SURVEY.md §4 skew rule)."""
     rows_per_band = num_perm // bands
 
     sigs = ds.map_batches(
@@ -143,6 +170,12 @@ def minhash_lsh_candidates(
             if len(grp) < 2:
                 continue
             ids = np.sort(grp["id"].to_numpy())
+            if len(ids) > max_bucket:
+                # degenerate bucket: star linkage to the min id instead
+                # of O(n^2) all-pairs
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
+                continue
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
