@@ -456,3 +456,49 @@ def test_lsh_bucket_cap_star_linkage(ray_session):
     assert len(cand) == n - 1
     assert (cand["id_a"] == 0).all()
     assert sorted(cand["id_b"]) == list(range(1, n))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-5, 15), st.integers(0, 99)),
+             min_size=0, max_size=60),
+    st.lists(st.integers(-5, 15), min_size=0, max_size=25, unique=True),
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_partitioned_join_property(ray_session, lrows, rkeys, how):
+    """Hypothesis: partitioned_join == pandas merge for arbitrary key
+    multisets (dup keys, missing keys, empty sides) and every how."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    left = pd.DataFrame(lrows or [(0, 0)], columns=["k", "lv"])
+    right = pd.DataFrame({"rk": rkeys or [99], "rv": [f"v{x}" for x in (rkeys or [99])]})
+    got = partitioned_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="rk", how=how, num_parts=5,
+    ).to_pandas()
+    if len(got) == 0 and len(got.columns) == 0:
+        # Ray drops all-empty blocks -> schemaless empty frame
+        got = pd.DataFrame(columns=["k", "lv", "rv"])
+    if how in ("semi", "anti"):
+        m = left["k"].isin(set(right["rk"]))
+        want = left[m if how == "semi" else ~m]
+        cols = ["k", "lv"]
+    else:
+        want = left.merge(right, left_on="k", right_on="rk", how=how).drop(
+            columns=["rk"]
+        )
+        cols = ["k", "lv", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    want["rv"] = want.get("rv", pd.Series(dtype=object))
+    assert len(got) == len(want)
+    for c in cols:
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        ok = (gv == wv) | (pd.isna(gv) & pd.isna(wv))
+        assert ok.all(), (how, c)
