@@ -128,6 +128,49 @@ def _q_series_stats(sf_dir: str):
     )
 
 
+def _q_series_stats_wide(sf_dir: str):
+    """Same kernels as `series_stats` but through the WIDE API surface
+    (long_to_wide pack -> tsfeatures_wide, reference tsfeatures.py:
+    1001-1039) -- must hash-match the same SQL oracle, proving the wide
+    path end-to-end."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import derived_pipeline, tsfeatures_wide
+    from tsfeatures_ray.sources.convert import long_to_wide
+
+    derived = derived_pipeline(sf_dir)
+
+    def to_panel(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "unique_id": df["conv_id"],
+                "ds": df["turn_idx"],
+                "y": df["token_len"].astype("float64"),
+            }
+        )
+
+    panel = derived.map_batches(to_panel, batch_format="pandas")
+    wide = long_to_wide(panel, seasonality=1)
+
+    def adapt(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {"unique_id": t["unique_id"], "seasonality": t["freq"],
+             "y": t["y"]}
+        )
+
+    wide = wide.map_batches(adapt, batch_format="pyarrow")
+    out = tsfeatures_wide(
+        wide,
+        features=["statistics", "series_length", "sparsity", "crossing_points"],
+        scale=False,
+    )
+    return _round_floats(
+        out.drop_columns(["tier", "metric"]), overrides=_STAT_ROUNDING
+    )
+
+
 def _q_features_default(sf_dir: str):
     from tsfeatures_ray.pipelines import feature_pipeline
 
@@ -256,12 +299,12 @@ def _q_events_forecast_metrics(sf_dir: str):
     hat["y_hat"] = test["unique_id"].map(last_train).astype("float64")
 
     out = None
-    for m in ("mse", "smape", "mase"):
+    for m in ("mse", "smape", "mase", "pinball_loss"):
         e = evaluate_panel(
             test, hat, y_train=train, metric=m, seasonality=1
-        ).rename(columns={"error": m})
+        ).rename(columns={"error": "pinball" if m == "pinball_loss" else m})
         out = e if out is None else out.merge(e, on="unique_id")
-    for c in ("mse", "smape", "mase"):
+    for c in ("mse", "smape", "mase", "pinball"):
         v = out[c].to_numpy() + 1e-7  # same nudge+half-away as the oracle
         out[c] = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
     return out
@@ -667,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
         "rollup_compact_1h": _q_rollup_compact_1h,
         "series_stats": _q_series_stats,
+        "series_stats_wide": _q_series_stats_wide,
         "features_default_1h": _q_features_default,
         "features_sql_1m": _q_features_sql_1m,
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -1145,7 +1189,9 @@ SELECT t.uid AS unique_id,
              CASE WHEN ABS(t.y) + ABS(t.f) = 0 THEN 0.001
                   ELSE ABS(t.y) + ABS(t.f) END) + 0.0000001, 4) AS smape,
        ROUND(100.0 * AVG(ABS(t.y - t.f)) / any_value(sc.s) + 0.0000001, 4)
-           AS mase
+           AS mase,
+       ROUND(AVG(greatest(0.5 * (t.y - t.f), -0.5 * (t.y - t.f)))
+             + 0.0000001, 4) AS pinball
 FROM test t JOIN scale sc ON t.uid = sc.uid
 GROUP BY 1
 """
@@ -1192,6 +1238,7 @@ GROUP BY user_id
         "rollup_gapfill_1h": gapfill_1h,
         "rollup_compact_1h": rollup_sql("hour"),
         "series_stats": series_stats,
+        "series_stats_wide": series_stats,
         "features_sql_1m": features_sql_1m,
         "series_extras_sql_1m": series_extras_sql_1m,
         "events_rollup_1h": events_rollup.format(unit="hour"),
