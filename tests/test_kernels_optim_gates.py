@@ -139,3 +139,27 @@ def test_hw_fit_no_worse_than_dense_grid(seed):
         A[keep], B[keep], G[keep], l0, b0, s0, y
     ).min()
     assert fit_sse <= grid_min * (1.0 + 1e-6)
+
+
+def test_stl_recovers_noiseless_components():
+    """Falsifiable STL gate: on a NOISELESS additive series (linear
+    trend + exact-periodic seasonal) the decomposition must attribute
+    essentially all variance -- trend and seasonal_strength near 1,
+    remainder tiny relative to the components, and linearity carrying
+    the trend's sign."""
+    from tsfeatures_ray.kernels.stl import stl_decompose, stl_features
+
+    m = 12
+    t = np.arange(144, dtype=float)
+    seasonal = np.tile(np.sin(2 * np.pi * np.arange(m) / m) * 5.0, 12)
+    x = 0.3 * t + seasonal
+    out = stl_features(x, m)
+    assert out["seasonal_strength"] > 0.95
+    assert out["trend"] > 0.95
+    assert out["nperiods"] == 1.0 and out["seasonal_period"] == m
+    assert out["linearity"] > 0  # rising trend
+    trend_c, seas_c, resid = stl_decompose(x, m, 13)
+    assert np.var(resid) < 0.01 * np.var(x)
+    # the recovered seasonal must correlate strongly with the truth
+    cc = np.corrcoef(seas_c, seasonal)[0, 1]
+    assert cc > 0.99
