@@ -675,6 +675,49 @@ def _q_orders_semi_building(sf_dir: str):
     )
 
 
+def _q_orders_anti_building(sf_dir: str):
+    """Anti join (broadcast key-set exclusion) + aggregate: orders from
+    customers NOT in the BUILDING segment, per priority."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    filtered = broadcast_join(
+        orders, building, left_on="o_custkey", right_on="c_custkey", how="anti"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)["o_totalprice"].agg(
+            ["sum", "size"]
+        )
+        return g.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+    partials = filtered.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", sort=False).agg(
+            total_price=("s", "sum"), n_orders=("n", "sum")
+        ).reset_index()
+        out["total_price"] = out["total_price"].round(4)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return partials.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def _q_docs_dedup_purged(sf_dir: str):
     """End-to-end dedup purge: keep only each distinct text's min-id
     representative. Fully distributed -- the keeper set stays a Dataset
@@ -737,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_1h30m": _q_events_hopping_1h30m,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
         "orders_semi_building": _q_orders_semi_building,
+        "orders_anti_building": _q_orders_anti_building,
         "docs_dedup_purged": _q_docs_dedup_purged,
     }
 
@@ -1254,6 +1298,15 @@ GROUP BY user_id
         "events_sessions": events_sessions,
         "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,
+        "orders_anti_building": """
+SELECT o.o_orderpriority,
+       ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+""",
         "docs_dedup_purged": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
