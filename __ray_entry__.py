@@ -321,6 +321,20 @@ def _q_docs_text_metrics(sf_dir: str):
     return text_metrics(ds).drop_columns(["text"])
 
 
+def _q_docs_quality(sf_dir: str):
+    """Quality scoring + filter decision from the text counters
+    (length / alphabetic ratio / stopword density / punctuation ratio)
+    -- the classic corpus pre-filter; exact-arithmetic SQL oracle."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import quality_score
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _round_floats(quality_score(ds).drop_columns(["text"]))
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": _q_events_user_stats,
         "events_forecast_metrics": _q_events_forecast_metrics,
         "docs_text_metrics": _q_docs_text_metrics,
+        "docs_quality": _q_docs_quality,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -1122,6 +1137,29 @@ SELECT doc_id,
 FROM documents
 """
 
+    docs_quality = (
+        "WITH c AS (" + docs_text_metrics + """),
+r AS (
+    SELECT *,
+           CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1) AS ar,
+           CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS pr,
+           CAST(n_stopwords AS DOUBLE) / greatest(n_ws_tokens, 1) AS sd
+    FROM c
+)
+SELECT doc_id, n_chars_m, n_ws_tokens, n_bpe_tokens, n_alpha, n_digit,
+       n_stopwords, n_punct,
+       ROUND(ar + 0.0000001, 6) AS alpha_ratio,
+       ROUND(pr + 0.0000001, 6) AS punct_ratio,
+       ROUND(sd + 0.0000001, 6) AS stop_density,
+       ROUND((least(CAST(n_chars_m AS DOUBLE) / 120.0, 1.0)
+              + ar + least(sd * 10.0, 1.0)
+              + (1.0 - least(pr / 0.2, 1.0))) / 4.0 + 0.0000001, 6)
+           AS quality_score,
+       (n_chars_m >= 30 AND ar >= 0.6 AND sd >= 0.01 AND pr <= 0.2) AS keep
+FROM r
+"""
+    )
+
     docs_exact_dedup = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -1290,6 +1328,7 @@ GROUP BY user_id
         "events_user_stats": events_user_stats,
         "events_forecast_metrics": events_forecast_metrics,
         "docs_text_metrics": docs_text_metrics,
+        "docs_quality": docs_quality,
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,

@@ -502,3 +502,15 @@ def test_partitioned_join_property(ray_session, lrows, rkeys, how):
         gv, wv = got[c].to_numpy(), want[c].to_numpy()
         ok = (gv == wv) | (pd.isna(gv) & pd.isna(wv))
         assert ok.all(), (how, c)
+
+
+def test_quality_score_filter(docs_ds):
+    from tsfeatures_ray.functions.text import quality_score
+
+    ds, df = docs_ds
+    out = quality_score(ds).to_pandas().set_index("doc_id")
+    # long english sentences pass; "short" fails the length gate
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[5, "keep"])
+    assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
+    assert out.loc[0, "quality_score"] > out.loc[5, "quality_score"]

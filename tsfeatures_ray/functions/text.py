@@ -152,6 +152,63 @@ def text_metrics(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+class QualityScore:
+    """Document quality scoring from the TextMetrics counters
+    (length / alphabetic ratio / stopword density / punctuation ratio --
+    the classic heuristic pre-filter for web corpora). Deterministic
+    arithmetic over the counters, so the DuckDB oracle reproduces it
+    exactly; ``keep`` encodes the filter decision."""
+
+    def __init__(self, text_col: str = "text", min_chars: int = 30,
+                 min_alpha_ratio: float = 0.6, min_stop_density: float = 0.01,
+                 max_punct_ratio: float = 0.2):
+        self.min_chars = min_chars
+        self.min_alpha_ratio = min_alpha_ratio
+        self.min_stop_density = min_stop_density
+        self.max_punct_ratio = max_punct_ratio
+        self.tm = TextMetrics(text_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.tm(batch)
+        n_chars = t["n_chars_m"].to_numpy().astype(np.float64)
+        denom = np.maximum(n_chars, 1.0)
+        ws = np.maximum(t["n_ws_tokens"].to_numpy().astype(np.float64), 1.0)
+        alpha_ratio = t["n_alpha"].to_numpy() / denom
+        punct_ratio = t["n_punct"].to_numpy() / denom
+        stop_density = t["n_stopwords"].to_numpy() / ws
+        score = (
+            np.minimum(n_chars / (4.0 * self.min_chars), 1.0)
+            + alpha_ratio
+            + np.minimum(stop_density * 10.0, 1.0)
+            + (1.0 - np.minimum(punct_ratio / self.max_punct_ratio, 1.0))
+        ) / 4.0
+        keep = (
+            (n_chars >= self.min_chars)
+            & (alpha_ratio >= self.min_alpha_ratio)
+            & (stop_density >= self.min_stop_density)
+            & (punct_ratio <= self.max_punct_ratio)
+        )
+        out = t  # counters + ratios + score + decision
+        for name, arr in (
+            ("alpha_ratio", alpha_ratio), ("punct_ratio", punct_ratio),
+            ("stop_density", stop_density), ("quality_score", score),
+        ):
+            out = out.append_column(name, pa.array(arr, pa.float64()))
+        return out.append_column("keep", pa.array(keep, pa.bool_()))
+
+
+def quality_score(ds: "ray.data.Dataset", text_col: str = "text",
+                  concurrency: int = 4, **kwargs) -> "ray.data.Dataset":
+    return ds.map_batches(
+        QualityScore,
+        fn_constructor_kwargs={"text_col": text_col, **kwargs},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 class LanguageId:
     """N-gram/stopword language-ID heuristic (actor pool; model tables
     built once per actor)."""
