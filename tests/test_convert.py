@@ -68,7 +68,18 @@ def test_train_test_split(ray_session):
         for i in range(n):
             rows.append((uid, i, float(i)))
     panel = rd.from_pandas(pd.DataFrame(rows, columns=["unique_id", "ds", "y"]))
-    train, test = train_test_split(panel, horizon=4)
+
+    # default policy: a series with length <= horizon raises
+    with pytest.raises(Exception, match="train_test_split"):
+        t1, t2 = train_test_split(panel, horizon=4)
+        t1.to_pandas()
+
+    # 'drop' excludes short series from both panels
+    train_d, test_d = train_test_split(panel, horizon=4, short="drop")
+    assert set(test_d.to_pandas()["unique_id"]) == {"a", "b"}
+    assert set(train_d.to_pandas()["unique_id"]) == {"a", "b"}
+
+    train, test = train_test_split(panel, horizon=4, short="all_test")
     tr, te = train.to_pandas(), test.to_pandas()
     assert len(tr) + len(te) == sum(lengths.values())
     for uid, n in lengths.items():

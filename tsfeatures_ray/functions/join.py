@@ -144,12 +144,17 @@ def partitioned_join(
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             n = len(t)
-            key_col = t[left_on if side == 0 else right_on]
+            # cast BOTH sides' keys to the unified key type BEFORE hashing:
+            # stable_part hashes int64 and float64 representations of the
+            # same value differently, so an int-keyed side joined against a
+            # float-keyed side would silently drop matches otherwise (the
+            # cast raises on lossy values instead of mis-joining)
+            key_col = t[left_on if side == 0 else right_on].cast(types[left_on])
             part = stable_part(key_col.to_numpy(zero_copy_only=False), num_parts)
             arrays = []
             for name in out_names:
                 if name == left_on:
-                    arrays.append(key_col.cast(types[name]))
+                    arrays.append(key_col)
                 elif (side == 0 and name in lnames) or (side == 1 and name in rpayload):
                     arrays.append(t[name])
                 else:

@@ -94,9 +94,12 @@ class _LshScorer(_BruteScorer):
         self.qbuckets = self._bucketize(self.qn)  # (n_queries, tables)
 
     def _bucketize(self, mn: np.ndarray) -> np.ndarray:
+        # (n, tables, ceil(bits/8)) -- ALL packed bytes are kept so
+        # bits > 8 widens the bucket instead of silently truncating to
+        # the first byte
         bcols = (mn @ self.planes) > 0  # (n, tables*bits)
         b = bcols.reshape(len(mn), self.tables, self.bits)
-        return np.packbits(b, axis=2, bitorder="little")[:, :, 0]
+        return np.packbits(b, axis=2, bitorder="little")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = _to_matrix(batch[self.vec_col].to_numpy())
@@ -112,7 +115,9 @@ class _LshScorer(_BruteScorer):
             # the query's bucket. Union recall 1-(1-p)^L rises steeply
             # with L; scored fraction stays
             # ~L * sum_{i<=r} C(bits,i)/2^bits.
-            dist = _POPCOUNT8[buckets ^ self.qbuckets[qi][None, :]]
+            dist = _POPCOUNT8[buckets ^ self.qbuckets[qi][None]].sum(
+                axis=2, dtype=np.int64
+            )
             mask = (dist <= self.radius).any(axis=1)
             if not mask.any():
                 continue

@@ -24,16 +24,25 @@ from ..stages.derive import default_num_parts, stable_part
 
 def hll_build(values: np.ndarray, p: int = 12) -> np.ndarray:
     """Register array (uint8[2^p]) for one set of values (vectorized)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll: p must be in [4, 18], got {p}")
     m = 1 << p
     h = pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits
     nbits = 64 - p
-    # rho = leading zeros within nbits window + 1; exact via float log2
-    # (values < 2^52 are exactly representable; powers of two are exact)
+    # rho = leading zeros within nbits window + 1 = nbits - floor(log2 w).
+    # float log2 rounds wrong near powers of two once w > 2^53 (p < 11),
+    # so correct the float estimate exactly in the integer domain.
     rho = np.full(len(h), nbits + 1, dtype=np.uint8)
     nz = w > 0
-    rho[nz] = (nbits - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.uint8)
+    wnz = w[nz]
+    b = np.floor(np.log2(wnz.astype(np.float64))).astype(np.uint64)
+    hi = (np.uint64(1) << b) > wnz
+    b[hi] -= np.uint64(1)
+    lo = (np.uint64(1) << (b + np.uint64(1))) <= wnz  # b+1 <= nbits <= 60
+    b[lo] += np.uint64(1)
+    rho[nz] = (np.uint64(nbits) - b).astype(np.uint8)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rho)
     return regs

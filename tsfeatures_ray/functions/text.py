@@ -117,6 +117,11 @@ class TextMetrics:
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # normalize nulls -> "" up front so the byte fast path (count 0
+        # via equal offsets) and the RE2 fallback (would propagate null)
+        # agree regardless of which path the batch happens to take
+        if text.null_count:
+            text = pc.fill_null(text, "")
         bufs = text.buffers()
         off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
         offs = np.frombuffer(bufs[1], dtype=off_dt)[

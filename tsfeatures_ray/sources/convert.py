@@ -90,14 +90,23 @@ def long_to_wide(
 
 
 def train_test_split(
-    ds: "rd.Dataset", horizon: int, num_parts: int | None = None
+    ds: "rd.Dataset", horizon: int, num_parts: int | None = None,
+    short: str = "raise",
 ) -> tuple["rd.Dataset", "rd.Dataset"]:
     """Per-series holdout split of a long panel (unique_id, ds, y): the
     LAST ``horizon`` observations of every series become the test panel,
     the rest the train panel -- the reference's M4 prep shape
     (m4_data.py:88-106: per-uid length via groupby-max, then offset
     split). One shuffle on the series key, shared by both outputs via a
-    materialized tagged table; no driver-side pandas."""
+    materialized tagged table; no driver-side pandas.
+
+    ``short`` sets the policy for series with length <= horizon (whose
+    train side would be empty, turning downstream scale factors like
+    mase into silent NaN): 'raise' (default, matching the reference M4
+    prep's implicit length assumption), 'all_test' (keep them, entirely
+    in the test panel), or 'drop' (exclude them from both panels)."""
+    if short not in ("raise", "all_test", "drop"):
+        raise ValueError(f"train_test_split: unknown short policy {short!r}")
     if num_parts is None:
         num_parts = default_num_parts()
 
@@ -111,10 +120,22 @@ def train_test_split(
         uid = g["unique_id"].astype(str).to_numpy()
         first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         counts = np.diff(np.r_[first, len(uid)])
+        is_short = counts <= horizon
+        if is_short.any() and short == "raise":
+            bad = uid[first[is_short][0]]
+            raise ValueError(
+                f"train_test_split: series {bad!r} has length "
+                f"{int(counts[is_short][0])} <= horizon {horizon}; the "
+                "train side would be empty (downstream scale factors like "
+                "mase would silently become NaN). Pass short='all_test' "
+                "or short='drop' to override."
+            )
         pos = np.arange(len(uid)) - np.repeat(first, counts)
         is_test = pos >= np.repeat(counts - horizon, counts)
         out = g.drop(columns=["part"])
         out["_test"] = is_test
+        if is_short.any() and short == "drop":
+            out = out[~np.repeat(is_short, counts)]
         return out
 
     tagged = (
