@@ -207,6 +207,65 @@ def _q_features_sql_1m(sf_dir: str):
     )
 
 
+def _q_features_sql2_1m(sf_dir: str):
+    """flat_spots + unitroot_pp through the FULL distributed pipeline
+    (derive -> rollup -> pack -> kernels, scale=False) over the dense 1m
+    series -- both ARE SQL-expressible (reference tsfeatures.py:203-225
+    pd.cut width-binning + max-run; utils.py:164-213 Phillips-Perron rho
+    via OLS residual Bartlett window). flat_spots' bin edges replicate
+    numpy.linspace bit-for-bit in SQL (mn + j*((mx-mn)/10), last edge
+    := mx), so the integer run length needs no tolerance; unitroot_pp is
+    rounded at 4dp (lstsq vs regr_slope differ at ~1e-10 and the
+    n*(alpha-1) term amplifies by n)."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    out = feature_pipeline(
+        sf_dir, tiers=["1m"], features=["flat_spots", "unitroot_pp"],
+        scale=False,
+    )
+    return _round_floats(
+        out.drop_columns(["tier", "metric"]), overrides={"unitroot_pp": 4}
+    )
+
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _q_features_recorded_1h(sf_dir: str):
+    """The FULL default feature set (23 kernels -> 42 columns) through
+    the flagship pipeline over the 1h tier, hash-checked against a
+    COMMITTED golden parquet (fixtures/features_recorded_1h_sf0.01.parquet,
+    generated by tools/make_fixtures.py and spot-verified -- see
+    FIXTURES.md). This gives the driver a rows+schema+hash signal over
+    every kernel the live SQL oracles cannot express (entropy, pacf, stl,
+    holt, hw, heterogeneity, hurst, nonlinearity, arch_stat): any kernel
+    regression flips this row red. The pipeline is deterministic under
+    parallelism (integer-exact partial sums; per-series kernels), so the
+    fixture is reproducible at any CPU count."""
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    out = feature_pipeline(sf_dir, tiers=["1h"])
+    return _round_floats(out.drop_columns(["tier", "metric"]))
+
+
+def _q_features_recorded_extras_1m(sf_dir: str):
+    """The opt-in extras set (count_entropy, frequency, guerrero,
+    intervals, sparsity, statistics) through the full pipeline over the
+    raw 1m series, against a committed golden parquet -- gives guerrero
+    (reference tsfeatures.py:245-276) its driver-level signal; the other
+    extras double up with their live SQL oracles."""
+    from tsfeatures_ray.kernels import EXTRA_FEATURES
+    from tsfeatures_ray.pipelines import feature_pipeline
+
+    out = feature_pipeline(
+        sf_dir, tiers=["1m"],
+        features=[f.__name__ for f in EXTRA_FEATURES], scale=False,
+    )
+    return _round_floats(
+        out.drop_columns(["tier", "metric"]), overrides=_STAT_ROUNDING
+    )
+
+
 def _q_series_extras_sql_1m(sf_dir: str):
     """Opt-in extras kernels with exact SQL semantics (intervals run
     stats via gaps-and-islands, sparsity, frequency) through the FULL
@@ -770,6 +829,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_stats_wide": _q_series_stats_wide,
         "features_default_1h": _q_features_default,
         "features_sql_1m": _q_features_sql_1m,
+        "features_sql2_1m": _q_features_sql2_1m,
+        "features_recorded_1h": _q_features_recorded_1h,
+        "features_recorded_extras_1m": _q_features_recorded_extras_1m,
         "series_extras_sql_1m": _q_series_extras_sql_1m,
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_rollup_1d": _q_events_rollup("1d"),
@@ -1090,6 +1152,122 @@ FROM sp LEFT JOIN iv ON sp.conv_id = iv.conv_id
 """
     )
 
+    # --- features_sql2_1m oracle ------------------------------------------
+    # flat_spots: pandas.cut 10-bin width discretization replicated
+    # bit-for-bit (edges e_j = fl(mn + fl(j * fl((mx-mn)/10))), exactly
+    # numpy.linspace's arithmetic; e10 := mx; right-closed bins; bin =
+    # #{j in 1..9 : e_j < y}), then max run via gaps-and-islands -- the
+    # integer run length needs no tolerance. unitroot_pp: OLS y_t on
+    # y_{t-1} residuals, Bartlett window L = floor(4*(n/100)^0.25) <= 12
+    # for n < 11160 (engine formula kernels/simple.py:529-555, reference
+    # utils.py:164-213); rounded 4dp (lstsq vs regr_slope ULP drift is
+    # amplified by the n*(alpha-1) term).
+    bin_expr = " + ".join(
+        f"(CASE WHEN t.mn + {j}.0*((t.mx - t.mn)/10.0) < s.y THEN 1 ELSE 0 END)"
+        for j in range(1, 10)
+    )
+    pp_lags = ", ".join(f"lag(res, {k}) OVER w AS r{k}" for k in range(1, 13))
+    pp_sums = ", ".join(f"SUM(res * r{k}) AS p{k}" for k in range(1, 13))
+    pp_bartlett = " + ".join(
+        f"CASE WHEN {i} <= q.L THEN (1.0 - {i} / (q.L + 1.0)) * "
+        f"COALESCE(g.p{i}, 0) ELSE 0 END"
+        for i in range(1, 13)
+    )
+    features_sql2_1m = (
+        turns
+        + f""",
+agg AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+spans AS (SELECT conv_id, MIN(bucket) lo, MAX(bucket) hi FROM agg GROUP BY 1),
+dense AS (
+    SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+    FROM spans
+),
+serie AS (
+    SELECT d.conv_id, COALESCE(a.v, 0.0) AS y,
+           row_number() OVER (PARTITION BY d.conv_id ORDER BY d.bucket) - 1 AS rn
+    FROM dense d LEFT JOIN agg a ON d.conv_id = a.conv_id AND d.bucket = a.bucket
+),
+st AS (SELECT conv_id, COUNT(*) AS n, MIN(y) AS mn, MAX(y) AS mx
+       FROM serie GROUP BY 1),
+binned AS (
+    SELECT s.conv_id, s.rn,
+           CASE WHEN t.mn = t.mx THEN 0 ELSE {bin_expr} END AS bin
+    FROM serie s JOIN st t ON s.conv_id = t.conv_id
+),
+chg AS (
+    SELECT conv_id, rn, bin,
+           CASE WHEN bin IS DISTINCT FROM
+                lag(bin) OVER (PARTITION BY conv_id ORDER BY rn)
+                THEN 1 ELSE 0 END AS c
+    FROM binned
+),
+runid AS (
+    SELECT conv_id, rn,
+           SUM(c) OVER (PARTITION BY conv_id ORDER BY rn) AS rid
+    FROM chg
+),
+fs AS (
+    SELECT conv_id, CAST(MAX(cnt) AS DOUBLE) AS flat_spots
+    FROM (SELECT conv_id, rid, COUNT(*) AS cnt FROM runid GROUP BY 1, 2)
+    GROUP BY 1
+),
+pairs AS (
+    SELECT conv_id, rn, y,
+           lag(y) OVER (PARTITION BY conv_id ORDER BY rn) AS yl
+    FROM serie QUALIFY rn >= 1
+),
+reg AS (
+    -- rank-deficient case (constant yl): lstsq/statsmodels-pinv return
+    -- the MINIMUM-NORM solution a = ybar/(1+c^2), b = ybar*c/(1+c^2),
+    -- not NULL like regr_slope -- mirror it so the engine's reference-
+    -- parity value survives
+    SELECT conv_id,
+           CASE WHEN MIN(yl) = MAX(yl)
+                THEN AVG(y) * MIN(yl) / (1.0 + MIN(yl) * MIN(yl))
+                ELSE regr_slope(y, yl) END AS b,
+           CASE WHEN MIN(yl) = MAX(yl)
+                THEN AVG(y) / (1.0 + MIN(yl) * MIN(yl))
+                ELSE regr_intercept(y, yl) END AS a,
+           AVG(y) AS ybar
+    FROM pairs GROUP BY 1
+),
+resid AS (
+    SELECT p.conv_id, p.rn, p.y - r.a - r.b * p.yl AS res,
+           p.y - r.ybar AS yc
+    FROM pairs p JOIN reg r ON p.conv_id = r.conv_id
+),
+rl AS (
+    SELECT conv_id, rn, res, yc, {pp_lags}
+    FROM resid WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+ppagg AS (
+    SELECT conv_id, SUM(res * res) AS rss, SUM(yc * yc) AS yss, {pp_sums}
+    FROM rl GROUP BY 1
+),
+ppq AS (SELECT conv_id, n,
+               CAST(floor(4 * pow(n / 100.0, 0.25)) AS INT) AS L
+        FROM st)
+SELECT f.conv_id AS unique_id,
+       ROUND(f.flat_spots + 0.0000001, 6) AS flat_spots,
+       ROUND(
+           (q.n - 1) * (r.b - 1.0)
+           - ((1.0 / (q.n - 1)) * ({pp_bartlett}))
+             / (g.yss / ((q.n - 1.0) * (q.n - 1.0)))
+           + 0.0000001, 4) AS unitroot_pp
+FROM fs f
+JOIN ppq q ON f.conv_id = q.conv_id
+LEFT JOIN reg r ON f.conv_id = r.conv_id
+LEFT JOIN ppagg g ON f.conv_id = g.conv_id
+"""
+    )
+
+    fx1 = os.path.join(_FIXTURE_DIR, "features_recorded_1h_sf0.01.parquet")
+    fx2 = os.path.join(_FIXTURE_DIR, "features_recorded_extras_1m_sf0.01.parquet")
+
     events_rollup = """
 SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        COUNT(value) AS value_count,
@@ -1322,6 +1500,12 @@ GROUP BY user_id
         "series_stats": series_stats,
         "series_stats_wide": series_stats,
         "features_sql_1m": features_sql_1m,
+        "features_sql2_1m": features_sql2_1m,
+        # committed golden parquet (tools/make_fixtures.py; FIXTURES.md):
+        # the driver's rows+schema+hash compare turns these into hard
+        # end-to-end gates over the non-SQL-expressible kernels
+        "features_recorded_1h": f"SELECT * FROM read_parquet('{fx1}')",
+        "features_recorded_extras_1m": f"SELECT * FROM read_parquet('{fx2}')",
         "series_extras_sql_1m": series_extras_sql_1m,
         "events_rollup_1h": events_rollup.format(unit="hour"),
         "events_rollup_1d": events_rollup.format(unit="day"),
