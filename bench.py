@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: rolled-up points + feature vectors per second.
 
-Stages timed separately over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
-  1. derive:   transcripts (pruned read) -> per-turn metrics, materialized
-               once and shared by the three consumers below
-  2. rollup:   derived -> 3-tier gap-filled rollup -> partitioned parquet
-  3. features: derived -> fused rollup+pack (one map_groups) -> default
+Stages timed separately over $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+reflecting the round-3 single-exchange architecture:
+  1. rollup:   transcripts (pruned read) -> ONE groupby(part) exchange
+               that co-locates conversations AND computes latency + the
+               exact 3-tier gap-filled rollup in the same map_groups
+               (rollup_colocated) -> materialized (shared below) ->
+               partitioned parquet. The old derive-shuffle +
+               partial-merge-shuffle pair is gone; partial aggregation
+               runs once instead of once per consumer.
+  2. features: materialized rollup -> pack (one SMALL exchange over
+               rollup rows, ~13x fewer than input rows) -> default
                kernel set -> parquet
-  4. compress: rollup -> Gorilla/delta-of-delta blocks -> parquet
+  3. compress: same materialized rollup -> Gorilla/delta-of-delta
+               blocks -> parquet
 
 Prints ONE JSON line. ``--scaling`` runs the same job in fresh processes
 at num_cpus=8 and num_cpus=32 and reports both throughputs plus the
@@ -46,11 +53,13 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from tsfeatures_ray.pipelines.flagship import _slim_with_part
     from tsfeatures_ray.sources.synth import transcripts_path
     from tsfeatures_ray.stages.compress import compress_rollup
-    from tsfeatures_ray.stages.derive import derive_turn_metrics
+    from tsfeatures_ray.stages.derive import _latency_per_partition
     from tsfeatures_ray.stages.features import features_over_packed
-    from tsfeatures_ray.stages.rollup import rollup, rollup_packed
+    from tsfeatures_ray.stages.pack import pack_series
+    from tsfeatures_ray.stages.rollup import rollup_colocated
 
     tpath = transcripts_path(sf_dir)  # generated+cached before timing
     out_root = f"/tmp/tsfr_bench_{num_cpus}"
@@ -79,24 +88,22 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "ts", "text"])
-    # the engine's ONE full-data exchange, materialized once and shared
-    # by the rollup sink, the feature path and the codec
-    derived = derive_turn_metrics(ds, slim=True).materialize()
-    timings["derive"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    # materialized: the rollup table is orders of magnitude smaller than
-    # the input and feeds both the sink and the codec
-    rolled = rollup(derived, gapfill=True).materialize()
+    # the engine's ONE full-data exchange: co-locate conversations AND
+    # compute latency + the exact gap-filled rollup in the same
+    # map_groups; materialized once (orders of magnitude smaller than
+    # the input) and shared by the sink, the feature path and the codec
+    slim = _slim_with_part(sf_dir, None)
+    rolled = rollup_colocated(
+        slim, gapfill=True, per_partition=_latency_per_partition
+    ).materialize()
     rolled.write_parquet(rollup_dir)
     timings["rollup"] = time.perf_counter() - t0
     n_points = rolled.count()
 
     t0 = time.perf_counter()
-    # fused rollup+pack: layout-independent (no pre-partitioned block
-    # assumption, no balancing shuffle -- pack mixes within partitions)
-    packed = rollup_packed(derived, metrics=["token_len_sum", "latency_sum"])
+    # pack is the only remaining small exchange (rollup rows, ~13x fewer
+    # than input); no balancing shuffle -- pack mixes within partitions
+    packed = pack_series(rolled, metric=["token_len_sum", "latency_sum"])
     feats = features_over_packed(packed, balance=False)
     feats.write_parquet(feat_dir)
     timings["features"] = time.perf_counter() - t0
@@ -121,9 +128,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "rollup_points": int(n_points),
         "feature_vectors": int(n_vectors),
-        "points_per_sec": round(
-            n_points / (timings["derive"] + timings["rollup"]), 1
-        ),
+        "points_per_sec": round(n_points / timings["rollup"], 1),
         "vectors_per_sec": round(n_vectors / timings["features"], 1),
         "throughput_rows_per_sec": round((n_points + n_vectors) / total, 1),
     }

@@ -17,10 +17,16 @@ import ray
 import ray.data as rd
 
 from ..sources.synth import transcripts_path
-from ..stages.derive import default_num_parts, derive_turn_metrics, stable_part
+from ..stages.derive import (
+    _add_token_len_and_part,
+    _latency_per_partition,
+    default_num_parts,
+    derive_turn_metrics,
+    stable_part,
+)
 from ..stages.features import features_over_packed
 from ..stages.pack import PACKED_SCHEMA
-from ..stages.rollup import rollup, rollup_packed
+from ..stages.rollup import rollup_colocated
 
 
 def derived_pipeline(
@@ -36,16 +42,39 @@ def derived_pipeline(
     return derive_turn_metrics(ds, num_parts=num_parts, slim=slim)
 
 
+def _slim_with_part(sf_dir: str, num_parts: int | None) -> "rd.Dataset":
+    """Pruned read + token_len/part tagging, NO exchange yet -- the
+    single groupby(part) downstream both co-locates conversations and
+    computes everything that needs co-location."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    ds = rd.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "ts", "text"]
+    )
+    ds = ds.map_batches(
+        _add_token_len_and_part(num_parts), batch_format="pyarrow",
+        batch_size=65536,
+    )
+    return ds.select_columns(["conv_id", "turn_idx", "ts", "token_len", "part"])
+
+
 def rollup_pipeline(
     sf_dir: str,
     tiers: list[str] | None = None,
     gapfill: bool = False,
     num_parts: int | None = None,
 ) -> "rd.Dataset":
-    """transcripts parquet -> rollup Dataset at the given tiers (the
-    shuffle runs slim: payload columns never enter the exchange)."""
-    derived = derived_pipeline(sf_dir, num_parts=num_parts, slim=True)
-    return rollup(derived, tiers=tiers, gapfill=gapfill, num_parts=num_parts)
+    """transcripts parquet -> rollup Dataset at the given tiers in ONE
+    exchange: the groupby(part) that co-locates each conversation also
+    computes latency and the exact rollup inside the same map_groups
+    (rollup_colocated) -- the old derive-shuffle + partial-merge-shuffle
+    pair collapsed into one. The shuffle runs slim: payload columns
+    never enter the exchange."""
+    slim = _slim_with_part(sf_dir, num_parts)
+    return rollup_colocated(
+        slim, tiers=tiers, gapfill=gapfill,
+        per_partition=_latency_per_partition,
+    )
 
 
 def feature_pipeline(
@@ -59,14 +88,18 @@ def feature_pipeline(
 ) -> "rd.Dataset":
     """Flagship: transcripts -> rollups -> packed series -> features.
 
-    Rollup and pack run FUSED in one map_groups (rollup_packed), so the
-    pack step depends only on groupby semantics -- never on block layout
-    -- and the engine-packed table skips the balancing random_shuffle
-    (pack already mixes series within each partition; the fine
-    repartition in the feature stage slices those mixed runs)."""
-    derived = derived_pipeline(sf_dir, num_parts=num_parts, slim=True)
-    packed = rollup_packed(
-        derived, tiers=tiers, metrics=metric, num_parts=num_parts
+    Derive + rollup + pack run FUSED in ONE groupby(part).map_groups
+    (rollup_colocated with the latency hook and pack_metrics): the single
+    full-data exchange both co-locates conversations and produces packed
+    list<double> series directly, so the feature stage consumes packed
+    rows with no second exchange. Pack depends only on groupby semantics
+    -- never block layout -- and engine-packed input skips the balancing
+    random_shuffle (pack already mixes series within each partition; the
+    fine repartition in the feature stage slices those mixed runs)."""
+    slim = _slim_with_part(sf_dir, num_parts)
+    packed = rollup_colocated(
+        slim, tiers=tiers, per_partition=_latency_per_partition,
+        pack_metrics=metric,
     )
     return features_over_packed(
         packed, features=features, scale=scale, concurrency=concurrency,

@@ -260,6 +260,51 @@ def rollup_packed(
     return partials.groupby("part").map_groups(fused, batch_format="pandas")
 
 
+def rollup_colocated(
+    ds_with_part: "ray.data.Dataset",
+    tiers: list[str] | None = None,
+    gapfill: bool = False,
+    spec: RollupSpec = DEFAULT_SPEC,
+    per_partition: "callable | None" = None,
+    pack_metrics: str | list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Single-exchange rollup for an input that already carries the
+    engine's ``part`` column: ONE ``groupby(part).map_groups`` both
+    co-locates every key's rows AND computes the EXACT rollup (each
+    partition holds complete keys, so the per-batch partial aggregation
+    is already final -- no second partial->merge exchange is needed).
+
+    ``per_partition`` is an optional row-deriving hook run on each
+    co-located partition first (the flagship passes the latency
+    derivation here, fusing derive+rollup+pack into one exchange);
+    ``pack_metrics`` additionally fuses the pack step, emitting packed
+    list<double> series straight out of the same map_groups.
+
+    Partitioning assumption (SURVEY.md §2 custom-operator rule): all
+    rows of one key hash to one partition -- guaranteed by ``part =
+    stable_part(key) % P`` computed upstream. Outputs are byte-identical
+    to rollup()/rollup_packed(): the same _partial/_final_merge code
+    runs, just over whole partitions instead of batches."""
+    tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
+    tier_widths = {t.name: t.bucket_us for t in tier_objs}
+    partial_fn = _partial_agg(tier_objs, spec)
+    merge_fn = _final_merge(gapfill, tier_widths, spec)
+    if pack_metrics is not None:
+        from .pack import _pack_partition
+
+        pack_fn = _pack_partition(pack_metrics)
+
+    def fused(g: pd.DataFrame):
+        if per_partition is not None:
+            g = per_partition(g)
+        out = merge_fn(partial_fn(g))
+        if pack_metrics is not None:
+            return pack_fn(out)
+        return out
+
+    return ds_with_part.groupby("part").map_groups(fused, batch_format="pandas")
+
+
 def gapfill_rollup(
     rollup_ds: "ray.data.Dataset",
     num_parts: int | None = None,
