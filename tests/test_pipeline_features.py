@@ -150,3 +150,66 @@ def test_pre_partitioned_pack_fails_loudly_on_split_blocks(ray_session):
     # and the guard passes on an intact layout
     ok = pack_series(rolled.materialize(), pre_partitioned=True)
     assert_unique_series(ok)
+
+
+def _make_packed(lengths: dict[str, int]):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.pack import PACKED_SCHEMA
+
+    rng = np.random.RandomState(3)
+    uids, ys, ns = [], [], []
+    for uid, n in lengths.items():
+        uids.append(uid)
+        ys.append((100 + np.cumsum(rng.randn(n))).tolist())
+        ns.append(n)
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(uids, pa.string()),
+            pa.array(["1h"] * len(uids), pa.string()),
+            pa.array(["y"] * len(uids), pa.string()),
+            pa.array([24] * len(uids), pa.int32()),
+            pa.array(ns, pa.int64()),
+            pa.array(ys, pa.list_(pa.float64())),
+        ],
+        schema=PACKED_SCHEMA,
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_giant_series_policy(ray_session):
+    """Giant-series straggler policy: series >= giant_threshold run as
+    dedicated single-series tasks (their own pool, unioned with the main
+    pool) and the output is identical to the unrouted path. One 100x
+    series must not share a batch with -- and thereby delay -- the rest."""
+    import pandas as pd
+
+    from tsfeatures_ray.stages.features import features_over_packed
+
+    lengths = {f"s{i:03d}": 120 for i in range(60)}
+    lengths["giant"] = 12000  # 100x
+    feats = ["acf_features", "stability", "unitroot_kpss"]
+
+    base = features_over_packed(
+        _make_packed(lengths), features=feats, balance=False, concurrency=4
+    ).to_pandas()
+    routed_ds = features_over_packed(
+        _make_packed(lengths), features=feats, balance=False, concurrency=4,
+        giant_threshold=10000,
+    )
+    routed = routed_ds.to_pandas()
+    # structural: the routed plan really is two pools unioned
+    assert "Union" in routed_ds.stats()
+    key = ["unique_id", "tier", "metric"]
+    base = base.sort_values(key).reset_index(drop=True)
+    routed = routed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, routed)
+
+    # threshold higher than every series: policy is a no-op passthrough
+    noop = features_over_packed(
+        _make_packed(lengths), features=feats, balance=False, concurrency=4,
+        giant_threshold=1_000_000,
+    )
+    assert noop.count() == len(lengths)
+    assert "Union" not in noop.stats()

@@ -8,7 +8,6 @@ can reproduce the SQL-expressible subset exactly.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd
@@ -215,28 +214,121 @@ def quality_score(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 class LanguageId:
-    """N-gram/stopword language-ID heuristic (actor pool; model tables
-    built once per actor)."""
+    """Stopword-set language-ID heuristic, whole-batch vectorized.
+
+    Semantics (pinned by the ``docs_lang_id`` DuckDB oracle): per doc,
+    the set of DISTINCT word tokens is intersected with each language's
+    stopword set; the language with the most distinct hits wins (strict
+    >, first language in table order on ties, 'unknown' at zero hits);
+    score = hits / max(1, #distinct words).
+
+    Zero Python per row: one numpy pass over the raw UTF-8 buffer
+    lowercases member bytes and rewrites every non-token byte to a space
+    (TextMetrics-style byte tables, exact for valid UTF-8), then Arrow C
+    kernels do the rest -- single-space split, dictionary-encode to
+    integer codes, hash-dedup of (doc, code) pairs, per-language
+    membership bincounts. Replaces the per-doc ``re.findall`` +
+    set-intersection loop (speedups in BASELINE.md)."""
+
+    # UTF-8 continuation bytes (after 0xC3) of the allowed accent set
+    # a-z plus: á é í ó ú ü ñ ä ö ë ß à è ç ê
+    _ACCENT_CONT = [0xA1, 0xA9, 0xAD, 0xB3, 0xBA, 0xBC, 0xB1, 0xA4, 0xB6,
+                    0xAB, 0x9F, 0xA0, 0xA8, 0xA7, 0xAA]
+
+    # uppercase variants (lowercase continuation - 0x20): Á É Í Ó Ú Ü Ñ
+    # Ä Ö Ë À È Ç Ê (ß has no 0xC3-range uppercase)
+    _ACCENT_CONT_UPPER = [c - 0x20 for c in _ACCENT_CONT if c != 0x9F]
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[a-zA-Záéíóúüñäöëßàèçê]+")
+        self.langs = list(_STOPWORDS)
+        self.stop_sets = [_STOPWORDS[lang] for lang in self.langs]
+        # combined lower+blank table for ASCII: token bytes map to their
+        # lowercase, everything else to space
+        tbl = np.full(256, 0x20, dtype=np.uint8)
+        tbl[0x61:0x7B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+        tbl[0x41:0x5B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+        # 0xC3 and allowed continuations handled pairwise in _blank
+        self.ascii_tbl = tbl
+        self.cont_lower = np.full(256, 0x20, dtype=np.uint8)
+        for c in self._ACCENT_CONT:
+            self.cont_lower[c] = c
+        for c in self._ACCENT_CONT_UPPER:
+            self.cont_lower[c] = c + 0x20
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        scores = []
-        for s in batch[self.text_col]:
-            words = set(self.word.findall(s.lower()))
-            best, best_hits = "unknown", 0
-            for lang, sw in _STOPWORDS.items():
-                hits = len(words & sw)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-            scores.append(best_hits / max(1, len(words)))
-        batch["lang_pred"] = langs
-        batch["lang_score"] = scores
-        return batch
+    def _tokenize(self, text: pa.Array):
+        """Byte-level lower+blank pass on the raw UTF-8 buffer -- exact
+        for valid UTF-8 (each allowed accent is the pair 0xC3+cont; 0xC3
+        never occurs as a continuation byte): every non-token byte
+        becomes a space, token bytes are lowercased in place, so the doc
+        offsets stay valid and Arrow's (fast, single-char) split kernel
+        tokenizes. Returns (flat word array, doc index per word),
+        empty tokens included (filtered by code downstream)."""
+        bufs = text.buffers()
+        off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            text.offset: text.offset + len(text) + 1
+        ].astype(np.int64)
+        b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        out = self.ascii_tbl[b]  # lowers a-zA-Z, blanks everything else
+        if len(b) and b.max() >= 128:
+            # restore + lower the (sparse) allowed 0xC3 accent pairs
+            c3 = np.flatnonzero(b[:-1] == 0xC3)
+            if len(c3):
+                low = self.cont_lower[b[c3 + 1]]
+                ok = low != 0x20
+                keep = c3[ok]
+                out[keep] = 0xC3
+                out[keep + 1] = low[ok]
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), len(text),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(out.tobytes())],
+        )
+        words = pc.split_pattern(arr, " ")
+        woffs = words.offsets.to_numpy()
+        doc = np.repeat(np.arange(len(text), dtype=np.int64), np.diff(woffs))
+        return words.values, doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            text = pc.fill_null(text, "")
+        n = len(text)
+        # lowering happens inside the tokenizer via a byte table (ASCII +
+        # the allowed 0xC3 accents); exotic uppercase outside the token
+        # class (e.g. U+1E9E) is a separator either way
+        flat, doc = self._tokenize(text)
+        # dictionary-encode once: every later step is integer-only (the
+        # vocabulary of a batch is tiny next to the token stream)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        nv = max(1, len(vocab))
+        # distinct (doc, word) pairs: one hash pass over int64 keys
+        uk = pd.unique(doc * nv + codes)
+        doc_u, code_u = uk // nv, uk % nv
+        # drop the empty token (split emits it between runs of spaces)
+        if "" in vocab:
+            empty_code = vocab.index("")
+            keep = code_u != empty_code
+            doc_u, code_u = doc_u[keep], code_u[keep]
+        n_words = np.bincount(doc_u, minlength=n).astype(np.int64)
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, sw in enumerate(self.stop_sets):
+            table = np.fromiter((w in sw for w in vocab), bool, len(vocab))
+            m = table[code_u]
+            hits[:, j] = np.bincount(doc_u[m], minlength=n)
+        best_j = np.argmax(hits, axis=1)  # first max wins = table order
+        best_hits = hits[np.arange(n), best_j]
+        lang_arr = np.asarray(self.langs, dtype=object)[best_j]
+        lang_arr[best_hits == 0] = "unknown"
+        score = best_hits / np.maximum(1, n_words)
+        return batch.append_column(
+            "lang_pred", pa.array(lang_arr, pa.string())
+        ).append_column("lang_score", pa.array(score, pa.float64()))
 
 
 def language_id(ds: "ray.data.Dataset", text_col: str = "text",
@@ -244,7 +336,7 @@ def language_id(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(
         LanguageId,
         fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, concurrency),
         num_cpus=1,

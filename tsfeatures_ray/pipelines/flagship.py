@@ -85,8 +85,15 @@ def feature_pipeline(
     scale: bool = True,
     num_parts: int | None = None,
     concurrency=None,
+    giant_threshold: int | None = None,
 ) -> "rd.Dataset":
     """Flagship: transcripts -> rollups -> packed series -> features.
+
+    ``giant_threshold``: route series >= that many buckets to a
+    dedicated single-series task pool (features_over_packed giant
+    policy) -- set it when the corpus has power-law conversation
+    lengths so one multi-million-point series cannot pin a core for
+    the whole stage.
 
     Derive + rollup + pack run FUSED in ONE groupby(part).map_groups
     (rollup_colocated with the latency hook and pack_metrics): the single
@@ -103,7 +110,7 @@ def feature_pipeline(
     )
     return features_over_packed(
         packed, features=features, scale=scale, concurrency=concurrency,
-        balance=False,
+        balance=False, giant_threshold=giant_threshold,
     )
 
 

@@ -179,6 +179,7 @@ def features_over_packed(
     batch_size: int = 64,
     balance: bool = True,
     use_actors: bool = False,
+    giant_threshold: int | None = None,
 ) -> "ray.data.Dataset":
     """Run the feature kernels over a packed Dataset.
 
@@ -189,6 +190,18 @@ def features_over_packed(
     dispatch; every block then carries a near-equal cost mix and the
     straggler tail collapses (measured 38s -> 14s on the sf0.1 bench at
     32 CPUs). Only packed rows move -- never the raw input.
+
+    Giant-series policy (SURVEY.md §4): with ``giant_threshold`` set,
+    series of >= that many buckets are routed to a dedicated pool of
+    single-series tasks dispatched alongside (not behind) the main pool:
+    a multi-hour kernel call on one power-law outlier then bounds the
+    stage wall at max(giant, rest/N) instead of adding head-of-line
+    latency to whichever batch it lands in. Cost: the packed table (one
+    row per series, already orders of magnitude below the input) is
+    materialized once so the split does not re-execute the upstream
+    pipeline. Unsplittable series are inherent to per-series kernels --
+    this policy bounds their damage rather than pretending to
+    parallelize one series.
 
     Execution: stateless tasks by default (kernels hold no model state;
     a per-worker cache amortizes setup, and tasks avoid actor-pool
@@ -202,6 +215,31 @@ def features_over_packed(
         except Exception:
             concurrency = 4
     _resolve(features)  # validate feature names eagerly, on the driver
+    kernel_fn = _make_kernel_task(features, scale)
+    if giant_threshold is not None:
+        packed = packed.materialize()
+        big = packed.filter(expr=f"n_buckets >= {giant_threshold}")
+        n_big = big.count()
+        if n_big > 0:
+            small = packed.filter(expr=f"n_buckets < {giant_threshold}")
+            small_out = _dispatch(
+                small, kernel_fn, features, scale, concurrency, batch_size,
+                balance, use_actors,
+            )
+            # one block per giant -> one immediately-dispatched task per
+            # giant series, scheduled concurrently with the main pool
+            big_out = big.repartition(n_big).map_batches(
+                kernel_fn, batch_format="pyarrow", batch_size=1, num_cpus=1
+            )
+            return big_out.union(small_out)
+    return _dispatch(
+        packed, kernel_fn, features, scale, concurrency, batch_size,
+        balance, use_actors,
+    )
+
+
+def _dispatch(packed, kernel_fn, features, scale, concurrency, batch_size,
+              balance, use_actors):
     # pack already mixes series within each block (pack.py), so the plain
     # repartition below slices those mixed runs into fine-grained,
     # cost-balanced blocks; balance=True adds a full random_shuffle for
@@ -223,7 +261,7 @@ def features_over_packed(
             num_cpus=1,
         )
     return packed.map_batches(
-        _make_kernel_task(features, scale),
+        kernel_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
