@@ -89,3 +89,38 @@ def test_evaluate_panel_scaled_metric(ray_session):
         te = pd.concat(test_rows).query("unique_id == @uid")["y"].to_numpy()
         want = mase(te, te + 0.5, tr, 2)
         assert out[out.unique_id == uid]["error"].iloc[0] == pytest.approx(want)
+
+
+def test_evaluate_panel_dataset_path_agrees(ray_session):
+    """The streaming Dataset overload (no driver concat) must produce
+    exactly the pandas path's per-series errors, for both a plain metric
+    and a train-scaled one."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    test_rows, hat_rows, train_rows = [], [], []
+    for uid in [f"u{i}" for i in range(17)]:
+        n_tr, n_te = rng.randint(10, 30), 6
+        ytr = rng.rand(n_tr) * 10
+        y = rng.rand(n_te) * 10
+        train_rows.append(pd.DataFrame(
+            {"unique_id": uid, "ds": range(n_tr), "y": ytr}))
+        test_rows.append(pd.DataFrame(
+            {"unique_id": uid, "ds": range(n_tr, n_tr + n_te), "y": y}))
+        hat_rows.append(pd.DataFrame(
+            {"unique_id": uid, "ds": range(n_tr, n_tr + n_te),
+             "y_hat": y + rng.randn(n_te)}))
+    y_test = pd.concat(test_rows, ignore_index=True)
+    y_hat = pd.concat(hat_rows, ignore_index=True)
+    y_train = pd.concat(train_rows, ignore_index=True)
+
+    for metric, kwargs in (("smape", {}), ("mase", {"seasonality": 1})):
+        want = evaluate_panel(
+            y_test, y_hat, y_train=y_train, metric=metric, **kwargs)
+        got_ds = evaluate_panel(
+            rd.from_pandas(y_test), rd.from_pandas(y_hat),
+            y_train=rd.from_pandas(y_train), metric=metric, **kwargs)
+        assert hasattr(got_ds, "to_pandas")  # streaming Dataset out
+        got = got_ds.to_pandas().sort_values(
+            "unique_id", kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -1,0 +1,92 @@
+"""Brute-force all-pairs exactness gate for the near-dup pipeline
+(VERDICT r2 item 5): exact n-gram Jaccard over EVERY pair of the sf0.01
+documents table (plus injected borderline mutations) is the ground
+truth; `minhash_near_dups_distributed` must hit precision 1.0 (its
+verify step is exact) and recall above a pinned floor. Before this gate
+the candidate-generation recall was evidence-free."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+THRESHOLD = 0.5
+
+
+def _mutate(text: str, rate: float, seed: int) -> str:
+    """Character substitutions at ~rate, yielding mid-range Jaccard."""
+    rng = np.random.RandomState(seed)
+    chars = list(text)
+    idx = rng.choice(len(chars), size=int(len(chars) * rate), replace=False)
+    for i in idx:
+        chars[i] = chr(ord("a") + rng.randint(26))
+    return "".join(chars)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    # borderline near-dups: mutations of real docs spanning the
+    # threshold region (low rate -> jaccard near 1, higher -> below 0.5)
+    base_id = max(ids) + 1
+    for j, rate in enumerate((0.01, 0.03, 0.06, 0.10, 0.15)):
+        ids.append(base_id + j)
+        texts.append(_mutate(texts[j], rate, seed=j))
+    return ids, texts
+
+
+@pytest.fixture(scope="module")
+def truth(corpus):
+    from tsfeatures_ray.functions.dedup import jaccard_batch
+
+    ids, texts = corpus
+    ia, ib = np.triu_indices(len(ids), k=1)
+    sims = jaccard_batch([texts[i] for i in ia], [texts[j] for j in ib])
+    pairs = {
+        (min(ids[a], ids[b]), max(ids[a], ids[b]))
+        for a, b, s in zip(ia, ib, sims)
+        if s >= THRESHOLD
+    }
+    # the injected mutations must actually create NEW truth pairs in the
+    # borderline band, or this gate tests nothing beyond the clean corpus
+    n_docs = len(ids) - 5
+    assert any(p[1] >= ids[n_docs] for p in pairs)
+    return pairs
+
+
+def test_near_dup_recall_and_precision(ray_session, corpus, truth):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import minhash_near_dups_distributed
+
+    ids, texts = corpus
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = minhash_near_dups_distributed(ds, threshold=THRESHOLD).to_pandas()
+    got_pairs = {
+        (min(a, b), max(a, b)) for a, b in zip(got["id_a"], got["id_b"])
+    }
+    # verify step is exact -> every reported pair must be a true pair
+    assert got_pairs <= truth, got_pairs - truth
+    recall = len(got_pairs & truth) / len(truth)
+    # measured 1.0 on this corpus; pinned floor leaves room for the
+    # probabilistic candidate stage, not for regressions to ~0
+    assert recall >= 0.9, (recall, len(truth), len(got_pairs))
+
+
+def test_jaccard_batch_matches_reference(corpus):
+    from tsfeatures_ray.functions.dedup import jaccard_batch, ngram_jaccard
+
+    ids, texts = corpus
+    rng = np.random.RandomState(7)
+    ia = rng.randint(0, len(texts), 300)
+    ib = rng.randint(0, len(texts), 300)
+    fast = jaccard_batch([texts[i] for i in ia], [texts[j] for j in ib])
+    ref = np.array(
+        [ngram_jaccard(texts[i], texts[j]) for i, j in zip(ia, ib)]
+    )
+    assert np.allclose(fast, ref)

@@ -195,11 +195,47 @@ def minhash_lsh_candidates(
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
-    """Exact k-shingle Jaccard similarity of two docs."""
+    """Exact k-shingle Jaccard similarity of two docs (reference
+    formulation; the batch path below is the hot loop)."""
     sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Exact k-shingle Jaccard for a BATCH of candidate pairs.
+
+    Two optimizations over per-pair ``ngram_jaccard`` (the verify stage
+    is the hot loop at scale -- every candidate pair passes through it):
+    - each distinct text in the batch is shingled ONCE (candidates
+      repeat documents heavily: one near-dup cluster yields O(m^2)
+      pairs over m texts);
+    - intersection via one ``searchsorted`` of the smaller sorted-unique
+      shingle array into the larger (``_shingle_hashes`` returns sorted
+      unique), no per-pair Python set construction.
+    Measured ~8x on a 10k-pair batch (BASELINE.md)."""
+    cache: dict = {}
+
+    def shingles(t: str) -> np.ndarray:
+        r = cache.get(t)
+        if r is None:
+            r = cache[t] = _shingle_hashes(t, k)  # sorted unique
+        return r
+
+    out = np.empty(len(texts_a))
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = shingles(a), shingles(b)
+        if len(sa) == 0 and len(sb) == 0:
+            out[i] = 1.0
+            continue
+        if len(sa) > len(sb):
+            sa, sb = sb, sa
+        idx = np.searchsorted(sb, sa)
+        idx[idx == len(sb)] = len(sb) - 1
+        inter = int((sb[idx] == sa).sum())
+        out[i] = inter / (len(sa) + len(sb) - inter)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -207,12 +243,12 @@ def ngram_jaccard_pairs(
 ) -> pd.DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard (driver-side or
     inside a map_batches with a broadcast text lookup)."""
-    sims = [
-        ngram_jaccard(texts_by_id[a], texts_by_id[b], k)
-        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
-    ]
     out = pairs_df.copy()
-    out["jaccard"] = sims
+    out["jaccard"] = jaccard_batch(
+        [texts_by_id[a] for a in pairs_df["id_a"]],
+        [texts_by_id[b] for b in pairs_df["id_b"]],
+        k,
+    )
     return out
 
 
@@ -317,12 +353,10 @@ def minhash_near_dups_distributed(
                  "id_b": pd.Series([], dtype="int64"),
                  "jaccard": pd.Series([], dtype="float64")}
             )
-        sims = [
-            ngram_jaccard(a, b, k)
-            for a, b in zip(batch["text_a"], batch["text_b"])
-        ]
         out = batch[["id_a", "id_b"]].copy()
-        out["jaccard"] = sims
+        out["jaccard"] = jaccard_batch(
+            batch["text_a"].tolist(), batch["text_b"].tolist(), k
+        )
         return out[out["jaccard"] >= threshold]
 
     return with_ab.map_batches(verify, batch_format="pandas", batch_size=4096)

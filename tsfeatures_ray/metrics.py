@@ -85,29 +85,33 @@ _METRICS = {
 
 
 def evaluate_panel(
-    y_test: pd.DataFrame,
-    y_hat: pd.DataFrame,
-    y_train: pd.DataFrame | None = None,
+    y_test,
+    y_hat,
+    y_train=None,
     metric=mse,
     seasonality: int | None = None,
-    y_bench: pd.DataFrame | None = None,
+    y_bench=None,
     num_parts: int | None = None,
-) -> pd.DataFrame:
-    """Per-series metric over a panel -> DataFrame [unique_id, error].
+):
+    """Per-series metric over a panel.
 
-    Inputs are pandas panels (unique_id, ds, y / y_hat) like the
-    reference; execution is a Ray co-partitioned shuffle. Validation
-    mirrors reference metrics.py:318-322.
+    Two input shapes:
+    - pandas DataFrames (unique_id, ds, y / y_hat) like the reference ->
+      returns a sorted pandas DataFrame [unique_id, error]. Validation
+      mirrors reference metrics.py:318-322. Caps the panel at driver RAM
+      -- the API-parity path.
+    - ray.data.Datasets with the same columns -> returns a STREAMING
+      Dataset [unique_id, error]: each input is tagged per batch (no
+      driver concat, no materialization), the tagged streams union, and
+      ONE groupby(part) co-partitions all roles. The scale path: panels
+      of any size flow through the exchange without ever touching the
+      driver.
     """
     import ray.data as rd
 
     metric_name = metric if isinstance(metric, str) else metric.__name__
     metric_fn = _METRICS[metric_name]
-
-    uids = y_test["unique_id"].unique()
-    assert len(y_test) == len(y_hat), "not same length"
-    assert all(uids == y_hat["unique_id"].unique()), "not same u_ids"
-
+    needs_train = metric_name in ("mase", "rmsse", "mini_owa")
     if num_parts is None:
         num_parts = default_num_parts()
 
@@ -123,14 +127,6 @@ def evaluate_panel(
         out["part"] = stable_part(out["unique_id"].to_numpy(), num_parts)
         return out
 
-    frames = [tag(y_test, "test", "y"), tag(y_hat, "hat", "y_hat")]
-    needs_train = metric_name in ("mase", "rmsse", "mini_owa")
-    if needs_train:
-        frames.append(tag(y_train, "train", "y"))
-    if metric_name == "mini_owa":
-        frames.append(tag(y_bench, "bench", "y_hat"))
-    allp = rd.from_pandas(pd.concat(frames, ignore_index=True))
-
     def eval_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["unique_id", "role", "ds"], kind="mergesort")
         out = []
@@ -145,6 +141,31 @@ def evaluate_panel(
             out.append((uid, metric_fn(**kwargs)))
         return pd.DataFrame(out, columns=["unique_id", "error"])
 
+    roles = [(y_test, "test", "y"), (y_hat, "hat", "y_hat")]
+    if needs_train:
+        roles.append((y_train, "train", "y"))
+    if metric_name == "mini_owa":
+        roles.append((y_bench, "bench", "y_hat"))
+
+    if isinstance(y_test, rd.Dataset):
+        def tagger(role, value_col):
+            return lambda df: tag(df, role, value_col)
+
+        streams = [
+            src.map_batches(tagger(role, vc), batch_format="pandas")
+            for src, role, vc in roles
+        ]
+        allp = streams[0].union(*streams[1:])
+        return allp.groupby("part").map_groups(
+            eval_partition, batch_format="pandas"
+        )
+
+    uids = y_test["unique_id"].unique()
+    assert len(y_test) == len(y_hat), "not same length"
+    assert all(uids == y_hat["unique_id"].unique()), "not same u_ids"
+    allp = rd.from_pandas(
+        pd.concat([tag(df, r, vc) for df, r, vc in roles], ignore_index=True)
+    )
     res = (
         allp.groupby("part")
         .map_groups(eval_partition, batch_format="pandas")
