@@ -335,34 +335,83 @@ def _q_events_forecast_metrics(sf_dir: str):
     """Panel forecast metrics (reference metrics.py evaluate_panel) with
     a naive last-train-value forecast over a per-user last-10 holdout:
     per-user mse, smape and mase(seasonality=1), evaluated co-partitioned
-    (SURVEY.md §2.5) -- SQL-checkable."""
+    (SURVEY.md §2.5) -- SQL-checkable.
+
+    Fully distributed (round 3): the events table never touches the
+    driver. ONE groupby(part) sorts each user, assigns ordinals, splits
+    the holdout and synthesizes the naive forecast; the tagged panels
+    are materialized once (object-store, spillable) and fed to the
+    Dataset-native evaluate_panel overload per metric. Only the per-user
+    error rows (one per user) reach the driver for the final merge."""
     import pandas as pd
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
     from tsfeatures_ray.metrics import evaluate_panel
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
 
-    df = pq.read_table(
+    num_parts = default_num_parts()
+    h = 10
+    ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_id", "ts", "value"],
-    ).to_pandas()
-    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-    df["unique_id"] = df["user_id"].astype(str)
-    df["ds"] = df.groupby("unique_id").cumcount()
-    df["y"] = df["value"].astype("float64")
-    n = df.groupby("unique_id")["ds"].transform("size")
-    h = 10
-    train = df[df["ds"] < n - h][["unique_id", "ds", "y"]]
-    test = df[df["ds"] >= n - h][["unique_id", "ds", "y"]]
-    last_train = train.groupby("unique_id")["y"].last()
-    hat = test[["unique_id", "ds"]].copy()
-    hat["y_hat"] = test["unique_id"].map(last_train).astype("float64")
+    )
 
-    out = None
-    for m in ("mse", "smape", "mase", "pinball_loss"):
-        e = evaluate_panel(
-            test, hat, y_train=train, metric=m, seasonality=1
-        ).rename(columns={"error": "pinball" if m == "pinball_loss" else m})
-        out = e if out is None else out.merge(e, on="unique_id")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "unique_id": df["user_id"].astype(str),
+                "ts": df["ts"],
+                "event_id": df["event_id"],
+                "y": df["value"].astype("float64"),
+            }
+        )
+        out["part"] = stable_part(out["unique_id"].to_numpy(), num_parts)
+        return out
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["unique_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["ds"] = g.groupby("unique_id").cumcount()
+        n = g.groupby("unique_id")["ds"].transform("size")
+        role = np.where(g["ds"] >= n - h, "test", "train")
+        out = g[["unique_id", "ds", "y"]].copy()
+        out["role"] = role
+        last_train = g[role == "train"].groupby("unique_id")["y"].last()
+        hat = out.loc[out["role"] == "test", ["unique_id", "ds"]].copy()
+        hat["y"] = hat["unique_id"].map(last_train).astype("float64")
+        hat["role"] = "hat"
+        return pd.concat([out, hat], ignore_index=True)
+
+    tagged = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(split, batch_format="pandas")
+        .materialize()
+    )
+    test = tagged.filter(expr="role == 'test'").select_columns(
+        ["unique_id", "ds", "y"]
+    )
+    train = tagged.filter(expr="role == 'train'").select_columns(
+        ["unique_id", "ds", "y"]
+    )
+
+    def to_hat(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["unique_id", "ds"]].assign(y_hat=df["y"])
+
+    hat = tagged.filter(expr="role == 'hat'").map_batches(
+        to_hat, batch_format="pandas"
+    )
+
+    out = (
+        evaluate_panel(
+            test, hat, y_train=train, seasonality=1,
+            metric=["mse", "smape", "mase", "pinball_loss"],  # ONE exchange
+        )
+        .to_pandas()
+        .sort_values("unique_id", kind="mergesort")
+        .reset_index(drop=True)
+        .rename(columns={"pinball_loss": "pinball"})
+    )
     for c in ("mse", "smape", "mase", "pinball"):
         v = out[c].to_numpy() + 1e-7  # same nudge+half-away as the oracle
         out[c] = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4

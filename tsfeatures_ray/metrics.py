@@ -109,9 +109,20 @@ def evaluate_panel(
     """
     import ray.data as rd
 
-    metric_name = metric if isinstance(metric, str) else metric.__name__
-    metric_fn = _METRICS[metric_name]
-    needs_train = metric_name in ("mase", "rmsse", "mini_owa")
+    # metric may be one callable/name (reference parity: one 'error'
+    # column) or a LIST of them -- all computed in the SAME exchange,
+    # one output column per metric (the multi-metric panel eval would
+    # otherwise pay one shuffle per metric)
+    multi = isinstance(metric, (list, tuple))
+    names = [
+        m if isinstance(m, str) else m.__name__
+        for m in (metric if multi else [metric])
+    ]
+    fns = {nm: _METRICS[nm] for nm in names}
+    needs_train = any(
+        nm in ("mase", "rmsse", "mini_owa") for nm in names
+    )
+    has_bench = "mini_owa" in names
     if num_parts is None:
         num_parts = default_num_parts()
 
@@ -127,24 +138,29 @@ def evaluate_panel(
         out["part"] = stable_part(out["unique_id"].to_numpy(), num_parts)
         return out
 
+    out_cols = names if multi else ["error"]
+
     def eval_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["unique_id", "role", "ds"], kind="mergesort")
         out = []
         for uid, sub in g.groupby("unique_id", sort=False):
             pieces = {r: s["value"].to_numpy() for r, s in sub.groupby("role")}
-            kwargs = {"y": pieces["test"], "y_hat": pieces["hat"]}
-            if needs_train:
-                kwargs["y_train"] = pieces["train"]
-                kwargs["seasonality"] = seasonality
-            if metric_name == "mini_owa":
-                kwargs["y_bench"] = pieces["bench"]
-            out.append((uid, metric_fn(**kwargs)))
-        return pd.DataFrame(out, columns=["unique_id", "error"])
+            row = [uid]
+            for nm in names:
+                kwargs = {"y": pieces["test"], "y_hat": pieces["hat"]}
+                if nm in ("mase", "rmsse", "mini_owa"):
+                    kwargs["y_train"] = pieces["train"]
+                    kwargs["seasonality"] = seasonality
+                if nm == "mini_owa":
+                    kwargs["y_bench"] = pieces["bench"]
+                row.append(fns[nm](**kwargs))
+            out.append(tuple(row))
+        return pd.DataFrame(out, columns=["unique_id"] + out_cols)
 
     roles = [(y_test, "test", "y"), (y_hat, "hat", "y_hat")]
     if needs_train:
         roles.append((y_train, "train", "y"))
-    if metric_name == "mini_owa":
+    if has_bench:
         roles.append((y_bench, "bench", "y_hat"))
 
     if isinstance(y_test, rd.Dataset):
