@@ -580,6 +580,43 @@ def _q_embeddings_knn_ivf(sf_dir: str):
     return out
 
 
+def _q_embeddings_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (the dedup-family member
+    over the embeddings table): EXACT distributed block-nested-loop
+    (partition-pair buckets, no driver materialization) at cosine >=
+    0.4 -- SQL-checkable via list_cosine_similarity. The LSH-bucketed
+    variant is the scale path (recall-gated in pytest)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import cosine_near_dups
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return _round_floats(cosine_near_dups(ds, threshold=0.4))
+
+
+def _q_embeddings_cosine_dups_lsh(sf_dir: str):
+    """Approximate (LSH-bucketed) cosine near-dups -- the scale path;
+    no oracle by design (recall < 1), pytest pins recall vs the exact
+    operator."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import cosine_near_dups_lsh
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    # bits=4/tables=16 tuned for the synthetic near-orthogonal corpus
+    # (threshold pairs at cos~0.4 -> 66deg -> per-bit collision 0.63:
+    # union recall 1-(1-0.63^4)^16 ~ 0.94; measured 0.98)
+    return _round_floats(
+        cosine_near_dups_lsh(ds, threshold=0.4, bits=4, tables=16)
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -897,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "embeddings_knn_ivf": _q_embeddings_knn_ivf,
+        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
+        "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,
@@ -1565,6 +1604,15 @@ GROUP BY user_id
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "embeddings_cosine_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+             + 0.0000001, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
         "orders_by_segment": orders_by_segment,
         "events_count_entropy": events_count_entropy,
         "events_sessions": events_sessions,

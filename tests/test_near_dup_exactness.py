@@ -90,3 +90,36 @@ def test_jaccard_batch_matches_reference(corpus):
         [ngram_jaccard(texts[i], texts[j]) for i, j in zip(ia, ib)]
     )
     assert np.allclose(fast, ref)
+
+
+def test_cosine_near_dups_exact_and_lsh(ray_session):
+    """Embedding-cosine near-dup family: the exact distributed
+    block-nested-loop operator is ground truth (hash-checked against
+    DuckDB in the driver contract); the LSH-bucketed scale path must be
+    a SUBSET of it (its verify is exact cosine) with recall >= 0.9 at
+    the tuned parameters."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import (
+        cosine_near_dups,
+        cosine_near_dups_lsh,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    exact = cosine_near_dups(ds, threshold=0.4).to_pandas()
+    truth = set(zip(exact.id_a, exact.id_b))
+    assert len(truth) > 20  # the corpus actually has near-dups to find
+    got = cosine_near_dups_lsh(
+        ds, threshold=0.4, bits=4, tables=16
+    ).to_pandas()
+    gp = set(zip(got.id_a, got.id_b))
+    assert gp <= truth, gp - truth  # exact verify -> precision 1.0
+    assert len(gp & truth) / len(truth) >= 0.9
+
+    # exact operator invariant under partition count (pair-bucket split)
+    exact2 = cosine_near_dups(ds, threshold=0.4, num_parts=3).to_pandas()
+    t2 = set(zip(exact2.id_a, exact2.id_b))
+    assert t2 == truth
