@@ -94,7 +94,8 @@ def run_bench() -> dict:
     # the input) and shared by the sink, the feature path and the codec
     slim = _slim_with_part(sf_dir, None)
     rolled = rollup_colocated(
-        slim, gapfill=True, per_partition=_latency_per_partition
+        slim, gapfill=True, per_partition=_latency_per_partition,
+        presorted=True,
     ).materialize()
     rolled.write_parquet(rollup_dir)
     timings["rollup"] = time.perf_counter() - t0

@@ -180,7 +180,7 @@ def test_rollup_colocated_single_exchange_matches_two_exchange(ray_session):
         ).to_pandas()
         one = rollup_colocated(
             _slim_with_part(sf, None), tiers=["1m", "1h"], gapfill=gapfill,
-            per_partition=_latency_per_partition,
+            per_partition=_latency_per_partition, presorted=True,
         ).to_pandas()
         key = ["conv_id", "tier", "bucket_us"]
         two = two.drop(columns=["part"], errors="ignore").sort_values(key).reset_index(drop=True)

@@ -73,7 +73,7 @@ def rollup_pipeline(
     slim = _slim_with_part(sf_dir, num_parts)
     return rollup_colocated(
         slim, tiers=tiers, gapfill=gapfill,
-        per_partition=_latency_per_partition,
+        per_partition=_latency_per_partition, presorted=True,
     )
 
 
@@ -106,7 +106,7 @@ def feature_pipeline(
     slim = _slim_with_part(sf_dir, num_parts)
     packed = rollup_colocated(
         slim, tiers=tiers, per_partition=_latency_per_partition,
-        pack_metrics=metric,
+        pack_metrics=metric, presorted=True,
     )
     return features_over_packed(
         packed, features=features, scale=scale, concurrency=concurrency,

@@ -66,13 +66,19 @@ class RollupSpec:
 DEFAULT_SPEC = RollupSpec()
 
 
-def _partial_one_tier(df: pd.DataFrame, tier: Tier, spec: RollupSpec) -> pd.DataFrame:
+def _partial_one_tier(
+    df: pd.DataFrame, tier: Tier, spec: RollupSpec, presorted: bool = False
+) -> pd.DataFrame:
     w = tier.bucket_us
     g = df.assign(bucket_us=df["ts_us"] - df["ts_us"] % w)
-    # sort so 'last' within each (key, bucket) is the max ordering key
-    g = g.sort_values(
-        [spec.key, "bucket_us", "ts_us", *spec.order], kind="mergesort"
-    )
+    # sort so 'last' within each (key, bucket) is the max ordering key.
+    # presorted=True: input already ordered by (key, ts, *order), which
+    # equals (key, bucket, ts, *order) because bucket is monotone in ts
+    # within a key -- the colocated path skips the 3 per-tier re-sorts
+    if not presorted:
+        g = g.sort_values(
+            [spec.key, "bucket_us", "ts_us", *spec.order], kind="mergesort"
+        )
     gb = g.groupby([spec.key, "bucket_us"], sort=False)
     aggs: dict[str, tuple] = {}
     for col, pref in spec.values.items():
@@ -93,14 +99,15 @@ def _partial_one_tier(df: pd.DataFrame, tier: Tier, spec: RollupSpec) -> pd.Data
     return out
 
 
-def _partial_agg(tiers: list[Tier], spec: RollupSpec):
+def _partial_agg(tiers: list[Tier], spec: RollupSpec, presorted: bool = False):
     cols = [spec.key, spec.ts, *spec.order, *spec.values]
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[cols].copy()
         df["ts_us"] = ts_to_us(df[spec.ts])
         return pd.concat(
-            [_partial_one_tier(df, t, spec) for t in tiers], ignore_index=True
+            [_partial_one_tier(df, t, spec, presorted) for t in tiers],
+            ignore_index=True,
         )
 
     return fn
@@ -267,6 +274,7 @@ def rollup_colocated(
     spec: RollupSpec = DEFAULT_SPEC,
     per_partition: "callable | None" = None,
     pack_metrics: str | list[str] | None = None,
+    presorted: bool = False,
 ) -> "ray.data.Dataset":
     """Single-exchange rollup for an input that already carries the
     engine's ``part`` column: ONE ``groupby(part).map_groups`` both
@@ -287,7 +295,10 @@ def rollup_colocated(
     runs, just over whole partitions instead of batches."""
     tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
     tier_widths = {t.name: t.bucket_us for t in tier_objs}
-    partial_fn = _partial_agg(tier_objs, spec)
+    # presorted=True: caller guarantees per_partition leaves the
+    # partition sorted by (key, ts, *order) (the latency hook does), so
+    # the per-tier partial sorts are redundant
+    partial_fn = _partial_agg(tier_objs, spec, presorted=presorted)
     merge_fn = _final_merge(gapfill, tier_widths, spec)
     if pack_metrics is not None:
         from .pack import _pack_partition
