@@ -580,6 +580,49 @@ def _q_embeddings_knn_ivf(sf_dir: str):
     return out
 
 
+def _q_docs_top_tokens(sf_dir: str):
+    """Exact corpus-wide top-50 token frequencies (distributed
+    heavy-hitters: per-batch vectorized partials, one (token,count)
+    exchange, per-partition top-k + tiny merge) -- SQL-checkable via
+    regexp_extract_all + unnest."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import top_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return top_tokens(ds, k=50)
+
+
+def _q_events_distinct_users_1d(sf_dir: str):
+    """Exact distinct users per day over events -- the exact counterpart
+    of the HLL sketch query (two-level dedup: per-batch distinct pairs,
+    one exchange, per-group dedup+count)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import exact_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def day_of(df: pd.DataFrame) -> pd.Series:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        day = ts_us - ts_us % 86_400_000_000
+        return day.astype("datetime64[us]")
+
+    out = exact_distinct(ds, value_col="user_id", group_col="ts",
+                         group_fn=day_of)
+    import pyarrow as pa
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bucket", "n_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_embeddings_cosine_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (the dedup-family member
     over the embeddings table): EXACT distributed block-nested-loop
@@ -936,6 +979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_ivf": _q_embeddings_knn_ivf,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
+        "docs_top_tokens": _q_docs_top_tokens,
+        "events_distinct_users_1d": _q_events_distinct_users_1d,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,
@@ -1604,6 +1649,21 @@ GROUP BY user_id
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "docs_top_tokens": """
+SELECT token, cnt FROM (
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+          FROM documents)
+    GROUP BY 1
+)
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+        "events_distinct_users_1d": """
+SELECT date_trunc('day', ts) AS bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
         "embeddings_cosine_dups": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -514,3 +514,54 @@ def test_quality_score_filter(docs_ds):
     assert not bool(out.loc[5, "keep"])
     assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
     assert out.loc[0, "quality_score"] > out.loc[5, "quality_score"]
+
+
+def test_top_tokens_exact(ray_session):
+    """Distributed heavy-hitters equals a pandas brute count, with
+    deterministic (count DESC, token ASC) tie-breaks, at any partition
+    count."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import top_tokens
+
+    texts = [
+        "The cat and the dog", "a A aa b é-cat", "", "zz zz zz cat",
+        "dog DOG dog!", "cat9dog",  # digit is a separator
+    ] * 7
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    brute = {}
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            brute[w] = brute.get(w, 0) + 1
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for parts in (2, 7):
+        got = top_tokens(ds, k=5, num_parts=parts)
+        assert list(zip(got["token"], got["cnt"])) == want
+
+
+def test_exact_distinct_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import exact_distinct
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame(
+        {"g": rng.randint(0, 9, 5000), "v": rng.randint(0, 120, 5000)}
+    )
+    got = (
+        exact_distinct(rd.from_pandas(df), value_col="v", group_col="g")
+        .to_pandas()
+        .sort_values("group")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("g")["v"].nunique().reset_index()
+        .rename(columns={"g": "group", "v": "n_distinct"})
+    )
+    want["n_distinct"] = want["n_distinct"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)

@@ -343,6 +343,85 @@ def language_id(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+def top_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 50,
+    num_parts: int | None = None,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact corpus-wide top-k token frequencies (the distributed
+    heavy-hitters shape): per-batch vectorized partial counts (byte-level
+    [a-z]+ tokenizer -- non-ASCII and non-letter bytes are separators,
+    ASCII uppercase lowered -- then dictionary-encode + bincount), ONE
+    groupby over (token, partial_count) rows summing per token, top-k
+    per partition, tiny final merge. Only (token, count) partials move
+    through the exchange -- never text. Ties at the k boundary resolve
+    deterministically by (count DESC, token ASC), matching the SQL
+    oracle's ORDER BY."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    tbl = np.full(256, 0x20, dtype=np.uint8)
+    tbl[0x61:0x7B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+    tbl[0x41:0x5B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            text = pc.fill_null(text, "")
+        bufs = text.buffers()
+        off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            text.offset: text.offset + len(text) + 1
+        ].astype(np.int64)
+        b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+        blanked = tbl[b]
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), len(text),
+            [None, pa.py_buffer((offs - offs[0]).tobytes()),
+             pa.py_buffer(blanked.tobytes())],
+        )
+        words = pc.split_pattern(arr, " ").values
+        enc = pc.dictionary_encode(words)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pandas()
+        counts = np.bincount(codes, minlength=len(vocab))
+        keep = (vocab.str.len() > 0).to_numpy()
+        out = pd.DataFrame(
+            {"token": vocab[keep], "cnt": counts[keep].astype("int64")}
+        )
+        out["part"] = stable_part(out["token"].to_numpy(), num_parts)
+        return out
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", sort=False)["cnt"].sum().reset_index()
+        tot = tot.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return tot.head(k)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1,
+    )
+    cand = (
+        partials.groupby("part")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()  # <= num_parts * k rows
+    )
+    return (
+        cand.sort_values(["cnt", "token"], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 class Fingerprint:
     """Rolling-hash document fingerprint (polynomial rolling hash of the
     whole doc + min rolling hash over windows -- a winnowing-style
