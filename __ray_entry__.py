@@ -623,6 +623,24 @@ def _q_events_distinct_users_1d(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_events_hist_quantiles(sf_dir: str):
+    """Per-user p50/p95/p99 via the mergeable fixed-bin histogram
+    sketch (deterministic: approximation = bin width, not sampling, so
+    DuckDB reproduces it bit-for-bit). Exchange carries one 1024-bin
+    count vector per (user, batch) -- the HLL shape for quantiles."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import histogram_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    return histogram_quantiles(
+        ds, value_col="value", group_col="user_id",
+        lo=0.0, hi=512.0, nbins=1024, qs=(0.5, 0.95, 0.99),
+    )
+
+
 def _q_embeddings_cosine_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (the dedup-family member
     over the embeddings table): EXACT distributed block-nested-loop
@@ -981,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "docs_top_tokens": _q_docs_top_tokens,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
+        "events_hist_quantiles": _q_events_hist_quantiles,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,
@@ -1649,6 +1668,29 @@ GROUP BY user_id
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "events_hist_quantiles": """
+WITH b AS (
+    SELECT user_id AS grp,
+           LEAST(GREATEST(CAST(floor((value - 0.0) / 0.5) AS BIGINT), 0),
+                 1023) AS bin
+    FROM events
+),
+c AS (SELECT grp, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+    SELECT grp, bin,
+           SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY grp) AS n
+    FROM c
+)
+SELECT grp AS "group",
+       0.0 + (MIN(CASE WHEN cum >= GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                       THEN bin END) + 1) * 0.5 AS q5,
+       0.0 + (MIN(CASE WHEN cum >= GREATEST(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                       THEN bin END) + 1) * 0.5 AS q95,
+       0.0 + (MIN(CASE WHEN cum >= GREATEST(CAST(ceil(0.99 * n) AS BIGINT), 1)
+                       THEN bin END) + 1) * 0.5 AS q99
+FROM cum GROUP BY 1
+""",
         "docs_top_tokens": """
 SELECT token, cnt FROM (
     SELECT token, COUNT(*) AS cnt

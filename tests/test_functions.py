@@ -565,3 +565,38 @@ def test_exact_distinct_matches_pandas(ray_session):
     )
     want["n_distinct"] = want["n_distinct"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_histogram_quantiles_error_bound_and_merge(ray_session):
+    """Histogram quantile sketch: value error <= bin width vs the exact
+    quantile (rank definition: smallest v with #(x <= v) >= ceil(q n)),
+    and the result is invariant to how rows are batched/partitioned
+    (merge-by-addition is exact)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(4)
+    vals = np.concatenate([
+        rng.exponential(50, 30000), rng.normal(300, 20, 20000)
+    ]).clip(0, 511.9)
+    df = pd.DataFrame({"g": rng.randint(0, 5, len(vals)), "v": vals})
+    lo, hi, nbins = 0.0, 512.0, 1024
+    w = (hi - lo) / nbins
+    for parts in (1, 8):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (
+            histogram_quantiles(ds, "v", "g", lo=lo, hi=hi, nbins=nbins,
+                                qs=(0.5, 0.95, 0.99))
+            .to_pandas().sort_values("group").reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            x = np.sort(df.loc[df["g"] == row["group"], "v"].to_numpy())
+            for q, col in ((0.5, "q5"), (0.95, "q95"), (0.99, "q99")):
+                exact = x[int(np.ceil(q * len(x))) - 1]
+                assert abs(row[col] - exact) <= w + 1e-12, (q, row[col], exact)
+        if parts == 1:
+            base = got
+    pd.testing.assert_frame_equal(base, got)
