@@ -623,6 +623,48 @@ def _q_events_distinct_users_1d(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over the largest table --
+    combiner-first partial aggregation (only (group, partial) rows ever
+    leave a batch). Rounding: big-money sums at 2dp (partial-order fp
+    drift ~1e-6 absolute on 1e8-scale sums), averages at 6dp."""
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines.analytics import pricing_summary
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = pricing_summary(ds)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        v = out[c].to_numpy() + 1e-7
+        out[c] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+    for c in ("avg_qty", "avg_price", "avg_disc"):
+        v = out[c].to_numpy() + 1e-7
+        out[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return out.drop(columns=["sum_disc"], errors="ignore")
+
+
+def _q_orders_revenue_by_priority(sf_dir: str):
+    """Large-large join done scale-right: lineitem pre-aggregated per
+    orderkey inside map_batches, hash-partitioned join against orders,
+    final combiner over priorities."""
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines.analytics import revenue_by_priority
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    out = revenue_by_priority(li, orders)
+    v = out["revenue"].to_numpy() + 1e-7
+    out["revenue"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+    return out
+
+
 def _q_events_hist_quantiles(sf_dir: str):
     """Per-user p50/p95/p99 via the mergeable fixed-bin histogram
     sketch (deterministic: approximation = bin width, not sampling, so
@@ -1000,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "orders_revenue_by_priority": _q_orders_revenue_by_priority,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
         "series_extras_1h": _q_series_extras_1h,
@@ -1668,6 +1712,28 @@ GROUP BY user_id
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "lineitem_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity) + 0.0000001, 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice) + 0.0000001, 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.0000001, 2)
+           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             + 0.0000001, 2) AS sum_charge,
+       ROUND(AVG(l_quantity) + 0.0000001, 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 0.0000001, 6) AS avg_price,
+       ROUND(AVG(l_discount) + 0.0000001, 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY 1, 2
+""",
+        "orders_revenue_by_priority": """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.0000001, 2)
+           AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
         "events_hist_quantiles": """
 WITH b AS (
     SELECT user_id AS grp,

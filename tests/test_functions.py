@@ -600,3 +600,47 @@ def test_histogram_quantiles_error_bound_and_merge(ray_session):
         if parts == 1:
             base = got
     pd.testing.assert_frame_equal(base, got)
+
+
+def test_pricing_summary_cutoff_and_join(ray_session):
+    """Analytics pipelines vs pandas brute: Q1-style with a shipdate
+    cutoff, and the pre-aggregated join revenue."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines.analytics import (
+        pricing_summary,
+        revenue_by_priority,
+    )
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp("1995-06-17").value // 1000
+    got = pricing_summary(
+        rd.from_pandas(li).repartition(5), cutoff_us=cutoff
+    )
+    sub = li[li["l_shipdate"].astype("datetime64[us]").astype("int64") <= cutoff]
+    want = (
+        sub.groupby(["l_returnflag", "l_linestatus"])
+        .agg(sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size"))
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert list(got["count_order"]) == list(want["count_order"])
+    assert np.allclose(got["sum_qty"], want["sum_qty"])
+
+    orders = pq.read_table("/root/testdata/sf0.001/orders.parquet").to_pandas()
+    got_r = revenue_by_priority(
+        rd.from_pandas(li).repartition(4), rd.from_pandas(orders), num_parts=6
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    want_r = (
+        j.assign(rev=j["l_extendedprice"] * (1 - j["l_discount"]))
+        .groupby("o_orderpriority")["rev"].sum()
+        .reset_index(name="revenue")
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert list(got_r["o_orderpriority"]) == list(want_r["o_orderpriority"])
+    assert np.allclose(got_r["revenue"], want_r["revenue"])
