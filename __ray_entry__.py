@@ -665,6 +665,35 @@ def _q_orders_revenue_by_priority(sf_dir: str):
     return out
 
 
+def _q_events_props_rollup(sf_dir: str):
+    """Semi-structured metadata path: vectorized JSON-int extraction
+    from the props column (one RE2 pass per batch), then the combiner
+    rollup per event_type -- SQL-checkable via json_extract."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import extract_json_int
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    ds = extract_json_int(ds, "props", "k")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["k"]
+        return g.agg(n="count", k_sum="sum").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", sort=False).sum().reset_index()
+    out["k_avg"] = out["k_sum"] / out["n"]
+    out["n"] = out["n"].astype("int64")
+    out["k_sum"] = out["k_sum"].astype("float64")
+    v = out["k_avg"].to_numpy() + 1e-7
+    out["k_avg"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_events_hist_quantiles(sf_dir: str):
     """Per-user p50/p95/p99 via the mergeable fixed-bin histogram
     sketch (deterministic: approximation = bin width, not sampling, so
@@ -1042,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
+        "events_props_rollup": _q_events_props_rollup,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
         "media_features": _q_media_features,
@@ -1712,6 +1742,15 @@ GROUP BY user_id
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
+        "events_props_rollup": """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS DOUBLE) AS k_sum,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             + 0.0000001, 6) AS k_avg
+FROM events GROUP BY 1
+""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity) + 0.0000001, 2) AS sum_qty,

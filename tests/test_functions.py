@@ -644,3 +644,16 @@ def test_pricing_summary_cutoff_and_join(ray_session):
     )
     assert list(got_r["o_orderpriority"]) == list(want_r["o_orderpriority"])
     assert np.allclose(got_r["revenue"], want_r["revenue"])
+
+
+def test_extract_json_int(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import extract_json_int
+
+    rows = ['{"k": 5}', '{"k": -12, "x": 1}', '{"x": 3}', "{}", None,
+            '{"k":  42}']
+    ds = rd.from_pandas(pd.DataFrame({"props": rows}))
+    got = extract_json_int(ds, "props", "k").to_pandas()["k"]
+    assert list(got.fillna(-999)) == [5, -12, -999, -999, -999, 42]

@@ -422,6 +422,29 @@ def top_tokens(
     )
 
 
+def extract_json_int(
+    ds: "ray.data.Dataset", json_col: str, field: str, out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Vectorized extraction of an integer field from a flat-JSON string
+    column (semi-structured props/metadata, the common event-log shape):
+    one RE2 ``extract_regex`` pass per batch, no per-row Python, null
+    when the field is absent. The regex fast path assumes the field
+    value is an unquoted integer (true for typed metadata columns); a
+    full JSON parser plugs in at this same seam for nested payloads."""
+    out_col = out_col or field
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[json_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        pat = rf'"{field}"\s*:\s*(?P<v>-?\d+)'
+        m = pc.extract_regex(s, pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
 class Fingerprint:
     """Rolling-hash document fingerprint (polynomial rolling hash of the
     whole doc + min rolling hash over windows -- a winnowing-style
