@@ -78,3 +78,27 @@ def test_freq_inference_parity(ray_session):
     )
     with _pytest.raises(Exception, match="Failed to infer frequency"):
         tsfeatures(irr, features=["series_length"]).to_pandas()
+
+
+def test_threads_parity_alias(ray_session):
+    """Reference API parity: `threads` (the Pool-size knob,
+    tsfeatures.py:970) is accepted as an alias of concurrency and does
+    not change results."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import tsfeatures
+
+    rows = []
+    for uid in ("a", "b"):
+        for i in range(30):
+            rows.append((uid, i, float(i % 7 + 1)))
+    panel = pd.DataFrame(rows, columns=["unique_id", "ds", "y"])
+    base = tsfeatures(panel, freq=1, features=["stability"]).to_pandas()
+    alias = tsfeatures(
+        panel, freq=1, features=["stability"], threads=2
+    ).to_pandas()
+    key = ["unique_id"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        alias.sort_values(key).reset_index(drop=True),
+    )

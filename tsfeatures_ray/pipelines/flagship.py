@@ -179,6 +179,7 @@ def tsfeatures(
     num_parts: int | None = None,
     concurrency=None,
     dict_freqs=None,
+    threads: int | None = None,
 ) -> "rd.Dataset":
     """Ray-native analog of reference ``tsfeatures(ts, freq)``
     (tsfeatures.py:930-976): long panel with columns
@@ -187,7 +188,13 @@ def tsfeatures(
     ``freq=None`` infers the seasonal period from the ``ds`` column the
     way the reference does (pd.infer_freq + FREQS / ``dict_freqs``,
     raising on failure) using one sampled series -- the engine otherwise
-    pins seasonality per tier/config (SURVEY.md §1.3)."""
+    pins seasonality per tier/config (SURVEY.md §1.3).
+
+    ``threads`` is the reference's parallelism knob (Pool size,
+    tsfeatures.py:970) -- accepted for drop-in parity as an alias of
+    ``concurrency`` (None keeps the engine's CPU-derived default)."""
+    if concurrency is None and threads is not None:
+        concurrency = threads
     if isinstance(panel, pd.DataFrame):
         panel = rd.from_pandas(panel)
     if num_parts is None:
@@ -218,11 +225,15 @@ def tsfeatures_wide(
     features=None,
     scale: bool = True,
     concurrency=None,
+    threads: int | None = None,
 ) -> "rd.Dataset":
     """Ray-native analog of reference ``tsfeatures_wide``
     (tsfeatures.py:1001-1039): wide panel (unique_id, seasonality,
     y=list<double>) -> feature Dataset. The wide layout needs NO
-    shuffle at all -- rows are already one-per-series."""
+    shuffle at all -- rows are already one-per-series. ``threads`` is
+    the reference parity alias of ``concurrency``."""
+    if concurrency is None and threads is not None:
+        concurrency = threads
     if isinstance(panel, pd.DataFrame):
         tbl = pa.table(
             {
