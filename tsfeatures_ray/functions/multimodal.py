@@ -5,15 +5,17 @@ Media payloads are opaque ``binary`` columns with typed metadata
 stub, decode is REAL for the three container formats this engine
 defines/supports without external libraries:
 
-- image: binary PPM (P6), decoded with numpy (header parse + frombuffer);
+- image: PNG (REAL decoder: stdlib zlib inflate + CRC-checked chunks +
+  all five scanline filters per RFC 2083; encoder too) and binary PPM
+  (P6), both pure numpy/stdlib;
 - audio: RIFF/WAV PCM16, decoded with the stdlib ``wave`` module;
 - video: a trivial concatenated-PPM container (``VID0`` magic +
   frame count + back-to-back P6 frames) -- a real, parseable format.
 
-Compressed codecs (JPEG/PNG/MP3/MP4) need external libraries that are
-not in this container; payloads with those magics raise
-``NotImplementedError`` from ``decode_media`` (clearly marked seam: real
-deployments plug PIL/libav into ``MediaFeatures(decode=...)``).
+Codecs that genuinely need external libraries (JPEG/MP3/MP4, 16-bit /
+palette / interlaced PNG) raise ``NotImplementedError`` from
+``decode_media`` (clearly marked seam: real deployments plug PIL/libav
+into ``MediaFeatures(decode=...)``).
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
@@ -61,12 +63,21 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatching image decoder: PNG (real stdlib-zlib decoder) or
+    binary PPM; HxWx3 uint8 out."""
+    if payload.startswith(_PNG_MAGIC):
+        return _as_rgb(decode_png(payload))
+    return decode_ppm(payload)
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6) -> HxWx3 uint8 (numpy, no external deps)."""
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "unsupported image codec (only binary PPM is decodable without "
-            "external libraries; plug PIL into MediaFeatures(decode=...))"
+            "unsupported image codec (PNG and binary PPM are decodable "
+            "without external libraries; plug PIL into "
+            "MediaFeatures(decode=...) for JPEG etc.)"
         )
     # header: magic, whitespace-separated width/height/maxval, then raster
     parts = []
@@ -86,6 +97,132 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, _maxval = parts
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 image -> PNG (stdlib zlib; filter 0 rows). Accepts HxW
+    (grayscale, color type 0), HxWx3 (RGB, type 2) or HxWx4 (RGBA,
+    type 6); bit depth 8, no interlace. A REAL standards-compliant
+    encoder: output opens in any PNG reader."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        ctype, channels, data = 0, 1, img[:, :, None]
+    elif img.shape[2] == 3:
+        ctype, channels, data = 2, 3, img
+    elif img.shape[2] == 4:
+        ctype, channels, data = 6, 4, img
+    else:
+        raise ValueError("encode_png: need HxW, HxWx3 or HxWx4 uint8")
+    h, w = img.shape[:2]
+    raw = np.zeros((h, 1 + w * channels), np.uint8)
+    raw[:, 1:] = data.reshape(h, w * channels)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8 (stdlib zlib + numpy; REAL decoder).
+
+    Supports the PNG core: bit depth 8, color types 0/2/6 (gray, RGB,
+    RGBA), all five scanline filters (None/Sub/Up/Average/Paeth --
+    spec RFC 2083 §6), CRC-validated chunks, multi-IDAT streams; no
+    interlace, no palette, no 16-bit (those raise NotImplementedError).
+    Sub/Up unfilter vectorized; Average/Paeth are row-sequential by
+    definition."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    i = 8
+    ihdr, idat = None, []
+    while i + 12 <= len(payload):
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + ln]
+        crc = int.from_bytes(payload[i + 8 + ln:i + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            "PNG variant outside the core profile (16-bit / palette / "
+            "interlaced); plug an external decoder into "
+            "MediaFeatures(decode=...)"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:]
+    bpp = channels
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        line = data[y].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average (row-sequential: left is reconstructed)
+            rec = line
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded image to HxWx3 for the feature kernels."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -148,7 +285,7 @@ def decode_media(payload: bytes, media_type: str):
     """Dispatching real decoder; raises NotImplementedError for codecs
     that need external libraries."""
     if media_type == "image":
-        return decode_ppm(payload)
+        return decode_image(payload)
     if media_type == "audio":
         return decode_wav(payload)
     if media_type == "video":
@@ -257,7 +394,8 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if t == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payloads.append(encode_ppm(img))
+            # alternate REAL container formats: PNG and binary PPM
+            payloads.append(encode_png(img) if i % 2 else encode_ppm(img))
             widths.append(w); heights.append(h); rates.append(0); framecounts.append(1)
         elif t == "audio":
             rate = 8000
