@@ -130,3 +130,37 @@ def test_media_pipeline_decodes_png_payloads(ray_session):
     out = media_features(rd.from_arrow(tbl)).to_pandas()
     assert len(out) == 24
     assert all(len(v) == 64 for v in out["features"])
+
+
+def test_wav_widths_and_stereo():
+    """decode_wav handles 8/16/32-bit PCM and averages channels."""
+    import io
+    import wave
+
+    from tsfeatures_ray.functions.multimodal import decode_wav
+
+    sig = np.sin(2 * np.pi * 440 * np.arange(800) / 8000.0) * 0.5
+
+    def make(width, nch):
+        if width == 1:
+            pcm = ((sig * 127) + 128).astype(np.uint8)
+        elif width == 2:
+            pcm = (sig * 32767).astype("<i2")
+        else:
+            pcm = (sig * 2147483647).astype("<i4")
+        if nch == 2:
+            pcm = np.repeat(pcm, 2)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(nch)
+            f.setsampwidth(width)
+            f.setframerate(8000)
+            f.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    for width in (1, 2, 4):
+        for nch in (1, 2):
+            s, rate = decode_wav(make(width, nch))
+            assert rate == 8000 and len(s) == 800
+            tol = 0.02 if width == 1 else 1e-3
+            assert np.abs(s - sig).max() < tol, (width, nch)

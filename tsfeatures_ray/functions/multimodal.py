@@ -239,7 +239,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAV PCM16 -> (float64 samples in [-1, 1], sample_rate)."""
+    """RIFF/WAV PCM -> (float64 mono samples in [-1, 1], sample_rate).
+
+    Handles 8-bit (unsigned), 16-bit and 32-bit signed PCM at any
+    channel count (channels are averaged to mono for the feature
+    kernels) -- the full uncompressed-WAV profile the stdlib ``wave``
+    module parses."""
     if not payload.startswith(b"RIFF"):
         raise NotImplementedError(
             "unsupported audio codec (only RIFF/WAV PCM is decodable "
@@ -247,8 +252,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         )
     with wave.open(io.BytesIO(payload), "rb") as f:
         rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
         raw = f.readframes(f.getnframes())
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if width == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 127.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483647.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} not supported")
+    if nch > 1:
+        samples = samples[: len(samples) - len(samples) % nch]
+        samples = samples.reshape(-1, nch).mean(axis=1)
     return samples, rate
 
 
