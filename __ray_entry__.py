@@ -98,6 +98,37 @@ def _q_rollup_gapfill(tier: str):
     return run
 
 
+def _q_rollup_incremental_1h(sf_dir: str):
+    """Incremental-ingestion exactness: the derived stream is split into
+    two disjoint slices (turn parity -- harsher than a time split: every
+    (conv, bucket) group straddles both slices, so the 'last' merge is
+    exercised everywhere), each slice rolled up independently with
+    keep_ord=True, then merge_rollups combines them. Must hash-match the
+    same oracle as the full single-pass rollup -- proving stored rollups
+    merge exactly with new slices (no history recompute at 100 TB)."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.rollup import merge_rollups, rollup
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["slice"] = (df["turn_idx"] % 2).astype("int64")
+        return df
+
+    derived = (
+        derived_pipeline(sf_dir, slim=True)
+        .map_batches(tag, batch_format="pandas")
+        .materialize()
+    )
+    a = derived.filter(expr="slice == 0")
+    b = derived.filter(expr="slice == 1")
+    ra = rollup(a, tiers=["1h"], keep_ord=True)
+    rb = rollup(b, tiers=["1h"], keep_ord=True)
+    merged = merge_rollups(ra, rb, tiers=["1h"])
+    return merged.drop_columns(["bucket_us", "filled", "tier"])
+
+
 def _q_series_stats(sf_dir: str):
     """statistics/series_length/sparsity/crossing_points kernels over the
     raw per-turn token_len series (scale=False) -- SQL-checkable."""
@@ -1042,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
+        "rollup_incremental_1h": _q_rollup_incremental_1h,
         "rollup_compact_1h": _q_rollup_compact_1h,
         "series_stats": _q_series_stats,
         "series_stats_wide": _q_series_stats_wide,
@@ -1720,6 +1752,7 @@ GROUP BY user_id
         "derived_turns": turns + "SELECT * FROM turns",
         "rollup_1m": rollup_sql("minute"),
         "rollup_1h": rollup_sql("hour"),
+        "rollup_incremental_1h": rollup_sql("hour"),
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
         "rollup_compact_1h": rollup_sql("hour"),

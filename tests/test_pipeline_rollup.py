@@ -186,3 +186,45 @@ def test_rollup_colocated_single_exchange_matches_two_exchange(ray_session):
         two = two.drop(columns=["part"], errors="ignore").sort_values(key).reset_index(drop=True)
         one = one.drop(columns=["part"], errors="ignore").sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(one[sorted(one.columns)], two[sorted(two.columns)])
+
+
+def test_merge_rollups_incremental_exactness(ray_session):
+    """keep_ord rollups of disjoint slices merge EXACTLY into the
+    single-pass rollup -- 3-way split, including gap-fill applied at the
+    final merge."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.rollup import merge_rollups, rollup
+
+    sf = "/root/testdata/sf0.001"
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["slice"] = (df["turn_idx"] % 3).astype("int64")
+        return df
+
+    derived = (
+        derived_pipeline(sf, slim=True)
+        .map_batches(tag, batch_format="pandas")
+        .materialize()
+    )
+    slices = [
+        rollup(derived.filter(expr=f"slice == {i}"), tiers=["1m", "1h"],
+               keep_ord=True)
+        for i in range(3)
+    ]
+    for gapfill in (False, True):
+        merged = merge_rollups(*slices, tiers=["1m", "1h"], gapfill=gapfill)
+        direct = rollup(derived, tiers=["1m", "1h"], gapfill=gapfill)
+        key = ["conv_id", "tier", "bucket_us"]
+        m = merged.to_pandas().sort_values(key).reset_index(drop=True)
+        d = direct.to_pandas().drop(columns=["part"], errors="ignore")
+        d = d.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(m[sorted(d.columns)], d[sorted(d.columns)])
+
+    # keep_ord + inline gapfill is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_ord"):
+        rollup(derived, tiers=["1h"], keep_ord=True, gapfill=True)

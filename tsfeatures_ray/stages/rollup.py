@@ -145,7 +145,8 @@ def _gapfill_partition(
     return pd.concat(pieces, ignore_index=True)
 
 
-def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec):
+def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec,
+                 keep_ord: bool = False):
     key = spec.key
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -160,6 +161,12 @@ def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec):
             aggs[f"{pref}_min"] = (f"{pref}_min", "min")
             aggs[f"{pref}_max"] = (f"{pref}_max", "max")
             aggs[f"{pref}_last"] = (f"{pref}_last", "last")
+        if keep_ord:
+            # carry the ordering key of the winning 'last' row so the
+            # OUTPUT itself stays a mergeable partial (incremental
+            # ingestion: merge_rollups of two time slices is exact)
+            aggs["last_ord_ts"] = ("last_ord_ts", "last")
+            aggs["last_ord_tie"] = ("last_ord_tie", "last")
         merged = gb.agg(**aggs).reset_index()
         for pref in spec.values.values():
             merged.loc[merged[f"{pref}_count"] == 0, f"{pref}_sum"] = np.nan
@@ -178,6 +185,8 @@ def _final_merge(gapfill: bool, tier_widths: dict[str, int], spec: RollupSpec):
                 # boundary; integer inputs stay exact in float64
                 merged[c] = merged[c].astype("float64")
         cols = [key, "tier", "bucket", "bucket_us"] + spec.agg_cols + ["filled"]
+        if keep_ord:
+            cols += ["last_ord_ts", "last_ord_tie"]
         return merged[cols]
 
     return fn
@@ -190,6 +199,7 @@ def rollup(
     num_parts: int | None = None,
     spec: RollupSpec = DEFAULT_SPEC,
     salt_window_us: int | None = None,
+    keep_ord: bool = False,
 ) -> "ray.data.Dataset":
     """Keyed stream Dataset -> rollup Dataset at the given tiers.
 
@@ -210,9 +220,13 @@ def rollup(
         raise ValueError(
             "salted rollup cannot gap-fill inline; run gapfill_rollup() after"
         )
+    if keep_ord and gapfill:
+        raise ValueError("keep_ord rollups cannot gap-fill inline (gap "
+                         "rows have no ordering key); gap-fill after the "
+                         "final merge_rollups instead")
     partials = _partials_with_part(ds, tier_objs, spec, num_parts, salt_window_us)
     return partials.groupby("part").map_groups(
-        _final_merge(gapfill, tier_widths, spec), batch_format="pandas"
+        _final_merge(gapfill, tier_widths, spec, keep_ord), batch_format="pandas"
     )
 
 
@@ -314,6 +328,43 @@ def rollup_colocated(
         return out
 
     return ds_with_part.groupby("part").map_groups(fused, batch_format="pandas")
+
+
+def merge_rollups(
+    *rollups: "ray.data.Dataset",
+    tiers: list[str] | None = None,
+    gapfill: bool = False,
+    num_parts: int | None = None,
+    spec: RollupSpec = DEFAULT_SPEC,
+    keep_ord: bool = False,
+) -> "ray.data.Dataset":
+    """Merge rollups produced with ``keep_ord=True`` into one rollup --
+    the INCREMENTAL INGESTION shape: yesterday's stored rollup + today's
+    slice merge EXACTLY (count/sum/min/max are associative; 'last'
+    carries its ordering key), so a 100 TB corpus never recomputes
+    history. Exact by construction: each keep_ord rollup row IS a
+    partial row of the same shape the per-batch aggregation emits, so
+    this reuses the identical partial->merge code path (hash-exact
+    equality with a full recompute is pinned by the
+    ``rollup_incremental_1h`` driver oracle and pytest)."""
+    tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
+    tier_widths = {t.name: t.bucket_us for t in tier_objs}
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def to_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket", "filled", "part"], errors="ignore")
+        df["part"] = stable_part(df[spec.key].to_numpy(), num_parts)
+        return df
+
+    ds = rollups[0]
+    for other in rollups[1:]:
+        ds = ds.union(other)
+    partials = ds.map_batches(to_partial, batch_format="pandas")
+    return partials.groupby("part").map_groups(
+        _final_merge(gapfill, tier_widths, spec, keep_ord),
+        batch_format="pandas",
+    )
 
 
 def gapfill_rollup(
