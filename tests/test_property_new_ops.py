@@ -1,0 +1,72 @@
+"""Hypothesis property tests for the round-3 pure-function surfaces
+(no Ray needed): PNG round-trip over arbitrary shapes/content, batched
+Jaccard vs the reference formulation over arbitrary unicode text, and
+HLL determinism/merge laws."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, channels, seed):
+    from tsfeatures_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(img))
+    want = img[:, :, None] if channels == 1 else img
+    assert np.array_equal(out, want)
+
+
+_TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_TEXT, _TEXT), min_size=1, max_size=12))
+def test_jaccard_batch_property(pairs):
+    from tsfeatures_ray.functions.dedup import jaccard_batch, ngram_jaccard
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = jaccard_batch(a, b)
+    want = np.array([ngram_jaccard(x, y) for x, y in pairs])
+    assert np.allclose(got, want)
+    assert ((got >= 0) & (got <= 1)).all()
+    # identity: every doc is a perfect dup of itself
+    self_sim = jaccard_batch(a, a)
+    assert np.allclose(self_sim, 1.0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    p=st.integers(4, 14),
+    n=st.integers(1, 3000),
+)
+def test_hll_merge_laws_property(seed, p, n):
+    from tsfeatures_ray.functions.sketches import hll_build, hll_merge
+
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 10 * n, size=n)
+    half = n // 2
+    whole = hll_build(vals, p=p)
+    merged = hll_merge(hll_build(vals[:half], p=p), hll_build(vals[half:], p=p))
+    # split-merge == whole (register max is exact over any partition)
+    assert np.array_equal(whole, merged)
+    # idempotence + commutativity
+    assert np.array_equal(hll_merge(whole, whole), whole)
+    a, b = hll_build(vals[:half], p=p), hll_build(vals[half:], p=p)
+    assert np.array_equal(hll_merge(a, b), hll_merge(b, a))
