@@ -88,3 +88,27 @@ def test_train_test_split(ray_session):
         h = min(4, n)
         assert list(t["ds"]) == list(range(n - h, n))
         assert len(tr[tr.unique_id == uid]) == n - h
+
+
+def test_m4_prep_surface(tmp_path):
+    """Reference-parity M4 prep (sources/m4.py): synthetic M4-shaped
+    CSVs when files are absent (no network), reference-exact parse
+    (melt, 0-based ds offsets, date synthesis, category merge), and the
+    output feeds tsfeatures directly."""
+    from tsfeatures_ray.sources.m4 import m4_parser, prepare_m4_data, seas_dict
+
+    d = str(tmp_path)
+    X_tr, y_tr, X_te, y_te = prepare_m4_data("Hourly", d, 100)
+    h = seas_dict["Hourly"]["output_size"]
+    assert list(y_tr.columns) == ["unique_id", "ds", "y"]
+    assert list(X_te.columns) == ["unique_id", "ds", "x"]
+    assert (y_te.groupby("unique_id").size() == h).all()
+    # per-series: test dates continue train dates at the dataset freq
+    uid = y_tr["unique_id"].iloc[0]
+    tr = y_tr[y_tr.unique_id == uid].sort_values("ds")
+    te = y_te[y_te.unique_id == uid].sort_values("ds")
+    assert te["ds"].iloc[0] - tr["ds"].iloc[-1] == pd.Timedelta(hours=1)
+    # files persist; second parse is identical (user-supplied CSVs would
+    # be used as-is the same way)
+    again = m4_parser("Hourly", d, 100)[1]
+    pd.testing.assert_frame_equal(again, y_tr)

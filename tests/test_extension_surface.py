@@ -102,3 +102,32 @@ def test_threads_parity_alias(ray_session):
         base.sort_values(key).reset_index(drop=True),
         alias.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_r_bridge_surface_importable_and_guided():
+    import pytest
+    """The tsfeatures_r bridge imports cleanly (unlike the reference,
+    whose module-level rpy2 import fails without R) and raises a
+    guidance ImportError at call time when rpy2 is absent."""
+    import pandas as pd
+
+    from tsfeatures_ray.pipelines import tsfeatures_r, tsfeatures_r_wide
+
+    panel = pd.DataFrame(
+        {"unique_id": ["a"] * 5, "ds": range(5), "y": [1.0] * 5}
+    )
+    try:
+        import rpy2  # noqa: F401
+
+        has_rpy2 = True
+    except ImportError:
+        has_rpy2 = False
+    if not has_rpy2:
+        with pytest.raises(ImportError, match="rpy2"):
+            tsfeatures_r(panel, 1)
+        with pytest.raises(ImportError, match="rpy2"):
+            tsfeatures_r_wide(
+                pd.DataFrame(
+                    {"unique_id": ["a"], "seasonality": [1], "y": [[1.0, 2.0]]}
+                )
+            )
