@@ -123,3 +123,23 @@ def test_cosine_near_dups_exact_and_lsh(ray_session):
     exact2 = cosine_near_dups(ds, threshold=0.4, num_parts=3).to_pandas()
     t2 = set(zip(exact2.id_a, exact2.id_b))
     assert t2 == truth
+
+
+def test_cosine_near_dups_tiny_corpus_and_empty_partitions(ray_session):
+    """num_parts > n_vectors leaves hash partitions empty -- the
+    partition-pair buckets must handle empty sides, and the result must
+    equal the dense-partition run."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import cosine_near_dups
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(5, 8)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(8)  # one near-dup pair
+    df = pd.DataFrame({"vec_id": range(5), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    dense = cosine_near_dups(ds, threshold=0.9, num_parts=2).to_pandas()
+    sparse = cosine_near_dups(ds, threshold=0.9, num_parts=16).to_pandas()
+    key = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
+    assert key(dense) == key(sparse) == {(0, 1)}

@@ -336,12 +336,22 @@ def cosine_near_dups(
         rep["pairb"] = lo * P + hi
         return rep
 
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         i, j = divmod(int(g["pairb"].iloc[0]), P)
-        # replication sends a row to bucket (p, p) twice -- once per k
-        # hitting its own partition is impossible twice... dedup by id
         g = g.drop_duplicates(subset=[id_col, "side"])
         a = g[g["side"] == i]
+        # a hash partition can be empty (fewer keys than parts): the
+        # cross bucket then has nothing to pair
+        if len(a) == 0 or (i == j and len(a) < 2):
+            return _EMPTY.copy()
+        if i != j and len(g[g["side"] == j]) == 0:
+            return _EMPTY.copy()
         m_a = _to_matrix(a[vec_col].to_numpy())
         m_a /= np.maximum(np.linalg.norm(m_a, axis=1, keepdims=True), 1e-12)
         ids_a = a[id_col].to_numpy()

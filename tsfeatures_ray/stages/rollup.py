@@ -353,6 +353,12 @@ def merge_rollups(
         num_parts = default_num_parts()
 
     def to_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "last_ord_ts" not in df.columns:
+            raise ValueError(
+                "merge_rollups needs rollups produced with keep_ord=True "
+                "(the 'last' aggregate is only mergeable when each row "
+                "carries its ordering key)"
+            )
         df = df.drop(columns=["bucket", "filled", "part"], errors="ignore")
         df["part"] = stable_part(df[spec.key].to_numpy(), num_parts)
         return df
