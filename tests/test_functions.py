@@ -657,3 +657,24 @@ def test_extract_json_int(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"props": rows}))
     got = extract_json_int(ds, "props", "k").to_pandas()["k"]
     assert list(got.fillna(-999)) == [5, -12, -999, -999, -999, 42]
+
+
+def test_histogram_quantiles_global(ray_session):
+    """group_col=None computes one global quantile row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(6)
+    v = rng.uniform(0, 100, 20000)
+    got = histogram_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": v})), "v", None,
+        lo=0.0, hi=100.0, nbins=1000, qs=(0.5, 0.99),
+    ).to_pandas()
+    assert len(got) == 1
+    x = np.sort(v)
+    for q, col in ((0.5, "q5"), (0.99, "q99")):
+        exact = x[int(np.ceil(q * len(x))) - 1]
+        assert abs(got[col].iloc[0] - exact) <= 0.1 + 1e-9

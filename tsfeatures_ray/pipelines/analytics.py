@@ -16,7 +16,6 @@ Two scale patterns the 100 TB rubric cares about:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import ray.data as rd
