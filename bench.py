@@ -237,8 +237,82 @@ def run_scaling() -> None:
     )
 
 
+def run_ops() -> dict:
+    """Per-operator throughput for the training-data ops over the real
+    testdata tables at $GRAFT_SF_DIR's sibling sf0.1 (documents /
+    embeddings / events are driver-provided, not synthesized)."""
+    sf_dir = os.environ.get("GRAFT_OPS_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import numpy as np
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    out: dict[str, dict] = {}
+
+    def timed(name, n_rows, fn):
+        t0 = time.perf_counter()
+        res = fn()
+        dt = time.perf_counter() - t0
+        out[name] = {"sec": round(dt, 2), "rows_per_sec": round(n_rows / dt)}
+        return res
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(docs_path).metadata.num_rows
+    n_emb = pq.ParquetFile(emb_path).metadata.num_rows
+    n_ev = pq.ParquetFile(ev_path).metadata.num_rows
+
+    from tsfeatures_ray.functions.dedup import (
+        exact_dedup,
+        minhash_near_dups_distributed,
+    )
+    from tsfeatures_ray.functions.similarity import brute_knn, cosine_near_dups
+    from tsfeatures_ray.functions.sketches import histogram_quantiles
+    from tsfeatures_ray.functions.text import language_id, text_metrics
+
+    docs = lambda: rd.read_parquet(docs_path, columns=["doc_id", "text"])  # noqa: E731
+    timed("text_metrics", n_docs, lambda: text_metrics(docs()).count())
+    timed("language_id", n_docs, lambda: language_id(docs()).count())
+    timed("exact_dedup", n_docs, lambda: exact_dedup(docs()).count())
+    timed("near_dups_lsh_verify", n_docs,
+          lambda: minhash_near_dups_distributed(docs(), threshold=0.8).count())
+    emb = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    q = np.stack([r["embedding"] for r in emb.take(16)])
+    timed("brute_knn_16q", n_emb, lambda: len(brute_knn(emb, q, k=10)))
+    timed("cosine_near_dups_exact", n_emb,
+          lambda: cosine_near_dups(emb, threshold=0.4).count())
+    ev = rd.read_parquet(ev_path, columns=["user_id", "value"])
+    timed("hist_quantiles", n_ev, lambda: histogram_quantiles(
+        ev, "value", "user_id", lo=0.0, hi=512.0).count())
+    result = {
+        "metric": "per-op wall seconds / rows per second (training-data ops)",
+        "value": round(sum(v["sec"] for v in out.values()), 2),
+        "unit": "sec",
+        "queries": out,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "table_rows": {"documents": n_docs, "embeddings": n_emb,
+                       "events": n_ev},
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--ops" in sys.argv:
+        print(json.dumps(run_ops()))
     else:
         print(json.dumps(run_bench()))

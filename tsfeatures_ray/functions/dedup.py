@@ -32,7 +32,8 @@ def _content_hash(texts, hash_key: str = "0123456789123456") -> np.ndarray:
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    num_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Keep the min-id representative per exact text. Returns a Dataset
     of (id_col, n_copies) -- one row per distinct text, ``keep_id`` =
@@ -42,7 +43,15 @@ def exact_dedup(
     collides with near-certainty at web-corpus scale (birthday bound at
     ~2^32 distinct docs), two independent 64-bit keys push collision
     odds below 1e-12 even at 10^12 docs. The shuffle ships only
-    (h1, h2, id) partials, never text."""
+    (h1, h2, id) partials, never text; the exchange key is the BOUNDED
+    ``h % num_parts`` partition (never the raw hash: map_groups invokes
+    its function once per group, so grouping on a high-cardinality key
+    pays per-invocation overhead per distinct value -- measured 26s ->
+    0.9s on 5k docs)."""
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].to_numpy()
@@ -58,7 +67,10 @@ def exact_dedup(
         g = df.groupby(["h", "h2"], sort=False)["id"].agg(
             ["min", "size"]
         ).reset_index()
-        return g.rename(columns={"min": "keep_id", "size": "n_copies"})
+        g = g.rename(columns={"min": "keep_id", "size": "n_copies"})
+        g["part"] = (g["h"].to_numpy().astype(np.uint64)
+                     % np.uint64(num_parts)).astype("int64")
+        return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
 
@@ -68,7 +80,7 @@ def exact_dedup(
         )
         return out.reset_index()[["keep_id", "n_copies"]]
 
-    return partials.groupby("h").map_groups(merge, batch_format="pandas")
+    return partials.groupby("part").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -158,10 +170,18 @@ def minhash_lsh_candidates(
                 for c in range(seg.shape[1]):
                     h = (h ^ seg[:, c]) * np.uint64(1099511628211)
                 bh[:, j] = h
-        return pd.DataFrame(
-            {"band": band_ids, "bh": bh.reshape(-1).astype("int64"), "id": ids}
+        flat = bh.reshape(-1)
+        out = pd.DataFrame(
+            {"band": band_ids, "bh": flat.astype("int64"), "id": ids}
         )
+        # bounded exchange key (map_groups is per-group: grouping on the
+        # raw band hash would pay invocation overhead per distinct value)
+        out["part"] = (flat % np.uint64(num_parts_for_buckets)).astype("int64")
+        return out
 
+    from ..stages.derive import default_num_parts
+
+    num_parts_for_buckets = default_num_parts()
     exploded = sigs.map_batches(explode_bands, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -186,12 +206,27 @@ def minhash_lsh_candidates(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cand = exploded.groupby("bh").map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
 
-    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
+    # GLOBAL pair dedup: the same pair can surface from different bands
+    # landing in different partitions, so per-batch dedup is not enough;
+    # one more (tiny -- candidate pairs only) co-location makes it exact
+    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        key = (batch["id_a"].to_numpy().astype(np.uint64)
+               * np.uint64(_HASH_KEY)
+               ^ batch["id_b"].to_numpy().astype(np.uint64))
+        batch["ppart"] = (key % np.uint64(num_parts_for_buckets)).astype(
+            "int64")
+        return batch
 
-    return cand.map_batches(dedup_pairs, batch_format="pandas")
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    return (
+        cand.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
