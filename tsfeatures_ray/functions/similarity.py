@@ -424,6 +424,12 @@ def cosine_near_dups_lsh(
             }
         )
         out["vec"] = list(np.repeat(m, tables, axis=0))
+        # bounded exchange key over (table, bucket); the exact fine
+        # grouping happens inside verify
+        key = (out["bucket"].to_numpy().astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               ^ out["table"].to_numpy().astype(np.uint64))
+        out["part"] = (key % np.uint64(64)).astype("int64")
         return out
 
     bucketize.planes = rng.normal(size=(_dim_of(ds, vec_col), tables * bits))
@@ -456,15 +462,27 @@ def cosine_near_dups_lsh(
             )
         return pd.concat(frames, ignore_index=True)
 
+    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        # bounded dedup key: map_groups is per-group, so grouping on the
+        # raw id would pay invocation overhead per distinct pair
+        key = (batch["id_a"].to_numpy().astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               ^ batch["id_b"].to_numpy().astype(np.uint64))
+        batch["ppart"] = (key % np.uint64(64)).astype("int64")
+        return batch
+
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # the same pair can surface from several tables
-        return g.drop_duplicates(subset=["id_a", "id_b"])
+        return g.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", "cosine"]
+        ]
 
     return (
         ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
+        .groupby("part")
         .map_groups(verify, batch_format="pandas")
-        .groupby("id_a")
+        .map_batches(add_pair_part, batch_format="pandas")
+        .groupby("ppart")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
 
