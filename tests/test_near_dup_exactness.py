@@ -143,3 +143,25 @@ def test_cosine_near_dups_tiny_corpus_and_empty_partitions(ray_session):
     sparse = cosine_near_dups(ds, threshold=0.9, num_parts=16).to_pandas()
     key = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
     assert key(dense) == key(sparse) == {(0, 1)}
+
+
+def test_near_dup_estimate_cascade(ray_session, corpus, truth):
+    """estimate_filter=True inserts the signature-estimate kill stage
+    before the text joins. Precision must stay 1.0 (verify is still
+    exact); recall floor is the same pinned 0.9 -- the 3-sigma margin
+    keeps true >= threshold pairs alive w.p. ~0.999 each."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import minhash_near_dups_distributed
+
+    ids, texts = corpus
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = minhash_near_dups_distributed(
+        ds, threshold=THRESHOLD, estimate_filter=True
+    ).to_pandas()
+    got_pairs = {
+        (min(a, b), max(a, b)) for a, b in zip(got["id_a"], got["id_b"])
+    }
+    assert got_pairs <= truth, got_pairs - truth
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got_pairs))

@@ -121,12 +121,39 @@ class MinHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([self.signature(s) for s in batch[self.text_col]])
         out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
-        out["sig"] = list(sigs.astype("int64"))
+        # plain lists -> Arrow list<int64> (numpy cells would become the
+        # Ray tensor extension type, which cannot union with list<int64>
+        # in the estimate-cascade joins)
+        out["sig"] = sigs.astype("int64").tolist()
         return out
 
 
-def minhash_lsh_candidates(
+def minhash_signatures(
     ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    k: int = 5,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Docs -> (id, sig) minhash signature Dataset (num_perm x int64 per
+    doc). Compute ONCE and reuse for both LSH banding and the
+    estimate-then-verify cascade."""
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col, "num_perm": num_perm,
+            "k": k,
+        },
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def minhash_lsh_candidates(
+    ds: "ray.data.Dataset | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
@@ -134,6 +161,7 @@ def minhash_lsh_candidates(
     k: int = 5,
     concurrency: int = 4,
     max_bucket: int = 2000,
+    sigs: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Docs -> candidate near-dup pairs via banded LSH. Returns a
     Dataset of (id_a, id_b) with id_a < id_b (unique pairs).
@@ -144,19 +172,18 @@ def minhash_lsh_candidates(
     the bucket's min id (a star, linear in bucket size) -- for true
     duplicates that is exactly the exact-dedup linkage; pairwise
     candidates beyond the cap are traded for bounded output
-    (SURVEY.md §4 skew rule)."""
+    (SURVEY.md §4 skew rule).
+
+    ``sigs``: precomputed signature Dataset (minhash_signatures) --
+    pass it when the caller also needs the signatures (estimate
+    cascade) so they are computed once."""
     rows_per_band = num_perm // bands
 
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col, "id_col": id_col, "num_perm": num_perm, "k": k
-        },
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, concurrency),
-        num_cpus=1,
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            ds, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
+            concurrency=concurrency,
+        )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         ids = np.repeat(batch[id_col].to_numpy(), bands)
@@ -336,6 +363,8 @@ def minhash_near_dups_distributed(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_parts: int | None = None,
+    estimate_filter: bool = False,
+    estimate_margin: float = 3.0,
     **kwargs,
 ) -> "ray.data.Dataset":
     """Near-dup pipeline with NO driver-side corpus materialization:
@@ -344,13 +373,32 @@ def minhash_near_dups_distributed(
     id_b side), and exact n-gram Jaccard runs per co-located batch. The
     corpus streams through the exchanges; the driver never holds it.
     Scale path for ``minhash_near_dups`` (whose broadcast {id: text}
-    lookup caps out at driver memory)."""
+    lookup caps out at driver memory). Signatures are computed ONCE and
+    reused by the banding stage (and the estimate cascade).
+
+    ``estimate_filter=True`` inserts the ESTIMATE-THEN-VERIFY cascade:
+    candidate pairs first join the (fixed num_perm x 8 B) signatures and
+    are killed when the signature-agreement Jaccard estimate falls below
+    ``threshold - estimate_margin * sqrt(t(1-t)/num_perm)`` (3 sigma
+    default: a true >= threshold pair survives w.p. ~0.999); only the
+    survivors pay the TEXT joins + exact verify. The win grows with
+    document size (web pages at 2-8 KB vs 512 B signatures); recall is
+    probabilistic, which is why the default stays off and the brute
+    all-pairs gate pins the filtered recall floor."""
     from .join import partitioned_join
 
     k = kwargs.get("k", 5)
-    cand = minhash_lsh_candidates(
-        ds, text_col=text_col, id_col=id_col, **kwargs
-    )
+    num_perm = kwargs.get("num_perm", 64)
+    sigs = minhash_signatures(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
+        concurrency=kwargs.get("concurrency", 4),
+    ).materialize()  # num_perm x 8 B per doc, reused twice
+    cand = minhash_lsh_candidates(sigs=sigs, id_col=id_col, **kwargs)
+    if estimate_filter:
+        cand = _estimate_filter_pairs(
+            cand, sigs, ds, id_col, threshold, estimate_margin, num_perm,
+            num_parts,
+        )
 
     def rename_to(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -395,6 +443,75 @@ def minhash_near_dups_distributed(
         return out[out["jaccard"] >= threshold]
 
     return with_ab.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+def _estimate_filter_pairs(
+    cand, sigs, ds, id_col, threshold, margin_sigmas, num_perm, num_parts
+):
+    """Join candidate pairs with the (small, fixed-size) signatures and
+    keep only pairs whose signature-agreement estimate clears
+    threshold - margin. Two hash-partitioned joins over 8*num_perm-byte
+    payloads instead of document text."""
+    import math
+
+    from .join import partitioned_join
+
+    id_t = _pa_type_of(ds, id_col)
+    sig_t = pa.list_(pa.int64())
+
+    def rename_sig(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            # normalize to a plain Arrow list<int64>: Ray's pandas->arrow
+            # conversion turns uniform-length list cells into its tensor
+            # extension type, which cannot union with list columns
+            col = t["sig"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_list(col.type):
+                col = pa.array(
+                    [np.asarray(v, dtype=np.int64) for v in col.to_pylist()],
+                    type=sig_t,
+                )
+            else:
+                col = col.cast(sig_t)
+            return pa.Table.from_arrays(
+                [t[id_col], col], names=[f"id_{side}", f"sig_{side}"]
+            )
+
+        return fn
+
+    cand_schema = pa.schema([("id_a", id_t), ("id_b", id_t)])
+    with_a = partitioned_join(
+        cand, sigs.map_batches(rename_sig("a"), batch_format="pyarrow"),
+        left_on="id_a", num_parts=num_parts,
+        left_schema=cand_schema,
+        right_schema=pa.schema([("id_a", id_t), ("sig_a", sig_t)]),
+    )
+    with_ab = partitioned_join(
+        with_a, sigs.map_batches(rename_sig("b"), batch_format="pyarrow"),
+        left_on="id_b", num_parts=num_parts,
+        left_schema=pa.schema(
+            [("id_a", id_t), ("id_b", id_t), ("sig_a", sig_t)]
+        ),
+        right_schema=pa.schema([("id_b", id_t), ("sig_b", sig_t)]),
+    )
+    cutoff = threshold - margin_sigmas * math.sqrt(
+        threshold * (1 - threshold) / num_perm
+    )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        a = np.stack([np.asarray(v, dtype=np.int64) for v in df["sig_a"]])
+        b = np.stack([np.asarray(v, dtype=np.int64) for v in df["sig_b"]])
+        est = (a == b).mean(axis=1)
+        return df.loc[est >= cutoff, ["id_a", "id_b"]]
+
+    return with_ab.map_batches(estimate, batch_format="pandas",
+                               batch_size=8192)
 
 
 def dedup_purge(

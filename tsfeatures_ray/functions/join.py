@@ -141,6 +141,20 @@ def partitioned_join(
     # the unified schema so the two Datasets union cleanly
     types = {**{n: rtypes[n] for n in rpayload}, **ltypes}
 
+    def _coerce(col, typ: pa.DataType):
+        """Force a column to its declared schema type: blocks that have
+        round-tripped through pandas may carry drifted types (e.g. Ray's
+        tensor extension instead of list<int64>), and the sort exchange
+        cannot concatenate mixed-type blocks."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type == typ:
+            return col
+        try:
+            return col.cast(typ)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            return pa.array(col.to_pylist(), type=typ)
+
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             n = len(t)
@@ -156,7 +170,7 @@ def partitioned_join(
                 if name == left_on:
                     arrays.append(key_col)
                 elif (side == 0 and name in lnames) or (side == 1 and name in rpayload):
-                    arrays.append(t[name])
+                    arrays.append(_coerce(t[name], types[name]))
                 else:
                     arrays.append(pa.nulls(n, types[name]))
             arrays += [
