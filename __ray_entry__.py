@@ -531,6 +531,22 @@ def _q_docs_near_dups(sf_dir: str):
     return minhash_near_dups_distributed(ds, threshold=0.5)
 
 
+def _q_docs_simhash_dups(sf_dir: str):
+    """EXACT simhash near-dup pairs (hamming <= 6 over 64-bit
+    signatures): pigeonhole-complete banded candidate generation +
+    popcount verify equals brute-force all-pairs (pinned by
+    tests/test_near_dup_exactness.py); signature derivation itself is
+    not SQL-expressible, so the driver sees a rows-only check."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import simhash_near_dups
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_near_dups(ds, max_hamming=6)
+
+
 def _q_embeddings_knn(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -1093,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_simhash": _q_docs_simhash,
+        "docs_simhash_dups": _q_docs_simhash_dups,
         "docs_near_dups": _q_docs_near_dups,
         "embeddings_knn": _q_embeddings_knn,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
@@ -1872,6 +1889,7 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
 """,
         # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
+        # docs_simhash_dups (exact by construction, brute-equality pytest),
         # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
         # rows-only check by the driver.
     }

@@ -165,3 +165,53 @@ def test_near_dup_estimate_cascade(ray_session, corpus, truth):
     assert got_pairs <= truth, got_pairs - truth
     recall = len(got_pairs & truth) / len(truth)
     assert recall >= 0.9, (recall, len(truth), len(got_pairs))
+
+
+def test_simhash_near_dups_exact_vs_brute(ray_session, corpus):
+    """simhash_near_dups is EXACT by construction (pigeonhole-complete
+    banding + popcount verify): its output must EQUAL brute-force
+    all-pairs hamming <= max_hamming over the same signatures."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import (
+        hamming64,
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    ids, texts = corpus
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    sigs = simhash_signatures(ds).materialize()
+    got = simhash_near_dups(sigs=sigs, max_hamming=6).to_pandas()
+    got_pairs = {
+        (a, b): h
+        for a, b, h in zip(got["id_a"], got["id_b"], got["hamming"])
+    }
+
+    sp = sigs.to_pandas().sort_values("doc_id")
+    sid = sp["doc_id"].to_numpy()
+    sv = sp["simhash"].to_numpy(dtype=np.int64)
+    ia, ib = np.triu_indices(len(sid), k=1)
+    ham = hamming64(sv[ia], sv[ib])
+    keep = ham <= 6
+    truth_pairs = {
+        (int(sid[a]), int(sid[b])): int(h)
+        for a, b, h in zip(ia[keep], ib[keep], ham[keep])
+    }
+    # mutated docs must actually produce pairs or the gate is vacuous
+    assert len(truth_pairs) > 0
+    assert got_pairs == truth_pairs
+
+
+def test_hamming64_matches_python_popcount():
+    rng = np.random.RandomState(3)
+    a = rng.randint(-(2**62), 2**62, 200, dtype=np.int64)
+    b = rng.randint(-(2**62), 2**62, 200, dtype=np.int64)
+    from tsfeatures_ray.functions.dedup import hamming64
+
+    got = hamming64(a, b)
+    ref = np.array(
+        [bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1")
+         for x, y in zip(a, b)]
+    )
+    assert (got == ref).all()

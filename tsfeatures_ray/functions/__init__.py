@@ -5,7 +5,9 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_near_dups,
     minhash_near_dups_distributed,
+    minhash_signatures,
     simhash_signatures,
+    simhash_near_dups,
     ngram_jaccard_pairs,
 )
 from .similarity import (  # noqa: F401

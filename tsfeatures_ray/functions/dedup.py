@@ -575,3 +575,154 @@ def simhash_signatures(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+# 8-bit popcount lookup: vectorized hamming distance over uint64 words
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between two int64/uint64 arrays,
+    interpreting each element as a 64-bit word (popcount of XOR)."""
+    x = np.ascontiguousarray(
+        a.astype(np.int64, copy=False) ^ b.astype(np.int64, copy=False)
+    ).view(np.uint8).reshape(-1, 8)
+    return _POPCOUNT8[x].sum(axis=1)
+
+
+def simhash_near_dups(
+    ds: "ray.data.Dataset | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int | None = None,
+    sigs: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """EXACT SimHash near-dup detection: every pair of docs whose 64-bit
+    simhash signatures differ in <= ``max_hamming`` bits, as
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    Candidate generation is COMPLETE by pigeonhole (Manku/Jain/Sarma,
+    WWW'07 §3, public): the 64 bits are split into ``max_hamming + 1``
+    contiguous bands, so a pair differing in <= max_hamming bits agrees
+    EXACTLY on at least one band and meets in that band's bucket. The
+    verify step (popcount of XOR) is exact, so the operator equals
+    brute-force all-pairs -- unlike the probabilistic MinHash LSH path.
+
+    Scale shape: signatures are 8 B/doc; the only shuffled payloads are
+    (band, band_value, id, sig) rows -- document text never enters an
+    exchange. Both exchanges key on the bounded ``hash % num_parts``
+    partition (NEVER the raw band value: groupby().map_groups pays
+    per-group invocation overhead, see exact_dedup). ``max_bucket=None``
+    keeps exactness; set it to star-link degenerate boilerplate buckets
+    (trades the all-pairs guarantee inside an oversized bucket for
+    linear output, same rule as minhash_lsh_candidates).
+    """
+    bands = max_hamming + 1
+    if sigs is None:
+        sigs = simhash_signatures(
+            ds, text_col=text_col, id_col=id_col, k=k, concurrency=concurrency
+        )
+
+    # contiguous band widths: 64 split as evenly as possible
+    widths = np.full(bands, 64 // bands, dtype=np.int64)
+    widths[: 64 % bands] += 1
+    shifts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = ((np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1))
+
+    from ..stages.derive import default_num_parts
+
+    num_parts = default_num_parts()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = np.ascontiguousarray(
+            batch["simhash"].to_numpy(dtype=np.int64)
+        ).view(np.uint64)
+        n = len(sig)
+        ids = np.repeat(batch[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        bvals = np.empty((n, bands), dtype=np.uint64)
+        for j in range(bands):
+            bvals[:, j] = (sig >> shifts[j]) & masks[j]
+        flat = bvals.reshape(-1)
+        with np.errstate(over="ignore"):
+            part = (
+                (flat * np.uint64(_HASH_KEY))
+                ^ band_ids.view(np.uint64)
+            ) % np.uint64(num_parts)
+        return pd.DataFrame(
+            {
+                "band": band_ids,
+                "bval": flat.astype("int64"),
+                "id": ids,
+                "sig": np.repeat(sig, bands).astype("int64"),
+                "part": part.astype("int64"),
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(["band", "bval"], sort=False):
+            if len(grp) < 2:
+                continue
+            order = np.argsort(grp["id"].to_numpy(), kind="stable")
+            ids = grp["id"].to_numpy()[order]
+            sg = grp["sig"].to_numpy()[order]
+            if max_bucket is not None and len(ids) > max_bucket:
+                ia = np.zeros(len(ids) - 1, dtype=np.int64)
+                ib = np.arange(1, len(ids), dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+            ham = hamming64(sg[ia], sg[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia[keep]],
+                            "id_b": ids[ib[keep]],
+                            "hamming": ham[keep],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True).drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+
+    matched = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
+
+    # global pair dedup: the same pair matches in every band it agrees
+    # on; co-locate by pair hash (tiny rows: ids + hamming only)
+    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            key = (
+                batch["id_a"].to_numpy().astype(np.uint64)
+                * np.uint64(_HASH_KEY)
+                ^ batch["id_b"].to_numpy().astype(np.uint64)
+            )
+        batch["ppart"] = (key % np.uint64(num_parts)).astype("int64")
+        return batch
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]
+        ]
+
+    return (
+        matched.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
