@@ -276,6 +276,7 @@ def run_ops() -> dict:
     from tsfeatures_ray.functions.dedup import (
         exact_dedup,
         minhash_near_dups_distributed,
+        simhash_near_dups,
     )
     from tsfeatures_ray.functions.similarity import brute_knn, cosine_near_dups
     from tsfeatures_ray.functions.sketches import histogram_quantiles
@@ -287,6 +288,11 @@ def run_ops() -> dict:
     timed("exact_dedup", n_docs, lambda: exact_dedup(docs()).count())
     timed("near_dups_lsh_verify", n_docs,
           lambda: minhash_near_dups_distributed(docs(), threshold=0.8).count())
+    timed("near_dups_estimate_cascade", n_docs,
+          lambda: minhash_near_dups_distributed(
+              docs(), threshold=0.8, estimate_filter=True).count())
+    timed("simhash_near_dups_exact", n_docs,
+          lambda: simhash_near_dups(docs(), max_hamming=6).count())
     emb = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     q = np.stack([r["embedding"] for r in emb.take(16)])
     timed("brute_knn_16q", n_emb, lambda: len(brute_knn(emb, q, k=10)))
