@@ -203,6 +203,49 @@ def test_simhash_near_dups_exact_vs_brute(ray_session, corpus):
     assert got_pairs == truth_pairs
 
 
+def test_simhash_block_combination_scheme_equals_default(ray_session, corpus):
+    """The generalized Manku block-combination banding (blocks=8 ->
+    C(8,2)=28 tables with 16-bit keys) must return EXACTLY the same
+    pairs as the default single-block scheme: both are pigeonhole-
+    complete, only the candidate-bucket geometry differs."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    ids, texts = corpus
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    sigs = simhash_signatures(ds).materialize()
+
+    def pairset(res):
+        return {
+            (a, b): h
+            for a, b, h in zip(res["id_a"], res["id_b"], res["hamming"])
+        }
+
+    base = pairset(simhash_near_dups(sigs=sigs, max_hamming=6).to_pandas())
+    wide = pairset(
+        simhash_near_dups(sigs=sigs, max_hamming=6, blocks=8).to_pandas()
+    )
+    assert len(base) > 0
+    assert wide == base
+
+
+def test_simhash_near_dups_validation(ray_session):
+    import pytest as _pytest
+
+    from tsfeatures_ray.functions.dedup import simhash_near_dups
+
+    with _pytest.raises(ValueError):
+        simhash_near_dups()  # neither ds nor sigs
+    with _pytest.raises(ValueError):
+        simhash_near_dups(sigs=object(), max_hamming=6, blocks=6)
+    with _pytest.raises(ValueError):
+        simhash_near_dups(sigs=object(), max_hamming=20, blocks=50)
+
+
 def test_hamming64_matches_python_popcount():
     rng = np.random.RandomState(3)
     a = rng.randint(-(2**62), 2**62, 200, dtype=np.int64)

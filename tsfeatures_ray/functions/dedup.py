@@ -178,7 +178,8 @@ def minhash_lsh_candidates(
     pass it when the caller also needs the signatures (estimate
     cascade) so they are computed once."""
     rows_per_band = num_perm // bands
-
+    if ds is None and sigs is None:
+        raise ValueError("minhash_lsh_candidates needs ds or sigs")
     if sigs is None:
         sigs = minhash_signatures(
             ds, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
@@ -227,27 +228,38 @@ def minhash_lsh_candidates(
             out_a.append(ids[ia])
             out_b.append(ids[ib])
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+            id_dtype = g["id"].dtype
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype)})
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
     cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
+    return _dedup_pairs_global(cand, num_parts_for_buckets)
 
-    # GLOBAL pair dedup: the same pair can surface from different bands
-    # landing in different partitions, so per-batch dedup is not enough;
-    # one more (tiny -- candidate pairs only) co-location makes it exact
+
+def _dedup_pairs_global(
+    cand: "ray.data.Dataset", num_parts: int, extra_cols: list[str] = ()
+) -> "ray.data.Dataset":
+    """GLOBAL (id_a, id_b) pair dedup: the same pair can surface from
+    different bands/tables landing in different partitions, so per-batch
+    dedup is not enough; one more (tiny -- candidate pairs only)
+    co-location on the pair hash makes it exact. pd.util.hash_array is
+    dtype-agnostic (string/object doc ids work, not just ints)."""
+    cols = ["id_a", "id_b", *extra_cols]
+
     def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
-        key = (batch["id_a"].to_numpy().astype(np.uint64)
-               * np.uint64(_HASH_KEY)
-               ^ batch["id_b"].to_numpy().astype(np.uint64))
-        batch["ppart"] = (key % np.uint64(num_parts_for_buckets)).astype(
-            "int64")
+        key = (
+            pd.util.hash_array(batch["id_a"].to_numpy())
+            * np.uint64(_HASH_KEY)
+            ^ pd.util.hash_array(batch["id_b"].to_numpy())
+        )
+        batch["ppart"] = (key % np.uint64(num_parts)).astype("int64")
         return batch
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+        return g.drop_duplicates(subset=["id_a", "id_b"])[cols]
 
     return (
         cand.map_batches(add_pair_part, batch_format="pandas")
@@ -392,7 +404,11 @@ def minhash_near_dups_distributed(
     sigs = minhash_signatures(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
         concurrency=kwargs.get("concurrency", 4),
-    ).materialize()  # num_perm x 8 B per doc, reused twice
+    )
+    if estimate_filter:
+        # reused by banding + the two estimate joins: pin the (small,
+        # num_perm x 8 B per doc) signature table instead of recomputing
+        sigs = sigs.materialize()
     cand = minhash_lsh_candidates(sigs=sigs, id_col=id_col, **kwargs)
     if estimate_filter:
         cand = _estimate_filter_pairs(
@@ -431,11 +447,9 @@ def minhash_near_dups_distributed(
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
+            out = batch[["id_a", "id_b"]].copy()
+            out["jaccard"] = pd.Series([], dtype="float64")
+            return out
         out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = jaccard_batch(
             batch["text_a"].tolist(), batch["text_b"].tolist(), k
@@ -460,22 +474,12 @@ def _estimate_filter_pairs(
     sig_t = pa.list_(pa.int64())
 
     def rename_sig(side: str):
+        # MinHasher emits plain-list cells (already list<int64>), and
+        # partitioned_join coerces drifted block types to the declared
+        # schema -- so this is a pure select+rename
         def fn(t: pa.Table) -> pa.Table:
-            # normalize to a plain Arrow list<int64>: Ray's pandas->arrow
-            # conversion turns uniform-length list cells into its tensor
-            # extension type, which cannot union with list columns
-            col = t["sig"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if not pa.types.is_list(col.type):
-                col = pa.array(
-                    [np.asarray(v, dtype=np.int64) for v in col.to_pylist()],
-                    type=sig_t,
-                )
-            else:
-                col = col.cast(sig_t)
-            return pa.Table.from_arrays(
-                [t[id_col], col], names=[f"id_{side}", f"sig_{side}"]
+            return t.select([id_col, "sig"]).rename_columns(
+                [f"id_{side}", f"sig_{side}"]
             )
 
         return fn
@@ -501,10 +505,7 @@ def _estimate_filter_pairs(
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64")}
-            )
+            return df[["id_a", "id_b"]].copy()
         a = np.stack([np.asarray(v, dtype=np.int64) for v in df["sig_a"]])
         b = np.stack([np.asarray(v, dtype=np.int64) for v in df["sig_b"]])
         est = (a == b).mean(axis=1)
@@ -600,38 +601,72 @@ def simhash_near_dups(
     concurrency: int = 4,
     max_bucket: int | None = None,
     sigs: "ray.data.Dataset | None" = None,
+    blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """EXACT SimHash near-dup detection: every pair of docs whose 64-bit
     simhash signatures differ in <= ``max_hamming`` bits, as
     (id_a, id_b, hamming) with id_a < id_b.
 
     Candidate generation is COMPLETE by pigeonhole (Manku/Jain/Sarma,
-    WWW'07 §3, public): the 64 bits are split into ``max_hamming + 1``
-    contiguous bands, so a pair differing in <= max_hamming bits agrees
-    EXACTLY on at least one band and meets in that band's bucket. The
-    verify step (popcount of XOR) is exact, so the operator equals
-    brute-force all-pairs -- unlike the probabilistic MinHash LSH path.
+    WWW'07 §3, public): the 64 bits are split into ``blocks`` contiguous
+    blocks (default ``max_hamming + 1``) and each of the
+    C(blocks, blocks - max_hamming) combinations of
+    ``blocks - max_hamming`` blocks forms one LSH table keyed on the
+    concatenation of those blocks' bits. A pair differing in
+    <= max_hamming bits touches <= max_hamming blocks, so at least
+    ``blocks - max_hamming`` blocks agree and the pair meets in that
+    combination's bucket. The verify step (popcount of XOR) is exact,
+    so the operator equals brute-force all-pairs -- unlike the
+    probabilistic MinHash LSH path.
+
+    Bucket-width / table-count trade: the default (blocks=max_hamming+1,
+    single-block keys) gives max_hamming+1 tables with 64/(h+1)-bit
+    keys -- at max_hamming=6 that is ~9-bit keys, i.e. expected bucket
+    size n/2^9, which goes quadratic on web-scale corpora. Raising
+    ``blocks`` widens keys at the cost of more tables: blocks=8,
+    max_hamming=6 -> C(8,2)=28 tables with 16-bit keys (buckets 2^7x
+    smaller); blocks=10 -> 45 tables with ~19-bit keys. Exactness holds
+    for ANY blocks > max_hamming.
 
     Scale shape: signatures are 8 B/doc; the only shuffled payloads are
-    (band, band_value, id, sig) rows -- document text never enters an
+    (table, key, id, sig) rows -- document text never enters an
     exchange. Both exchanges key on the bounded ``hash % num_parts``
-    partition (NEVER the raw band value: groupby().map_groups pays
+    partition (NEVER the raw key value: groupby().map_groups pays
     per-group invocation overhead, see exact_dedup). ``max_bucket=None``
     keeps exactness; set it to star-link degenerate boilerplate buckets
     (trades the all-pairs guarantee inside an oversized bucket for
     linear output, same rule as minhash_lsh_candidates).
     """
-    bands = max_hamming + 1
+    import itertools
+    import math
+
+    if ds is None and sigs is None:
+        raise ValueError("simhash_near_dups needs ds or sigs")
+    nblocks = blocks if blocks is not None else max_hamming + 1
+    if not max_hamming < nblocks <= 64:
+        raise ValueError(
+            f"need max_hamming < blocks <= 64, got blocks={nblocks}, "
+            f"max_hamming={max_hamming}"
+        )
+    n_tables = math.comb(nblocks, nblocks - max_hamming)
+    if n_tables > 256:
+        raise ValueError(
+            f"C({nblocks}, {nblocks - max_hamming}) = {n_tables} tables; "
+            "cap is 256 -- lower blocks"
+        )
+    combos = list(
+        itertools.combinations(range(nblocks), nblocks - max_hamming)
+    )
     if sigs is None:
         sigs = simhash_signatures(
             ds, text_col=text_col, id_col=id_col, k=k, concurrency=concurrency
         )
 
-    # contiguous band widths: 64 split as evenly as possible
-    widths = np.full(bands, 64 // bands, dtype=np.int64)
-    widths[: 64 % bands] += 1
+    # contiguous block widths: 64 split as evenly as possible
+    widths = np.full(nblocks, 64 // nblocks, dtype=np.uint64)
+    widths[: 64 % nblocks] += np.uint64(1)
     shifts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
-    masks = ((np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1))
+    masks = (np.uint64(1) << widths) - np.uint64(1)
 
     from ..stages.derive import default_num_parts
 
@@ -642,23 +677,28 @@ def simhash_near_dups(
             batch["simhash"].to_numpy(dtype=np.int64)
         ).view(np.uint64)
         n = len(sig)
-        ids = np.repeat(batch[id_col].to_numpy(), bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
-        bvals = np.empty((n, bands), dtype=np.uint64)
-        for j in range(bands):
-            bvals[:, j] = (sig >> shifts[j]) & masks[j]
-        flat = bvals.reshape(-1)
+        bvals = (sig[:, None] >> shifts[None, :]) & masks[None, :]  # (n, B)
+        # one key per (doc, table): concatenation of the combo's blocks
+        keys = np.empty((n, n_tables), dtype=np.uint64)
+        for ti, combo in enumerate(combos):
+            kv = np.zeros(n, dtype=np.uint64)
+            off = np.uint64(0)
+            for b in combo:
+                kv |= bvals[:, b] << off
+                off += widths[b]
+            keys[:, ti] = kv
+        flat = keys.reshape(-1)
+        tbl = np.tile(np.arange(n_tables, dtype=np.int64), n)
         with np.errstate(over="ignore"):
             part = (
-                (flat * np.uint64(_HASH_KEY))
-                ^ band_ids.view(np.uint64)
+                (flat * np.uint64(_HASH_KEY)) ^ tbl.view(np.uint64)
             ) % np.uint64(num_parts)
         return pd.DataFrame(
             {
-                "band": band_ids,
-                "bval": flat.astype("int64"),
-                "id": ids,
-                "sig": np.repeat(sig, bands).astype("int64"),
+                "tbl": tbl,
+                "key": flat.astype("int64"),
+                "id": np.repeat(batch[id_col].to_numpy(), n_tables),
+                "sig": np.repeat(sig, n_tables).astype("int64"),
                 "part": part.astype("int64"),
             }
         )
@@ -667,7 +707,7 @@ def simhash_near_dups(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, grp in g.groupby(["band", "bval"], sort=False):
+        for _, grp in g.groupby(["tbl", "key"], sort=False):
             if len(grp) < 2:
                 continue
             order = np.argsort(grp["id"].to_numpy(), kind="stable")
@@ -693,8 +733,8 @@ def simhash_near_dups(
         if not out:
             return pd.DataFrame(
                 {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
+                    "id_a": pd.Series([], dtype=g["id"].dtype),
+                    "id_b": pd.Series([], dtype=g["id"].dtype),
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
@@ -703,26 +743,6 @@ def simhash_near_dups(
         )
 
     matched = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
-
-    # global pair dedup: the same pair matches in every band it agrees
-    # on; co-locate by pair hash (tiny rows: ids + hamming only)
-    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            key = (
-                batch["id_a"].to_numpy().astype(np.uint64)
-                * np.uint64(_HASH_KEY)
-                ^ batch["id_b"].to_numpy().astype(np.uint64)
-            )
-        batch["ppart"] = (key % np.uint64(num_parts)).astype("int64")
-        return batch
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[
-            ["id_a", "id_b", "hamming"]
-        ]
-
-    return (
-        matched.map_batches(add_pair_part, batch_format="pandas")
-        .groupby("ppart")
-        .map_groups(dedup_pairs, batch_format="pandas")
+    return _dedup_pairs_global(
+        matched, num_parts, extra_cols=["hamming"]
     )

@@ -145,11 +145,13 @@ def partitioned_join(
         """Force a column to its declared schema type: blocks that have
         round-tripped through pandas may carry drifted types (e.g. Ray's
         tensor extension instead of list<int64>), and the sort exchange
-        cannot concatenate mixed-type blocks."""
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        cannot concatenate mixed-type blocks. Matching columns pass
+        through ZERO-COPY (no combine_chunks -- that would byte-copy
+        every payload column, including document text, per batch)."""
         if col.type == typ:
             return col
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         try:
             return col.cast(typ)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
