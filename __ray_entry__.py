@@ -203,6 +203,10 @@ def _q_series_stats_wide(sf_dir: str):
 
 
 def _q_features_default(sf_dir: str):
+    """The reference's default tsfeatures() call through the flagship
+    pipeline (UNROUNDED raw float64 output, tier/metric carried) --
+    hash-checked against a committed fixture, complementing the rounded
+    features_recorded_1h gate: this one catches even 1-ulp drift."""
     from tsfeatures_ray.pipelines import feature_pipeline
 
     return feature_pipeline(sf_dir, tiers=["1h"])
@@ -497,6 +501,9 @@ def _q_docs_lang_id(sf_dir: str):
 
 
 def _q_docs_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprints (vectorized rolling hash);
+    deterministic -> committed-fixture hash gate (independent gate:
+    brute single-doc recomputation pytest)."""
     import ray.data as rd
 
     from tsfeatures_ray.functions import fingerprint
@@ -508,6 +515,8 @@ def _q_docs_fingerprint(sf_dir: str):
 
 
 def _q_docs_simhash(sf_dir: str):
+    """64-bit SimHash signatures (per-batch vectorized bit voting);
+    deterministic -> committed-fixture hash gate."""
     import ray.data as rd
 
     from tsfeatures_ray.functions import simhash_signatures
@@ -521,7 +530,10 @@ def _q_docs_simhash(sf_dir: str):
 def _q_docs_near_dups(sf_dir: str):
     """LSH candidates verified by exact n-gram Jaccard, fully
     distributed: candidate pairs are co-partitioned with the corpus via
-    hash-partitioned joins -- the driver never materializes texts."""
+    hash-partitioned joins -- the driver never materializes texts.
+    Seed-deterministic -> committed-fixture hash gate; the independent
+    correctness gate is the brute all-pairs n-gram-Jaccard parity pytest
+    (tests/test_near_dup_exactness.py: precision 1.0, recall floor)."""
     import ray.data as rd
 
     from tsfeatures_ray.functions import minhash_near_dups_distributed
@@ -536,7 +548,8 @@ def _q_docs_simhash_dups(sf_dir: str):
     signatures): pigeonhole-complete banded candidate generation +
     popcount verify equals brute-force all-pairs (pinned by
     tests/test_near_dup_exactness.py); signature derivation itself is
-    not SQL-expressible, so the driver sees a rows-only check."""
+    not SQL-expressible, so the driver hash gate is a committed
+    fixture."""
     import ray.data as rd
 
     from tsfeatures_ray.functions import simhash_near_dups
@@ -582,13 +595,18 @@ def _q_embeddings_knn_lsh(sf_dir: str):
     out = lsh_bucketed_knn(ds, queries, k=10, bits=4)
     if len(out):
         out["query_id"] = qids[out["query_id"].to_numpy()]
+    # same nudge + half-away rounding as the exact-kNN oracle: pins the
+    # cosine column bit-stable for the recorded-fixture compare
+    v = out["cosine"].to_numpy() + 1e-7
+    out["cosine"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
     return out
 
 
 def _q_embeddings_knn_lsh_recall(sf_dir: str):
     """Recall@10 of the multi-probe LSH ANN path vs the (oracle-green)
-    exact brute-force top-k, per query -- the ANN quality harness
-    (rows-only; pytest pins a recall floor)."""
+    exact brute-force top-k, per query -- the ANN quality harness.
+    Seed-deterministic -> committed-fixture hash gate; pytest pins the
+    recall floor independently."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -608,8 +626,8 @@ def _q_embeddings_knn_lsh_recall(sf_dir: str):
 def _q_embeddings_knn_ivf(sf_dir: str):
     """IVF ANN (k-means coarse quantizer on a bounded sample, broadcast
     centroids, nprobe nearest cells exact-scored) -- the second ANN
-    scale path; approximate -> rows-only (pytest pins recall floor via
-    ann_recall(method='ivf'))."""
+    scale path; seed-deterministic -> committed-fixture hash gate
+    (pytest pins the recall floor via ann_recall(method='ivf'))."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -624,6 +642,10 @@ def _q_embeddings_knn_ivf(sf_dir: str):
     out = ivf_knn(ds, queries, k=10, nlist=32, nprobe=16)
     if len(out):
         out["query_id"] = qids[out["query_id"].to_numpy()]
+    # same nudge + half-away rounding as the exact-kNN oracle: pins the
+    # cosine column bit-stable for the recorded-fixture compare
+    v = out["cosine"].to_numpy() + 1e-7
+    out["cosine"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
     return out
 
 
@@ -778,8 +800,9 @@ def _q_embeddings_cosine_dups(sf_dir: str):
 
 def _q_embeddings_cosine_dups_lsh(sf_dir: str):
     """Approximate (LSH-bucketed) cosine near-dups -- the scale path;
-    no oracle by design (recall < 1), pytest pins recall vs the exact
-    operator."""
+    recall < 1 by design, so the pair set is pinned by a committed
+    fixture (stability gate) while pytest pins recall vs the exact
+    operator (correctness gate)."""
     import ray.data as rd
 
     from tsfeatures_ray.functions.similarity import cosine_near_dups_lsh
@@ -797,12 +820,30 @@ def _q_embeddings_cosine_dups_lsh(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Decode + feature-extract over the deterministic synthetic media
+    table (real PPM/PNG/WAV/VID0 codecs, stdlib-only). The fixed-dim
+    list<double> feature vector is flattened to f0..fN scalar columns so
+    the driver's hash compare covers every value; hash-checked against a
+    committed fixture (codec round-trips + forward-filter cross-checks
+    are the independent pytest gates)."""
+    import pandas as pd
     import ray.data as rd
 
-    from tsfeatures_ray.functions.multimodal import media_features, synth_media_table
+    from tsfeatures_ray.functions.multimodal import (
+        FEATURE_DIM, media_features, synth_media_table,
+    )
 
     ds = rd.from_arrow(synth_media_table(64))
-    return media_features(ds)
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        feats = np.stack([np.asarray(v, dtype=np.float64) for v in df["features"]])
+        out = {"media_id": df["media_id"].to_numpy(),
+               "media_type": df["media_type"].to_numpy()}
+        for j in range(FEATURE_DIM):
+            out[f"f{j}"] = feats[:, j]
+        return pd.DataFrame(out)
+
+    return media_features(ds).map_batches(flatten, batch_format="pandas")
 
 
 def _q_rollup_compact_1h(sf_dir: str):
@@ -819,20 +860,27 @@ def _q_rollup_compact_1h(sf_dir: str):
 def _q_series_extras_1h(sf_dir: str):
     """Opt-in extras kernels (guerrero, intervals, flat_spots, hurst,
     frequency) over the 1h rollup series -- distributed-path exercise;
-    non-SQL-expressible -> rows-only check."""
+    committed-fixture hash gate (kernel outputs are bit-stable across
+    CPU counts; independent gates: golden values + brute/dense-grid
+    pytests per kernel)."""
     from tsfeatures_ray.pipelines import feature_pipeline
 
-    return feature_pipeline(
+    out = feature_pipeline(
         sf_dir,
         tiers=["1h"],
         features=["guerrero", "intervals", "flat_spots", "hurst", "frequency"],
     )
+    return _round_floats(out)
 
 
 def _q_compress_roundtrip(sf_dir: str):
-    """Gorilla/delta-of-delta blocks decoded back and verified against
-    their own rollup inputs inside the pipeline; returns per-block
-    verification rows (engine-only -> rows-only check)."""
+    """Gorilla/delta-of-delta blocks DECODED BACK into rollup rows and
+    hash-checked against the independent DuckDB rollup SQL: the
+    driver-visible proof that encode -> decode is the identity on the
+    (conv_id, bucket, token_len_sum) 1h series. Block internals
+    (n_points, start_ts, NaN payloads, compression ratio) are pinned by
+    the round-trip pytests; this query pins the VALUES through an
+    oracle that never saw the codec."""
     import pandas as pd
 
     from tsfeatures_ray.pipelines import rollup_pipeline
@@ -841,24 +889,30 @@ def _q_compress_roundtrip(sf_dir: str):
     rolled = rollup_pipeline(sf_dir, tiers=["1h"])
     blocks = compress_rollup(rolled, metric="token_len_sum", pre_partitioned=True)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ok, ratios = [], []
-        for _, row in df.iterrows():
-            ts, vals = decode_block(row["block"])
-            ok.append(len(ts) == row["n_points"] and (len(ts) == 0 or int(ts[0]) == row["start_ts_us"]))
-            raw = max(1, 16 * row["n_points"])
-            ratios.append(len(row["block"]) / raw)
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        cid, ts_all, v_all = [], [], []
+        for conv, blob in zip(df["conv_id"], df["block"]):
+            ts, vals = decode_block(blob)
+            cid.extend([conv] * len(ts))
+            ts_all.append(ts)
+            v_all.append(vals)
+        if not cid:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=df["conv_id"].dtype),
+                    "bucket": pd.Series([], dtype="datetime64[us]"),
+                    "token_len_sum": pd.Series([], dtype="float64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "conv_id": df["conv_id"].to_numpy(),
-                "tier": df["tier"].to_numpy(),
-                "n_points": df["n_points"].to_numpy(),
-                "roundtrip_ok": ok,
-                "compression_ratio": ratios,
+                "conv_id": cid,
+                "bucket": np.concatenate(ts_all).astype("datetime64[us]"),
+                "token_len_sum": np.concatenate(v_all),
             }
         )
 
-    return blocks.map_batches(verify, batch_format="pandas")
+    return blocks.map_batches(decode, batch_format="pandas")
 
 
 def _q_orders_by_segment(sf_dir: str):
@@ -958,8 +1012,9 @@ def _q_events_hopping_1h30m(sf_dir: str):
 def _q_events_user_distinct_hll(sf_dir: str):
     """Approximate distinct event values per user via mergeable
     HyperLogLog registers (partial per batch, elementwise-max merge) --
-    the sketch-aggregate scale pattern; approximate by design ->
-    rows-only check (pytest pins the 5% error bound vs exact)."""
+    the sketch-aggregate scale pattern; approximate by design but
+    hash-deterministic, so a committed fixture pins the estimates
+    (pytest pins the 5% error bound vs exact independently)."""
     import ray.data as rd
 
     from tsfeatures_ray.functions.sketches import hll_distinct
@@ -1543,6 +1598,14 @@ LEFT JOIN ppagg g ON f.conv_id = g.conv_id
     fx1 = os.path.join(_FIXTURE_DIR, "features_recorded_1h_sf0.01.parquet")
     fx2 = os.path.join(_FIXTURE_DIR, "features_recorded_extras_1m_sf0.01.parquet")
 
+    def fixture(name: str) -> str:
+        """Committed golden parquet (tools/make_fixtures.py; FIXTURES.md
+        documents what each fixture proves and its independent pytest
+        gate). The driver's rows+schema+hash compare against the fixture
+        turns the query into a hard regression gate."""
+        p = os.path.join(_FIXTURE_DIR, f"{name}_sf0.01.parquet")
+        return f"SELECT * FROM read_parquet('{p}')"
+
     events_rollup = """
 SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        COUNT(value) AS value_count,
@@ -1773,6 +1836,15 @@ GROUP BY user_id
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
         "rollup_compact_1h": rollup_sql("hour"),
+        # the decoded codec blocks must reproduce the rollup the encoder
+        # consumed -- the oracle below never saw the codec, so a
+        # hash-match here proves encode -> decode == identity end-to-end
+        "compress_roundtrip": (
+            turns
+            + "SELECT conv_id, bucket, token_len_sum FROM ("
+            + _ROLLUP_AGG.format(unit="hour")
+            + ")"
+        ),
         "series_stats": series_stats,
         "series_stats_wide": series_stats,
         "features_sql_1m": features_sql_1m,
@@ -1888,8 +1960,22 @@ GROUP BY 1
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
 """,
-        # features_default_1h, docs_lang_id, docs_fingerprint, docs_simhash,
-        # docs_simhash_dups (exact by construction, brute-equality pytest),
-        # docs_near_dups, embeddings_knn_lsh, media_features: non-SQL ops ->
-        # rows-only check by the driver.
+        # Non-SQL-expressible ops: committed-fixture oracles. Each has
+        # an INDEPENDENT pytest gate pinning correctness (brute all-pairs
+        # parity for the dedup ops, recall floors for the ANN paths, the
+        # 5% error bound for HLL, codec round-trips for media); the
+        # fixture adds the driver-visible rows+schema+hash regression
+        # signal on top.
+        "features_default_1h": fixture("features_default_1h"),
+        "series_extras_1h": fixture("series_extras_1h"),
+        "docs_fingerprint": fixture("docs_fingerprint"),
+        "docs_simhash": fixture("docs_simhash"),
+        "docs_simhash_dups": fixture("docs_simhash_dups"),
+        "docs_near_dups": fixture("docs_near_dups"),
+        "embeddings_knn_lsh": fixture("embeddings_knn_lsh"),
+        "embeddings_knn_lsh_recall": fixture("embeddings_knn_lsh_recall"),
+        "embeddings_knn_ivf": fixture("embeddings_knn_ivf"),
+        "embeddings_cosine_dups_lsh": fixture("embeddings_cosine_dups_lsh"),
+        "events_user_distinct_hll": fixture("events_user_distinct_hll"),
+        "media_features": fixture("media_features"),
     }

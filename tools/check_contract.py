@@ -76,8 +76,9 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR")
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("CHECK_NUM_CPUS", "8")),
+             include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
