@@ -664,6 +664,89 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(ds, k=50)
 
 
+def _q_docs_chunks(sf_dir: str):
+    """Document chunking with overlap (size=200, step=150) -- the RAG /
+    training-window prep op. Stateless flat transform, inner loop over
+    chunk ordinals (one vectorized Arrow slice each), never rows.
+    Oracle: generate_series + substring (both sides count characters)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import chunk_documents
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, size=200, overlap=50)
+
+
+# word patterns that actually hit the synthetic corpus (it has no
+# digits/emails); the library default REDACT_PATTERNS stays PII-shaped
+_REDACT_DRIVER_PATTERNS = [
+    (r"\bcustomer\b", "<PII>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def _q_docs_redacted(sf_dir: str):
+    """Regex redaction (PII-style scrubbing): one Arrow RE2 count +
+    replace pass per pattern per batch, zero per-row Python. Oracle:
+    DuckDB regexp_replace(..., 'g') -- both engines are RE2, so the
+    replacement semantics match exactly."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import redact
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return redact(ds, patterns=_REDACT_DRIVER_PATTERNS)
+
+
+def _q_docs_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) on the Knuth
+    multiplicative key hash -- reproducible and reshard-stable across
+    cluster sizes; stateless per-batch tag, no shuffle. Oracle: the
+    identical integer arithmetic in SQL (HUGEINT product mod 2^32)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import hash_split
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return hash_split(ds, [0.8, 0.1, 0.1])
+
+
+def _q_docs_mixture(sf_dir: str):
+    """Deterministic two-source training mixture (rates 0.5 / 0.2,
+    per-source salt) -- per-batch Bernoulli filter + tag + streaming
+    union; the same key draws independently per source."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import weighted_mixture
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    a = rd.read_parquet(path, columns=["doc_id"])
+    b = rd.read_parquet(path, columns=["doc_id"])
+    return weighted_mixture([("web", a, 0.5), ("code", b, 0.2)])
+
+
+def _q_docs_packed(sf_dir: str):
+    """Concat-and-chunk sequence packing (budget=2048 tokens, char-count
+    proxy): global token offsets via the two-pass distributed prefix
+    sum (range partition -> bounded totals -> broadcast base offsets);
+    only (id, count) partials move. Oracle: window SUM ... ROWS
+    UNBOUNDED PRECEDING."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import pack_sequences
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, budget=2048)
+
+
 def _q_events_distinct_users_1d(sf_dir: str):
     """Exact distinct users per day over events -- the exact counterpart
     of the HLL sketch query (two-level dedup: per-batch distinct pairs,
@@ -1173,6 +1256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_chunks": _q_docs_chunks,
+        "docs_redacted": _q_docs_redacted,
+        "docs_hash_split": _q_docs_hash_split,
+        "docs_mixture": _q_docs_mixture,
+        "docs_packed": _q_docs_packed,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_props_rollup": _q_events_props_rollup,
@@ -1190,6 +1278,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_building": _q_orders_anti_building,
         "docs_dedup_purged": _q_docs_dedup_purged,
     }
+
+
+def _sampling_sql():
+    from tsfeatures_ray.functions import sampling
+
+    return sampling
+
+
+def _pack_sql_mod():
+    from tsfeatures_ray.functions import pack
+
+    return pack
 
 
 _TURNS_CTE = """
@@ -1918,6 +2018,48 @@ SELECT grp AS "group",
                        THEN bin END) + 1) * 0.5 AS q99
 FROM cum GROUP BY 1
 """,
+        # training-data prep ops: the SQL mirrors come from the SAME
+        # helper functions the engine uses (sample_sql_predicate /
+        # split_sql_expr / pack_sql), so thresholds and hash arithmetic
+        # cannot drift between engine and oracle
+        "docs_chunks": """
+WITH d AS (SELECT doc_id, COALESCE(text,'') AS text,
+                  length(COALESCE(text,'')) AS n FROM documents),
+c AS (SELECT doc_id, text,
+             CASE WHEN n <= 200 THEN 1
+                  ELSE 1 + CAST(ceil((n-200)/150.0) AS BIGINT) END AS n_chunks
+      FROM d)
+SELECT doc_id, i AS chunk_idx,
+       substring(text, CAST(i*150+1 AS BIGINT), 200) AS chunk_text,
+       CAST(length(substring(text, CAST(i*150+1 AS BIGINT), 200)) AS BIGINT)
+           AS chunk_chars
+FROM c, LATERAL unnest(generate_series(0, n_chunks-1)) AS t(i)
+""",
+        "docs_redacted": r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(COALESCE(text,''),
+           '\bcustomer\b', '<PII>', 'g'), '[0-9]{6,}', '<NUM>', 'g')
+           AS redacted_text,
+       CAST(length(regexp_extract_all(COALESCE(text,''), '\bcustomer\b'))
+          + length(regexp_extract_all(
+                regexp_replace(COALESCE(text,''), '\bcustomer\b', '<PII>', 'g'),
+                '[0-9]{6,}')) AS BIGINT) AS n_redactions
+FROM documents
+""",
+        "docs_hash_split": (
+            "SELECT doc_id, lang, "
+            + _sampling_sql().split_sql_expr(
+                "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]
+            )
+            + " AS split FROM documents"
+        ),
+        "docs_mixture": (
+            "SELECT doc_id, 'web' AS source FROM documents WHERE "
+            + _sampling_sql().sample_sql_predicate("doc_id", 0.5, 0)
+            + " UNION ALL SELECT doc_id, 'code' AS source FROM documents WHERE "
+            + _sampling_sql().sample_sql_predicate("doc_id", 0.2, 1)
+        ),
+        "docs_packed": _pack_sql_mod().pack_sql("documents", 2048),
         "docs_top_tokens": """
 SELECT token, cnt FROM (
     SELECT token, COUNT(*) AS cnt

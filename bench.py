@@ -301,6 +301,23 @@ def run_ops() -> dict:
     ev = rd.read_parquet(ev_path, columns=["user_id", "value"])
     timed("hist_quantiles", n_ev, lambda: histogram_quantiles(
         ev, "value", "user_id", lo=0.0, hi=512.0).count())
+
+    from tsfeatures_ray.functions import (
+        chunk_documents,
+        hash_split,
+        pack_sequences,
+        redact,
+    )
+
+    timed("chunk_documents", n_docs,
+          lambda: chunk_documents(docs(), size=200, overlap=50).count())
+    timed("redact", n_docs, lambda: redact(docs()).count())
+    timed("hash_split", n_docs,
+          lambda: hash_split(
+              rd.read_parquet(docs_path, columns=["doc_id"]), [0.8, 0.1, 0.1]
+          ).count())
+    timed("pack_sequences", n_docs,
+          lambda: pack_sequences(docs(), budget=2048).count())
     result = {
         "metric": "per-op wall seconds / rows per second (training-data ops)",
         "value": round(sum(v["sec"] for v in out.values()), 2),

@@ -1,0 +1,211 @@
+"""Training-data prep operators: chunking, redaction, deterministic
+sampling / split / mixture, sequence packing. Each op also carries a
+live DuckDB oracle in the driver contract; these tests pin the
+semantics against brute Python re-derivations and property laws."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tsfeatures_ray.functions import (
+    chunk_documents,
+    deterministic_sample,
+    hash_split,
+    pack_sequences,
+    redact,
+    weighted_mixture,
+)
+from tsfeatures_ray.functions.sampling import knuth_hash32
+
+
+def _docs(texts):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+
+
+SIZE, OVERLAP, STEP = 100, 30, 70
+
+
+def brute_chunks(text, size=SIZE, overlap=OVERLAP):
+    text = text or ""
+    step = size - overlap
+    out, start = [], 0
+    while True:
+        out.append(text[start : start + size])
+        if start + size >= len(text):
+            break
+        start += step
+    return out
+
+
+class TestChunkDocuments:
+    @pytest.fixture(scope="class")
+    def result(self, ray_session):
+        rng = np.random.default_rng(7)
+        texts = [
+            "",
+            "short",
+            "x" * SIZE,          # exactly one chunk
+            "x" * (SIZE + 1),    # just spills into a second
+        ] + [
+            "".join(rng.choice(list("abcde "), size=n))
+            for n in rng.integers(0, 900, size=40)
+        ]
+        df = (
+            chunk_documents(_docs(texts), size=SIZE, overlap=OVERLAP)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+        )
+        return texts, df
+
+    def test_matches_brute(self, result):
+        texts, df = result
+        for i, text in enumerate(texts):
+            got = df[df.doc_id == i]["chunk_text"].tolist()
+            assert got == brute_chunks(text), f"doc {i}"
+
+    def test_reconstruction(self, result):
+        """Dropping each chunk's first `overlap` chars (except chunk 0)
+        and concatenating reproduces the document exactly."""
+        texts, df = result
+        for i, text in enumerate(texts):
+            parts = df[df.doc_id == i]["chunk_text"].tolist()
+            rebuilt = parts[0] + "".join(p[OVERLAP:] for p in parts[1:])
+            assert rebuilt == (text or "")
+
+    def test_chunk_chars(self, result):
+        _, df = result
+        assert (df["chunk_chars"].to_numpy()
+                == df["chunk_text"].str.len().to_numpy()).all()
+
+
+class TestRedact:
+    def test_matches_python_re(self, ray_session):
+        pats = [(r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+", "<EMAIL>"),
+                (r"[0-9]{6,}", "<NUM>")]
+        texts = [
+            "mail me at a.b@c.de or x_1@y2.z now",
+            "card 1234567890 pin 12345 ok 999999",
+            "",
+            "no hits here",
+            "edge@ @edge a@b 123456789012345678901234567890",
+        ]
+        out = (
+            redact(_docs(texts), patterns=pats)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        for i, t in enumerate(texts):
+            want, hits = t, 0
+            for p, r in pats:
+                hits += len(re.findall(p, want))
+                want = re.sub(p, r, want)
+            row = out[out.doc_id == i].iloc[0]
+            assert row["redacted_text"] == want
+            assert row["n_redactions"] == hits
+
+
+class TestSampling:
+    def test_reshard_stable(self, ray_session):
+        """The same keys are selected regardless of how the input is
+        blocked -- the property that makes samples reproducible across
+        cluster sizes."""
+        ids = pd.DataFrame({"doc_id": np.arange(5000)})
+        a = deterministic_sample(
+            rd.from_pandas(ids), 0.3, "doc_id"
+        ).to_pandas()
+        b = deterministic_sample(
+            rd.from_pandas(ids).repartition(17), 0.3, "doc_id"
+        ).to_pandas()
+        assert set(a.doc_id) == set(b.doc_id)
+
+    def test_fraction_accuracy(self, ray_session):
+        n = 20000
+        got = deterministic_sample(
+            rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)})), 0.25, "doc_id"
+        ).to_pandas()
+        # binomial 5-sigma bound
+        assert abs(len(got) - 0.25 * n) < 5 * np.sqrt(n * 0.25 * 0.75)
+
+    def test_split_partitions(self, ray_session):
+        n = 10000
+        out = hash_split(
+            rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)})),
+            [0.7, 0.2, 0.1],
+        ).to_pandas()
+        assert len(out) == n
+        counts = out["split"].value_counts()
+        for name, f in zip(["train", "val", "test"], [0.7, 0.2, 0.1]):
+            assert abs(counts[name] - f * n) < 5 * np.sqrt(n * f * (1 - f))
+        # split is a pure function of the key
+        again = hash_split(
+            rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)})),
+            [0.7, 0.2, 0.1],
+        ).to_pandas()
+        merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+        assert (merged["split_a"] == merged["split_b"]).all()
+
+    def test_mixture_salts_independent(self, ray_session):
+        ids = pd.DataFrame({"doc_id": np.arange(8000)})
+        out = weighted_mixture(
+            [("a", rd.from_pandas(ids), 0.5), ("b", rd.from_pandas(ids), 0.5)]
+        ).to_pandas()
+        sa = set(out[out.source == "a"].doc_id)
+        sb = set(out[out.source == "b"].doc_id)
+        # same keys, different salts: overlap ~ product of rates, not 1
+        inter = len(sa & sb) / len(ids)
+        assert 0.15 < inter < 0.35
+        assert sa != sb
+
+    def test_hash_matches_integer_reference(self):
+        """uint64 wraparound arithmetic == exact big-int arithmetic mod
+        2^32 (the property that makes the HUGEINT SQL oracle exact)."""
+        keys = np.array([0, 1, 5, 2**31, 123456789], dtype=np.int64)
+        got = knuth_hash32(keys, salt=3)
+        want = []
+        for k in keys:
+            h1 = ((int(k) + 3 * 2269549163) * 2654435761) % 2**32
+            h2 = ((h1 ^ (h1 >> 16)) * 2246822519) % 2**32
+            want.append(h2 ^ (h2 >> 13))
+        assert got.tolist() == want
+
+
+class TestPackSequences:
+    def test_matches_brute_prefix_sum(self, ray_session):
+        rng = np.random.default_rng(11)
+        lens = rng.integers(0, 600, size=400)
+        texts = ["y" * int(n) for n in lens]
+        budget = 512
+        out = (
+            pack_sequences(_docs(texts), budget=budget, num_parts=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        assert (out["n_tokens"].to_numpy() == lens).all()
+        assert (out["start"].to_numpy() == start).all()
+        assert (out["seq_id"].to_numpy() == start // budget).all()
+        assert (out["offset_in_seq"].to_numpy() == start % budget).all()
+        last = start + np.maximum(lens, 1) - 1
+        assert (out["n_seqs"].to_numpy()
+                == last // budget - start // budget + 1).all()
+
+    def test_boundary_cases(self, ray_session):
+        # doc ending exactly at a boundary; doc exactly budget-sized;
+        # empty doc sits in the sequence at its offset
+        texts = ["a" * 512, "", "b" * 512, "c" * 1024, "d"]
+        out = (
+            pack_sequences(_docs(texts), budget=512)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["seq_id"].tolist() == [0, 1, 1, 2, 4]
+        assert out["offset_in_seq"].tolist() == [0, 0, 0, 0, 0]
+        assert out["n_seqs"].tolist() == [1, 1, 1, 2, 1]

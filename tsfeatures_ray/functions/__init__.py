@@ -1,4 +1,16 @@
-from .text import text_metrics, language_id, fingerprint  # noqa: F401
+from .text import (  # noqa: F401
+    chunk_documents,
+    fingerprint,
+    language_id,
+    redact,
+    text_metrics,
+)
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    weighted_mixture,
+)
+from .pack import pack_sequences  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_purge,
     exact_dedup,

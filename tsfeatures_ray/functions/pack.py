@@ -1,0 +1,145 @@
+"""Concat-and-chunk sequence packing for LLM training-data prep.
+
+Semantics (the standard "concatenate the corpus, cut every ``budget``
+tokens" packing used to build fixed-length training sequences): lay the
+documents out on one global token axis in ``id_col`` order; each doc's
+start offset is the exact prefix sum of all earlier docs' token counts.
+From the offset follow the packing facts per doc:
+
+    seq_id        = start // budget      (training sequence it starts in)
+    offset_in_seq = start %  budget
+    n_seqs        = last_token // budget - seq_id + 1   (sequences spanned)
+
+The global prefix sum is computed scalably in two passes -- the classic
+distributed scan:
+
+  1. contiguous RANGE partitioning on the key (``part = key // span`` --
+     order-preserving, no shuffle of raw text; only (part, token_count)
+     partials are aggregated) -> per-partition token totals, a
+     ``num_parts``-row table;
+  2. the tiny totals table is prefix-summed on the driver (bounded:
+     one int per partition, independent of corpus size) and broadcast;
+     one ``groupby(part).map_groups`` then emits local cumsum + the
+     partition's base offset.
+
+Oracle: ``SUM(tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+PRECEDING AND 1 PRECEDING)`` reproduces the offsets exactly (integer
+arithmetic end-to-end).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def pack_sequences(
+    ds: "rd.Dataset",
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> "rd.Dataset":
+    """Assign every document its global token offset and packing facts.
+
+    ``tokens_col``: integer token counts; if None, falls back to the
+    character count of ``text_col`` as the token proxy (any upstream
+    tokenizer's count column plugs in). Returns one row per doc:
+    (id, n_tokens, start, seq_id, offset_in_seq, n_seqs).
+    """
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        if tokens_col is not None:
+            tok = df[tokens_col].to_numpy().astype(np.int64)
+        else:
+            tok = df[text_col].fillna("").str.len().to_numpy().astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "n_tokens": tok})
+
+    # materialize the slim (id, count) projection ONCE -- 16 bytes/row,
+    # object-store resident (spills if huge); the three consumers below
+    # (key range, totals, scan) would otherwise each re-read the corpus
+    slimmed = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    # contiguous range partition: order-preserving, so per-partition
+    # cumsum + partition base offset == the global prefix sum
+    lo, hi = _key_range(slimmed, id_col)
+    span = max(1, (hi - lo + num_parts) // num_parts)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df[id_col].to_numpy() - lo) // span
+        return df
+
+    parted = slimmed.map_batches(add_part, batch_format="pandas")
+
+    # pass 1: per-partition totals (bounded num_parts rows -> driver)
+    totals = parted.groupby("part").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("part")
+    base = dict(
+        zip(
+            totals["part"].to_numpy(),
+            np.concatenate(([0], np.cumsum(totals["sum(n_tokens)"].to_numpy())[:-1])),
+        )
+    )
+    base_ref = ray.put(base)
+
+    # pass 2: local ordered cumsum + broadcast base offset
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        g = g.sort_values(id_col, kind="mergesort")
+        tok = g["n_tokens"].to_numpy()
+        start = int(b[int(g["part"].iloc[0])]) + np.concatenate(
+            ([0], np.cumsum(tok)[:-1])
+        )
+        seq_id = start // budget
+        last = start + np.maximum(tok, 1) - 1  # empty docs occupy their start seq
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": tok,
+                "start": start,
+                "seq_id": seq_id,
+                "offset_in_seq": start % budget,
+                "n_seqs": last // budget - seq_id + 1,
+            }
+        )
+
+    return parted.groupby("part").map_groups(scan, batch_format="pandas")
+
+
+def pack_sql(table: str, budget: int, id_col: str = "doc_id") -> str:
+    """DuckDB oracle for pack_sequences(tokens=char count of text).
+    ``table`` is any FROM-able expression (view name or read_parquet)."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, CAST(length(text) AS BIGINT) AS n_tokens
+    FROM {table}
+),
+scan AS (
+    SELECT {id_col}, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM toks
+)
+SELECT {id_col}, n_tokens, start,
+       start // {budget} AS seq_id,
+       start % {budget} AS offset_in_seq,
+       (start + GREATEST(n_tokens, 1) - 1) // {budget}
+           - start // {budget} + 1 AS n_seqs
+FROM scan
+"""
+
+
+def _key_range(ds: "rd.Dataset", id_col: str) -> tuple[int, int]:
+    agg = ds.aggregate(
+        rd.aggregate.Min(id_col), rd.aggregate.Max(id_col)
+    )
+    return int(agg[f"min({id_col})"]), int(agg[f"max({id_col})"])

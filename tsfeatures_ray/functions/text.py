@@ -510,3 +510,119 @@ def fingerprint(ds: "ray.data.Dataset", text_col: str = "text",
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / training-window prep)
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Split each document into fixed-size character chunks with overlap
+    (starts at 0, step = size - overlap; the final chunk may be short).
+    One output row per (doc, chunk). Oracle-exact vs DuckDB
+    generate_series + substring (both sides count CHARACTERS).
+
+    Scale: stateless flat transform, no shuffle; the inner loop is over
+    chunk ORDINALS (max chunks in the batch), not rows -- each ordinal is
+    one vectorized Arrow slice over the rows still long enough."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        n = pc.utf8_length(text).to_numpy().astype(np.int64)
+        ids = batch[id_col].to_numpy()
+        # n_chunks: 1 chunk if n <= size, else enough steps to cover
+        n_chunks = np.where(n <= size, 1, 1 + np.ceil((n - size) / step)).astype(
+            np.int64
+        )
+        out_ids = np.repeat(ids, n_chunks)
+        # chunk_idx: 0..n_chunks-1 per doc
+        total = int(n_chunks.sum())
+        cum = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        max_chunks = int(n_chunks.max()) if len(n_chunks) else 0
+        row_pos = cum  # output offset of each doc's first chunk
+        flat = text.combine_chunks()
+        pieces, dest = [], []
+        for i in range(max_chunks):
+            idx = np.flatnonzero(n_chunks > i)
+            if not len(idx):
+                break
+            pieces.append(
+                pc.utf8_slice_codeunits(
+                    flat.take(pa.array(idx)), start=i * step, stop=i * step + size
+                )
+            )
+            dest.append(row_pos[idx] + i)
+        # one permutation take puts the ordinal-major slices into
+        # (doc, chunk_idx) row order -- no per-row Python
+        dest = np.concatenate(dest) if dest else np.array([], dtype=np.int64)
+        perm = np.empty(total, dtype=np.int64)
+        perm[dest] = np.arange(total)
+        arr = pa.concat_arrays([p for p in pieces]).take(pa.array(perm)) \
+            if pieces else pa.array([], pa.string())
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk_text": arr,
+                "chunk_chars": pc.utf8_length(arr),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction (PII-style scrubbing)
+
+# RE2 syntax, identical in the DuckDB oracle (DuckDB regexp_* is RE2)
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+class Redactor:
+    """Actor-pool regex scrubber: patterns fixed at __init__, per batch
+    ONE Arrow RE2 count + replace pass per pattern (no per-row Python)."""
+
+    def __init__(self, text_col: str = "text",
+                 patterns: list[tuple[str, str]] | None = None):
+        self.text_col = text_col
+        self.patterns = patterns or REDACT_PATTERNS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[self.text_col], "")
+        n_hits = np.zeros(len(text), dtype=np.int64)
+        for pat, repl in self.patterns:
+            n_hits += pc.count_substring_regex(text, pat).to_numpy().astype(np.int64)
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols = {c: batch[c] for c in batch.column_names if c != self.text_col}
+        cols["redacted_text"] = text
+        cols["n_redactions"] = pa.array(n_hits)
+        return pa.table(cols)
+
+
+def redact(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        Redactor,
+        fn_constructor_kwargs={"text_col": text_col, "patterns": patterns},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
