@@ -209,3 +209,21 @@ class TestPackSequences:
         assert out["seq_id"].tolist() == [0, 1, 1, 2, 4]
         assert out["offset_in_seq"].tolist() == [0, 0, 0, 0, 0]
         assert out["n_seqs"].tolist() == [1, 1, 1, 2, 1]
+
+
+class TestGuardRails:
+    """The SQL-oracle-parity guards added alongside the ops: conditions
+    under which engine and oracle would silently diverge must raise."""
+
+    def test_negative_sample_keys_raise(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"k": [-1, 2, 3], "v": [0, 1, 2]}))
+        with pytest.raises(Exception, match="non-negative"):
+            deterministic_sample(ds, 0.5, "k").to_pandas()
+
+    def test_empty_mixture_raises(self):
+        with pytest.raises(ValueError, match="at least one source"):
+            weighted_mixture([], key_col="k")
+
+    def test_pack_empty_input(self, ray_session):
+        out = pack_sequences(_docs([]), budget=128).to_pandas()
+        assert len(out) == 0

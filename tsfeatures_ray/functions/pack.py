@@ -50,6 +50,10 @@ def pack_sequences(
     character count of ``text_col`` as the token proxy (any upstream
     tokenizer's count column plugs in). Returns one row per doc:
     (id, n_tokens, start, seq_id, offset_in_seq, n_seqs).
+
+    ``id_col`` values must be unique -- they define the global layout
+    order, so duplicates would make the packing (and the SQL oracle's
+    window ORDER BY) ambiguous.
     """
     from ..stages.derive import default_num_parts
 
@@ -70,7 +74,18 @@ def pack_sequences(
 
     # contiguous range partition: order-preserving, so per-partition
     # cumsum + partition base offset == the global prefix sum
-    lo, hi = _key_range(slimmed, id_col)
+    rng = _key_range(slimmed, id_col)
+    if rng is None:  # empty corpus: emit the schema, zero rows
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    c: np.array([], dtype=np.int64)
+                    for c in (id_col, "n_tokens", "start", "seq_id",
+                              "offset_in_seq", "n_seqs")
+                }
+            )
+        )
+    lo, hi = rng
     span = max(1, (hi - lo + num_parts) // num_parts)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,8 +153,10 @@ FROM scan
 """
 
 
-def _key_range(ds: "rd.Dataset", id_col: str) -> tuple[int, int]:
+def _key_range(ds: "rd.Dataset", id_col: str) -> tuple[int, int] | None:
     agg = ds.aggregate(
         rd.aggregate.Min(id_col), rd.aggregate.Max(id_col)
     )
+    if not agg or agg.get(f"min({id_col})") is None:  # empty input
+        return None
     return int(agg[f"min({id_col})"]), int(agg[f"max({id_col})"])

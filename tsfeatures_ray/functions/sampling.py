@@ -47,7 +47,11 @@ _M32 = np.uint64(1) << np.uint64(32)
 
 def knuth_hash32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """Multiplicative hash + 2 avalanche rounds, mod 2^32 (exact vs the
-    HUGEINT SQL expression from hash_sql_expr)."""
+    HUGEINT SQL expression from hash_sql_expr). Keys must be
+    non-negative ints: a negative key would wrap on the uint64 side but
+    stay negative in HUGEINT, silently desyncing engine and oracle."""
+    if len(keys) and keys.dtype.kind == "i" and int(keys.min()) < 0:
+        raise ValueError("sampling keys must be non-negative")
     k = keys.astype(np.uint64, copy=False) + np.uint64(salt) * _SALT_C
     h1 = (k * _KNUTH) % _M32
     h2 = ((h1 ^ (h1 >> np.uint64(16))) * _MIX_C) % _M32
@@ -147,6 +151,8 @@ def weighted_mixture(
     absolute per-source keep probabilities (compute them from corpus
     sizes + target mixture weights upstream). Union is streaming -- no
     materialization, no shuffle."""
+    if not sources:
+        raise ValueError("weighted_mixture needs at least one source")
     tagged = []
     for i, (name, ds, rate) in enumerate(sources):
         s = deterministic_sample(ds, rate, key_col, salt=salt + i)
