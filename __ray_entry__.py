@@ -1062,6 +1062,72 @@ def _q_events_count_entropy(sf_dir: str):
     return _round_floats(out.drop_columns(["tier", "metric"]))
 
 
+def _q_events_asof_order(sf_dir: str):
+    """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
+    event picks the latest order of the same user at or before the
+    event time. Right side pre-aggregated to one row per (custkey,
+    orderdate) so the asof tie-break is deterministic on both engine
+    and oracle side. Oracle: DuckDB ASOF LEFT JOIN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    agg = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        rd.aggregate.Max("o_totalprice"), rd.aggregate.Count()
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_custkey", "o_orderdate", "last_price", "n_ord"]
+        )
+
+    agg = agg.map_batches(rename, batch_format="pyarrow")
+    return asof_join(
+        ev, agg, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+    )
+
+
+def _q_events_window_pairs_1h(sf_dir: str):
+    """Distributed windowed range join (self): all (event, earlier
+    event) pairs of the same user within a 1-hour lookback. Oracle: a
+    plain BETWEEN inequality join."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import range_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def prev_names(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["p_event_id", "p_ts", "p_user_id"])
+
+    prev = ev.map_batches(prev_names, batch_format="pyarrow")
+    pairs = range_join(
+        ev, prev, on="ts", by="user_id", right_on="p_ts",
+        right_by="p_user_id", lo=pd.Timedelta(hours=-1), hi=pd.Timedelta(0),
+    )
+
+    def drop_self(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_id"] != df["p_event_id"]]
+        return df[["event_id", "p_event_id", "user_id", "ts", "p_ts"]]
+
+    return pairs.map_batches(drop_self, batch_format="pandas")
+
+
 def _q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) over the event stream --
     the streaming-shaped operator (SURVEY.md §2.7); SQL-checkable."""
@@ -1271,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_extras_1h": _q_series_extras_1h,
         "compress_roundtrip": _q_compress_roundtrip,
         "events_count_entropy": _q_events_count_entropy,
+        "events_asof_order": _q_events_asof_order,
+        "events_window_pairs_1h": _q_events_window_pairs_1h,
         "events_sessions": _q_events_sessions,
         "events_hopping_1h30m": _q_events_hopping_1h30m,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
@@ -2086,6 +2154,27 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
         "orders_by_segment": orders_by_segment,
         "events_count_entropy": events_count_entropy,
+        "events_asof_order": """
+WITH agg AS (
+    SELECT o_custkey, o_orderdate,
+           max(o_totalprice) AS last_price,
+           CAST(count(*) AS DOUBLE) AS n_ord
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       CAST(a.o_custkey AS DOUBLE) AS o_custkey, a.o_orderdate,
+       a.last_price, a.n_ord
+FROM events e ASOF LEFT JOIN agg a
+  ON e.user_id = a.o_custkey AND e.ts >= a.o_orderdate
+""",
+        "events_window_pairs_1h": """
+SELECT e.event_id, p.event_id AS p_event_id, e.user_id,
+       e.ts, p.ts AS p_ts
+FROM events e JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+ AND p.event_id <> e.event_id
+""",
         "events_sessions": events_sessions,
         "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,

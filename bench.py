@@ -318,6 +318,35 @@ def run_ops() -> dict:
           ).count())
     timed("pack_sequences", n_docs,
           lambda: pack_sequences(docs(), budget=2048).count())
+
+    from tsfeatures_ray.functions import asof_join, range_join
+    import pandas as _pd
+
+    def _ev(cols):
+        return rd.read_parquet(ev_path, columns=cols)
+
+    def _asof():
+        left = _ev(["event_id", "ts", "user_id"])
+        right = _ev(["event_id", "ts", "user_id"]).map_batches(
+            lambda t: t.rename_columns(["p_event_id", "p_ts", "p_user_id"]),
+            batch_format="pyarrow",
+        )
+        return asof_join(left, right, on="ts", by="user_id",
+                         right_on="p_ts", right_by="p_user_id").count()
+
+    def _range():
+        left = _ev(["event_id", "ts", "user_id"])
+        right = _ev(["event_id", "ts", "user_id"]).map_batches(
+            lambda t: t.rename_columns(["p_event_id", "p_ts", "p_user_id"]),
+            batch_format="pyarrow",
+        )
+        return range_join(left, right, on="ts", by="user_id",
+                          right_on="p_ts", right_by="p_user_id",
+                          lo=_pd.Timedelta(hours=-1),
+                          hi=_pd.Timedelta(0)).count()
+
+    timed("asof_join_self", n_ev, _asof)
+    timed("range_join_1h_self", n_ev, _range)
     result = {
         "metric": "per-op wall seconds / rows per second (training-data ops)",
         "value": round(sum(v["sec"] for v in out.values()), 2),

@@ -1,0 +1,158 @@
+"""asof_join / range_join: distributed results must equal single-frame
+pandas re-derivations (merge_asof / brute inequality join) on randomized
+panels, including keys missing from either side, ties, and empties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tsfeatures_ray.functions import asof_join, range_join
+
+
+def _mk(seed=0, n_left=400, n_right=300, n_keys=13):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame(
+        {
+            "l_id": np.arange(n_left),
+            "ts": base + rng.integers(0, 3_600_000_000, n_left).astype("timedelta64[us]"),
+            "uid": rng.integers(0, n_keys, n_left),
+            "lv": rng.normal(size=n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "r_id": np.arange(n_right),
+            "rts": base + rng.integers(0, 3_600_000_000, n_right).astype("timedelta64[us]"),
+            # disjoint key tail: some right keys never occur on the left
+            "ruid": rng.integers(0, n_keys + 4, n_right),
+            "rv": rng.integers(0, 1000, n_right),
+        }
+    )
+    # de-dup (key, ts) on the right so backward-asof ties are impossible
+    right = right.drop_duplicates(["ruid", "rts"]).reset_index(drop=True)
+    return left, right
+
+
+class TestAsofJoin:
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_merge_asof(self, ray_session, direction):
+        left, right = _mk(3)
+        got = (
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_on="rts", right_by="ruid",
+                direction=direction, num_parts=5,
+            )
+            .to_pandas()
+            .sort_values("l_id")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("rts"),
+            left_on="ts", right_on="rts", left_by="uid", right_by="ruid",
+            direction=direction,
+        ).sort_values("l_id").reset_index(drop=True)
+        for c in ("r_id", "rv"):
+            want[c] = want[c].astype(np.float64)
+        want["ruid"] = want["ruid"].astype(np.float64)
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    def test_tolerance(self, ray_session):
+        left, right = _mk(7)
+        tol = pd.Timedelta(minutes=5)
+        got = (
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_on="rts", right_by="ruid",
+                tolerance=tol, num_parts=4,
+            )
+            .to_pandas().sort_values("l_id").reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("rts"),
+            left_on="ts", right_on="rts", left_by="uid", right_by="ruid",
+            tolerance=tol,
+        ).sort_values("l_id").reset_index(drop=True)
+        assert got["r_id"].isna().equals(want["r_id"].isna())
+        m = ~want["r_id"].isna()
+        assert (got.loc[m, "r_id"].to_numpy()
+                == want.loc[m, "r_id"].to_numpy()).all()
+
+    def test_empty_right(self, ray_session):
+        left, right = _mk(1)
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right.iloc[:0]),
+            on="ts", by="uid", right_on="rts", right_by="ruid",
+        ).to_pandas()
+        assert len(got) == len(left)
+        assert got["r_id"].isna().all()
+
+    def test_overlapping_names_raise(self, ray_session):
+        left, right = _mk(1)
+        with pytest.raises(ValueError, match="overlapping"):
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(left),
+                on="ts", by="uid", right_on="ts", right_by="uid",
+            )
+
+
+class TestRangeJoin:
+    def test_matches_brute(self, ray_session):
+        left, right = _mk(11)
+        lo, hi = pd.Timedelta(minutes=-10), pd.Timedelta(minutes=2)
+        got = (
+            range_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_on="rts", right_by="ruid",
+                lo=lo, hi=hi, num_parts=6,
+            )
+            .to_pandas()
+            .sort_values(["l_id", "r_id"])
+            .reset_index(drop=True)
+        )
+        brute = left.merge(right, left_on="uid", right_on="ruid")
+        brute = brute[
+            (brute["rts"] >= brute["ts"] + lo) & (brute["rts"] <= brute["ts"] + hi)
+        ].sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        assert len(got) == len(brute)
+        assert (got["l_id"].to_numpy() == brute["l_id"].to_numpy()).all()
+        assert (got["r_id"].to_numpy() == brute["r_id"].to_numpy()).all()
+        assert (got["rv"].to_numpy() == brute["rv"].to_numpy()).all()
+
+    def test_numeric_axis(self, ray_session):
+        rng = np.random.default_rng(5)
+        left = pd.DataFrame({"l_id": np.arange(50), "x": rng.integers(0, 100, 50),
+                             "k": rng.integers(0, 4, 50)})
+        right = pd.DataFrame({"r_id": np.arange(60), "rx": rng.integers(0, 100, 60),
+                              "rk": rng.integers(0, 4, 60)})
+        got = (
+            range_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="x", by="k", right_on="rx", right_by="rk",
+                       lo=-5, hi=5, num_parts=3)
+            .to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        )
+        brute = left.merge(right, left_on="k", right_on="rk")
+        brute = brute[(brute["rx"] - brute["x"]).abs() <= 5]
+        assert len(got) == len(brute)
+
+    def test_no_matches(self, ray_session):
+        left, right = _mk(2)
+        got = range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="uid", right_on="rts", right_by="ruid",
+            lo=pd.Timedelta(days=400), hi=pd.Timedelta(days=401),
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_bad_bounds_raise(self, ray_session):
+        left, right = _mk(2)
+        with pytest.raises(ValueError, match="lo must be"):
+            range_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_on="rts", right_by="ruid",
+                lo=pd.Timedelta(0), hi=pd.Timedelta(minutes=-1),
+            )

@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
     simhash_near_dups,
     ngram_jaccard_pairs,
 )
+from .temporal_join import asof_join, range_join  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_recall,
     brute_knn,
