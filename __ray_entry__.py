@@ -1062,6 +1062,39 @@ def _q_events_count_entropy(sf_dir: str):
     return _round_floats(out.drop_columns(["tier", "metric"]))
 
 
+def _q_orders_top3_by_cust(sf_dir: str):
+    """Grouped top-k (SURVEY.md §2.6): the 3 priciest orders per
+    customer under a total (price DESC, orderkey ASC) ordering.
+    Oracle: ROW_NUMBER() window rank filter."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import grouped_top_k
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_top_k(
+        orders, "o_custkey", "o_totalprice", k=3, tie_cols=["o_orderkey"]
+    )
+
+
+def _q_rollup_rolling3_1h(sf_dir: str):
+    """Per-series trailing 3-bucket rolling aggregates over the 1h
+    rollup (SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). Integer
+    column keeps the sums exact; the mean is one double division --
+    bit-identical to the SQL window."""
+    from tsfeatures_ray.functions import rolling_agg
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count"]
+    )
+    return rolling_agg(
+        ds, key="conv_id", order="bucket", cols=["token_len_count"], window=3
+    )
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1337,6 +1370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_extras_1h": _q_series_extras_1h,
         "compress_roundtrip": _q_compress_roundtrip,
         "events_count_entropy": _q_events_count_entropy,
+        "orders_top3_by_cust": _q_orders_top3_by_cust,
+        "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
         "events_sessions": _q_events_sessions,
@@ -2000,6 +2035,22 @@ GROUP BY user_id
         "derived_turns": turns + "SELECT * FROM turns",
         "rollup_1m": rollup_sql("minute"),
         "rollup_1h": rollup_sql("hour"),
+        "rollup_rolling3_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """)
+SELECT conv_id, bucket, token_len_count,
+       CAST(SUM(token_len_count) OVER w AS BIGINT)
+           AS token_len_count_roll_sum,
+       CAST(SUM(token_len_count) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS token_len_count_roll_mean,
+       CAST(MIN(token_len_count) OVER w AS BIGINT)
+           AS token_len_count_roll_min,
+       CAST(MAX(token_len_count) OVER w AS BIGINT)
+           AS token_len_count_roll_max
+FROM base
+WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+        ),
         "rollup_incremental_1h": rollup_sql("hour"),
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
@@ -2154,6 +2205,15 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
         "orders_by_segment": orders_by_segment,
         "events_count_entropy": events_count_entropy,
+        "orders_top3_by_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+) WHERE rk <= 3
+""",
         "events_asof_order": """
 WITH agg AS (
     SELECT o_custkey, o_orderdate,

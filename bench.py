@@ -347,6 +347,17 @@ def run_ops() -> dict:
 
     timed("asof_join_self", n_ev, _asof)
     timed("range_join_1h_self", n_ev, _range)
+
+    from tsfeatures_ray.functions import grouped_top_k, rolling_agg
+
+    timed("grouped_top3", n_ev,
+          lambda: grouped_top_k(_ev(["event_id", "user_id", "value"]),
+                                "user_id", "value", k=3,
+                                tie_cols=["event_id"]).count())
+    timed("rolling_agg_w4", n_ev,
+          lambda: rolling_agg(_ev(["event_id", "user_id", "value"]),
+                              key="user_id", order="event_id",
+                              cols=["value"], window=4).count())
     result = {
         "metric": "per-op wall seconds / rows per second (training-data ops)",
         "value": round(sum(v["sec"] for v in out.values()), 2),

@@ -1,0 +1,131 @@
+"""grouped_top_k / rolling_agg: distributed results must equal
+single-frame pandas re-derivations (rank-filter; rolling windows)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tsfeatures_ray.functions import grouped_top_k, rolling_agg
+
+
+def _frame(seed=0, n=500, n_keys=17):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, n_keys, n),
+            "rid": np.arange(n),
+            "v": rng.integers(0, 50, n),  # many ties
+            "f": rng.normal(size=n),
+        }
+    )
+
+
+class TestGroupedTopK:
+    @pytest.mark.parametrize("descending", [True, False])
+    def test_matches_rank_filter(self, ray_session, descending):
+        df = _frame(3)
+        got = (
+            grouped_top_k(
+                rd.from_pandas(df), "g", "v", k=3,
+                descending=descending, tie_cols=["rid"], num_parts=5,
+            )
+            .to_pandas()
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(
+            ["g", "v", "rid"], ascending=[True, not descending, True],
+            kind="mergesort",
+        )
+        want = want.groupby("g", sort=False).head(3)
+        want = want.sort_values(["g", "v", "rid"],
+                                ascending=[True, not descending, True],
+                                kind="mergesort").reset_index(drop=True)
+        want["rk"] = want.groupby("g", sort=False).cumcount() + 1
+        want = want.sort_values(["g", "rk"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["g", "rid", "v", "rk"]].astype("int64"),
+            want[["g", "rid", "v", "rk"]].astype("int64"),
+        )
+
+    def test_multi_group_cols(self, ray_session):
+        df = _frame(9)
+        df["g2"] = df["rid"] % 3
+        got = (
+            grouped_top_k(rd.from_pandas(df), ["g", "g2"], "v", k=2,
+                          tie_cols=["rid"], num_parts=4)
+            .to_pandas()
+        )
+        want = (
+            df.sort_values(["g", "g2", "v", "rid"],
+                           ascending=[True, True, False, True])
+            .groupby(["g", "g2"], sort=False).head(2)
+        )
+        assert len(got) == len(want)
+        assert set(map(tuple, got[["g", "g2", "rid"]].to_numpy())) == set(
+            map(tuple, want[["g", "g2", "rid"]].to_numpy())
+        )
+
+    def test_k_larger_than_group(self, ray_session):
+        df = _frame(1, n=40, n_keys=30)
+        got = grouped_top_k(rd.from_pandas(df), "g", "v", k=10,
+                            tie_cols=["rid"]).to_pandas()
+        assert len(got) == len(df)
+
+    def test_bad_k(self, ray_session):
+        with pytest.raises(ValueError):
+            grouped_top_k(rd.from_pandas(_frame(1)), "g", "v", k=0)
+
+
+class TestRollingAgg:
+    def test_matches_pandas_rolling(self, ray_session):
+        df = _frame(5)
+        got = (
+            rolling_agg(rd.from_pandas(df), key="g", order="rid",
+                        cols=["v", "f"], window=4, num_parts=6)
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        base = df.sort_values(["g", "rid"], kind="mergesort")
+        grouped = base.groupby("g", sort=False)
+        want = base.copy()
+        for c in ("v", "f"):
+            r = grouped[c].rolling(4, min_periods=1)
+            want[f"{c}_roll_sum"] = r.sum().to_numpy()
+            want[f"{c}_roll_mean"] = r.mean().to_numpy()
+            want[f"{c}_roll_min"] = r.min().to_numpy()
+            want[f"{c}_roll_max"] = r.max().to_numpy()
+        want = want.sort_values("rid").reset_index(drop=True)
+        for c in ("v", "f"):
+            for a in ("sum", "mean", "min", "max"):
+                np.testing.assert_allclose(
+                    got[f"{c}_roll_{a}"].to_numpy(dtype=float),
+                    want[f"{c}_roll_{a}"].to_numpy(dtype=float),
+                    rtol=1e-12, err_msg=f"{c}_roll_{a}",
+                )
+
+    def test_int_columns_exact(self, ray_session):
+        df = _frame(8)
+        got = rolling_agg(rd.from_pandas(df), key="g", order="rid",
+                          cols=["v"], window=3).to_pandas()
+        assert got["v_roll_sum"].dtype == np.int64
+        assert got["v_roll_min"].dtype == np.int64
+        assert got["v_roll_max"].dtype == np.int64
+
+    def test_window_one_is_identity(self, ray_session):
+        df = _frame(4)
+        got = (
+            rolling_agg(rd.from_pandas(df), key="g", order="rid",
+                        cols=["v"], window=1)
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        assert (got["v_roll_sum"].to_numpy() == got["v"].to_numpy()).all()
+        assert (got["v_roll_mean"].to_numpy() == got["v"].to_numpy()).all()
+
+    def test_bad_window(self, ray_session):
+        with pytest.raises(ValueError):
+            rolling_agg(rd.from_pandas(_frame(1)), key="g", order="rid",
+                        cols=["v"], window=0)

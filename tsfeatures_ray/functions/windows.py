@@ -123,3 +123,73 @@ def hopping_window(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def rolling_agg(
+    ds,
+    key: str,
+    order: str,
+    cols: list[str],
+    window: int,
+    num_parts: int | None = None,
+):
+    """Per-key rolling-window aggregates over the trailing ``window``
+    rows (SQL frame ``ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW``): for each col emits ``<col>_roll_sum`` / ``_roll_mean`` /
+    ``_roll_min`` / ``_roll_max``.
+
+    Scale shape: one bounded exchange on ``stable_part(key)``; inside
+    the partition the frame is sorted once by (key, order) and the
+    rolling sum is a cumsum difference against per-key start boundaries
+    (pure vectorized arithmetic), min/max go through pandas'
+    grouped-rolling Cython kernels. Integer columns stay EXACT: the sum
+    is an int64 cumsum difference and the mean is one double division
+    (bit-identical to ``CAST(SUM(...) OVER w AS DOUBLE) /
+    COUNT(...) OVER w`` in SQL); float columns carry normal fp
+    accumulation.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(columns="part")
+        n = len(g)
+        keys = g[key].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        idx = np.arange(n)
+        lo = np.maximum(gstart, idx - window + 1)
+        nwin = (idx - lo + 1).astype(np.float64)
+        out = g.reset_index(drop=True)
+        grouped = g.groupby(key, sort=False)
+        for c in cols:
+            v = g[c].to_numpy()
+            is_int = np.issubdtype(v.dtype, np.integer)
+            cs = np.concatenate(
+                ([0], np.cumsum(v, dtype=np.int64 if is_int else np.float64))
+            )
+            rsum = cs[idx + 1] - cs[lo]
+            out[f"{c}_roll_sum"] = rsum
+            out[f"{c}_roll_mean"] = rsum / nwin
+            r = grouped[c].rolling(window, min_periods=1)
+            rmin = r.min().to_numpy()
+            rmax = r.max().to_numpy()
+            if is_int:
+                rmin, rmax = rmin.astype(np.int64), rmax.astype(np.int64)
+            out[f"{c}_roll_min"] = rmin
+            out[f"{c}_roll_max"] = rmax
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+    )
