@@ -1161,6 +1161,46 @@ def _q_events_window_pairs_1h(sf_dir: str):
     return pairs.map_batches(drop_self, batch_format="pandas")
 
 
+def _q_events_in_session(sf_dir: str):
+    """Point-in-interval join (time-banded): every event matched to the
+    session interval that contains it -- sessionize builds the interval
+    table distributed, interval_join assigns events without any
+    all-pairs work. Oracle: sessions CTE + BETWEEN containment join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import interval_join
+    from tsfeatures_ray.functions.windows import sessionize
+
+    ev_full = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    sess = sessionize(ev_full).drop_columns(["n_events", "value_sum"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["s_user_id", "session_idx", "session_start", "session_end"]
+        )
+
+    sess = sess.map_batches(rename, batch_format="pyarrow")
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    out = interval_join(
+        ev, sess, on="ts", by="user_id",
+        right_lo="session_start", right_hi="session_end",
+        right_by="s_user_id",
+        right_schema=pa.schema(
+            [("s_user_id", pa.int64()), ("session_idx", pa.int64()),
+             ("session_start", pa.timestamp("us")),
+             ("session_end", pa.timestamp("us"))]
+        ),
+    )
+    return out.drop_columns(["s_user_id"])
+
+
 def _q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) over the event stream --
     the streaming-shaped operator (SURVEY.md §2.7); SQL-checkable."""
@@ -1374,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
+        "events_in_session": _q_events_in_session,
         "events_sessions": _q_events_sessions,
         "events_hopping_1h30m": _q_events_hopping_1h30m,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
@@ -2236,6 +2277,30 @@ FROM events e JOIN events p
  AND p.event_id <> e.event_id
 """,
         "events_sessions": events_sessions,
+        "events_in_session": """
+WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+),
+sess AS (
+    SELECT user_id AS s_user_id, CAST(sid AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, sid
+)
+SELECT e.event_id, e.ts, e.user_id,
+       x.session_idx, x.session_start, x.session_end
+FROM events e JOIN sess x ON e.user_id = x.s_user_id
+  AND e.ts BETWEEN x.session_start AND x.session_end
+""",
         "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,
         "orders_anti_building": """

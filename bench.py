@@ -348,7 +348,29 @@ def run_ops() -> dict:
     timed("asof_join_self", n_ev, _asof)
     timed("range_join_1h_self", n_ev, _range)
 
-    from tsfeatures_ray.functions import grouped_top_k, rolling_agg
+    from tsfeatures_ray.functions import grouped_top_k, interval_join, rolling_agg
+    from tsfeatures_ray.functions.windows import sessionize
+    import pyarrow as _pa
+
+    def _interval():
+        sess = sessionize(
+            _ev(["user_id", "event_id", "ts", "value"])
+        ).drop_columns(["n_events", "value_sum"]).map_batches(
+            lambda t: t.rename_columns(
+                ["s_user_id", "session_idx", "session_start", "session_end"]),
+            batch_format="pyarrow",
+        )
+        return interval_join(
+            _ev(["event_id", "ts", "user_id"]), sess,
+            on="ts", by="user_id", right_lo="session_start",
+            right_hi="session_end", right_by="s_user_id",
+            right_schema=_pa.schema(
+                [("s_user_id", _pa.int64()), ("session_idx", _pa.int64()),
+                 ("session_start", _pa.timestamp("us")),
+                 ("session_end", _pa.timestamp("us"))]),
+        ).count()
+
+    timed("interval_join_sessions", n_ev, _interval)
 
     timed("grouped_top3", n_ev,
           lambda: grouped_top_k(_ev(["event_id", "user_id", "value"]),

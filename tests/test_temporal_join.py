@@ -156,3 +156,71 @@ class TestRangeJoin:
                 on="ts", by="uid", right_on="rts", right_by="ruid",
                 lo=pd.Timedelta(0), hi=pd.Timedelta(minutes=-1),
             )
+
+
+class TestIntervalJoin:
+    def _mk_intervals(self, seed=0, n_left=300, n_right=80, n_keys=9):
+        rng = np.random.default_rng(seed)
+        base = np.datetime64("2024-01-01", "us")
+        left = pd.DataFrame(
+            {
+                "l_id": np.arange(n_left),
+                "ts": base + rng.integers(0, 7_200_000_000, n_left).astype("timedelta64[us]"),
+                "uid": rng.integers(0, n_keys, n_left),
+            }
+        )
+        lo = rng.integers(0, 6_000_000_000, n_right)
+        ln = rng.integers(1, 2_400_000_000, n_right)  # overlapping intervals
+        right = pd.DataFrame(
+            {
+                "r_id": np.arange(n_right),
+                "lo": base + lo.astype("timedelta64[us]"),
+                "hi": base + (lo + ln).astype("timedelta64[us]"),
+                "ruid": rng.integers(0, n_keys + 2, n_right),
+            }
+        )
+        return left, right
+
+    @pytest.mark.parametrize("band_min", [7, 60, 240])
+    def test_matches_brute(self, ray_session, band_min):
+        from tsfeatures_ray.functions import interval_join
+
+        left, right = self._mk_intervals(21)
+        got = (
+            interval_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_lo="lo", right_hi="hi",
+                right_by="ruid", band=pd.Timedelta(minutes=band_min),
+                num_parts=5,
+            )
+            .to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        )
+        brute = left.merge(right, left_on="uid", right_on="ruid")
+        brute = brute[(brute["lo"] <= brute["ts"]) & (brute["ts"] <= brute["hi"])]
+        brute = brute.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        assert len(got) == len(brute)
+        assert (got["l_id"].to_numpy() == brute["l_id"].to_numpy()).all()
+        assert (got["r_id"].to_numpy() == brute["r_id"].to_numpy()).all()
+
+    def test_max_bands_guard(self, ray_session):
+        from tsfeatures_ray.functions import interval_join
+
+        left, right = self._mk_intervals(2)
+        with pytest.raises(Exception, match="max_bands"):
+            interval_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_lo="lo", right_hi="hi",
+                right_by="ruid", band=pd.Timedelta(milliseconds=1),
+                max_bands=100,
+            ).to_pandas()
+
+    def test_no_matching_keys(self, ray_session):
+        from tsfeatures_ray.functions import interval_join
+
+        left, right = self._mk_intervals(3)
+        right["ruid"] = right["ruid"] + 1000
+        got = interval_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="uid", right_lo="lo", right_hi="hi", right_by="ruid",
+        ).to_pandas()
+        assert len(got) == 0

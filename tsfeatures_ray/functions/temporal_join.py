@@ -324,3 +324,183 @@ def _axis_int64(s: pd.Series) -> np.ndarray:
     if np.issubdtype(s.dtype, np.datetime64):
         return s.to_numpy().astype("datetime64[ns]").view(np.int64)
     return s.to_numpy().astype(np.int64)
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    by: str,
+    right_lo: str,
+    right_hi: str,
+    right_by: str,
+    band=None,
+    num_parts: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+    max_bands: int = 4096,
+) -> "ray.data.Dataset":
+    """Point-in-interval join (inner): emit every (left, right) pair
+    with equal keys and ``right_lo <= on <= right_hi``.
+
+    Scale shape (time banding -- the documented partitioning
+    assumption): the time axis is cut into fixed ``band``-wide bands
+    (pd.Timedelta or numeric; default 1h for timestamp axes). Each
+    left point belongs to exactly ONE band; each right interval is
+    replicated to every band it overlaps (bounded by ``max_bands`` --
+    an interval 4096x wider than the band means the band width is
+    mis-chosen, raise instead of exploding). The exchange key is
+    ``hash(key, band) % num_parts`` -- bounded, and hot keys spread
+    across bands, so a single key with millions of intervals does NOT
+    pin one partition (the advantage over asof/range_join's pure key
+    partitioning). Inside a bucket the match is a vectorized
+    points-x-intervals mask (block-nested-loop, bounded by the
+    banding), the same pattern as the cosine near-dup buckets.
+
+    Because points live in exactly one band, no pair is emitted twice.
+    Pick ``band`` near the typical interval length: too wide packs
+    everything into few buckets, too narrow replicates intervals many
+    times.
+    """
+    if num_parts is None:
+        num_parts = default_num_parts()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lnames, rnames = list(lschema.names), list(rschema.names)
+    overlap = set(lnames) & set(rnames)
+    if overlap:
+        raise ValueError(
+            f"interval_join: overlapping column names {sorted(overlap)}; "
+            "rename one side before joining"
+        )
+    types = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)})
+    if band is None:
+        band = (pd.Timedelta(hours=1)
+                if pa.types.is_timestamp(types[on]) else 3600)
+    band64 = _to_axis_int(band)
+    if band64 <= 0:
+        raise ValueError("interval_join: band must be positive")
+    out_names = lnames + rnames
+    key_t = types[by]
+
+    def _bucket_part(keys: np.ndarray, bands: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"__k": keys, "__b": bands}), index=False
+        ).to_numpy()
+        return (h % np.uint64(num_parts)).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        key_col = t[by].cast(key_t)
+        bands = _axis_int64(t[on].to_pandas()) // band64
+        part = _bucket_part(key_col.to_numpy(zero_copy_only=False), bands)
+        arrays = [
+            t[name] if name in lnames else pa.nulls(n, types[name])
+            for name in out_names
+        ]
+        arrays += [
+            pa.array(np.full(n, 0, dtype=np.int8)),
+            pa.array(bands, type=pa.int64()),
+            pa.array(part, type=pa.int64()),
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=out_names + [_SIDE, "__tj_band", _PART]
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        key_col = t[right_by].cast(key_t)
+        lo_b = _axis_int64(t[right_lo].to_pandas()) // band64
+        hi_b = _axis_int64(t[right_hi].to_pandas()) // band64
+        counts = hi_b - lo_b + 1
+        if len(counts) and counts.max() > max_bands:
+            raise ValueError(
+                f"interval_join: an interval spans {int(counts.max())} bands "
+                f"(> max_bands={max_bands}); widen `band`"
+            )
+        idx = np.repeat(np.arange(len(t)), counts)
+        total = int(counts.sum())
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bands = np.repeat(lo_b, counts) + (np.arange(total) - np.repeat(csum, counts))
+        part = _bucket_part(
+            key_col.to_numpy(zero_copy_only=False)[idx], bands
+        )
+        taken = t.take(pa.array(idx, type=pa.int64()))
+        arrays = [
+            taken[name] if name in rnames else pa.nulls(total, types[name])
+            for name in out_names
+        ]
+        arrays += [
+            pa.array(np.full(total, 1, dtype=np.int8)),
+            pa.array(bands, type=pa.int64()),
+            pa.array(part, type=pa.int64()),
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=out_names + [_SIDE, "__tj_band", _PART]
+        )
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        side = g[_SIDE].to_numpy()
+        lmask = side == 0
+        ldf = _restore(g.loc[lmask, lnames + ["__tj_band"]], lnames, types)
+        rdf = _restore(g.loc[~lmask, rnames + ["__tj_band"]], rnames, types)
+        empty = pd.DataFrame(
+            {n: pd.Series(dtype=df[n].dtype)
+             for df, side_names in ((ldf, lnames), (rdf, rnames))
+             for n in side_names}
+        )
+        if not len(ldf) or not len(rdf):
+            return empty
+        if rdf[right_by].dtype != ldf[by].dtype:
+            rdf[right_by] = rdf[right_by].astype(ldf[by].dtype)
+        l_ts = _axis_int64(ldf[on])
+        r_lo = _axis_int64(rdf[right_lo])
+        r_hi = _axis_int64(rdf[right_hi])
+        l_code = pd.util.hash_pandas_object(
+            pd.DataFrame({"__k": ldf[by].to_numpy(),
+                          "__b": ldf["__tj_band"].to_numpy()}), index=False
+        ).to_numpy()
+        r_code = pd.util.hash_pandas_object(
+            pd.DataFrame({"__k": rdf[right_by].to_numpy(),
+                          "__b": rdf["__tj_band"].to_numpy()}), index=False
+        ).to_numpy()
+        l_idx_parts, r_idx_parts = [], []
+        r_order = np.argsort(r_code, kind="stable")
+        r_code_s = r_code[r_order]
+        # bucket = (key, band); vectorized points-x-intervals mask per
+        # bucket, bucket sizes bounded by the banding
+        for code, sub in pd.Series(np.arange(len(ldf))).groupby(l_code, sort=False):
+            s = np.searchsorted(r_code_s, code, side="left")
+            e = np.searchsorted(r_code_s, code, side="right")
+            if s == e:
+                continue
+            ri = r_order[s:e]
+            # guard hash-bucket collisions: require true key equality
+            ri = ri[rdf[right_by].to_numpy()[ri] == ldf[by].to_numpy()[sub.iloc[0]]]
+            if not len(ri):
+                continue
+            li = sub.to_numpy()
+            m = (r_lo[ri][None, :] <= l_ts[li][:, None]) & (
+                l_ts[li][:, None] <= r_hi[ri][None, :]
+            )
+            pl, pr = np.nonzero(m)
+            if not len(pl):
+                continue
+            l_idx_parts.append(li[pl])
+            r_idx_parts.append(ri[pr])
+        if not l_idx_parts:
+            return empty
+        li = np.concatenate(l_idx_parts)
+        ri = np.concatenate(r_idx_parts)
+        out = pd.concat(
+            [ldf.iloc[li][lnames].reset_index(drop=True),
+             rdf.iloc[ri][rnames].reset_index(drop=True)],
+            axis=1,
+        )
+        return out[out_names]
+
+    return both.groupby(_PART).map_groups(merge, batch_format="pandas")
