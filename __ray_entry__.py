@@ -747,6 +747,37 @@ def _q_docs_packed(sf_dir: str):
     return pack_sequences(ds, budget=2048)
 
 
+def _q_docs_training_corpus(sf_dir: str):
+    """Composite LLM training-corpus build, one streaming pipeline:
+    exact-dedup purge (hash-partitioned semi join) -> quality filter
+    (vectorized counters) -> deterministic 50% sample (reshard-stable
+    hash) -> sequence packing (distributed prefix sum). Every stage
+    re-derived in ONE end-to-end SQL oracle -- the integration check
+    that the training-data ops compose without driver materialization."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import (
+        dedup_purge,
+        deterministic_sample,
+        pack_sequences,
+    )
+    from tsfeatures_ray.functions.text import quality_score
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    purged = dedup_purge(docs, docs)
+    scored = quality_score(purged)
+
+    def keep_only(t):
+        return t.filter(pc.equal(t["keep"], True)).select(["doc_id", "text"])
+
+    filtered = scored.map_batches(keep_only, batch_format="pyarrow")
+    sampled = deterministic_sample(filtered, 0.5, "doc_id")
+    return pack_sequences(sampled, budget=2048)
+
+
 def _q_events_distinct_users_1d(sf_dir: str):
     """Exact distinct users per day over events -- the exact counterpart
     of the HLL sketch query (two-level dedup: per-batch distinct pairs,
@@ -1400,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_mixture": _q_docs_mixture,
         "docs_packed": _q_docs_packed,
+        "docs_training_corpus": _q_docs_training_corpus,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_props_rollup": _q_events_props_rollup,
@@ -2182,6 +2214,53 @@ FROM cum GROUP BY 1
         # helper functions the engine uses (sample_sql_predicate /
         # split_sql_expr / pack_sql), so thresholds and hash arithmetic
         # cannot drift between engine and oracle
+        "docs_training_corpus": (
+            r"""
+WITH kept AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+),
+c AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+           CAST(length(regexp_extract_all(lower(text),
+                '\b(the|and|of|a|to|in|is|it|that|was)\b')) AS BIGINT)
+               AS n_stopwords,
+           CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+               AS n_punct
+    FROM kept
+),
+f AS (
+    SELECT doc_id, text FROM c
+    WHERE n_chars_m >= 30
+      AND CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1) >= 0.6
+      AND CAST(n_stopwords AS DOUBLE) / greatest(n_ws_tokens, 1) >= 0.01
+      AND CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) <= 0.2
+),
+s AS (SELECT doc_id, text FROM f WHERE """
+            + _sampling_sql().sample_sql_predicate("doc_id", 0.5, 0)
+            + """),
+toks AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens FROM s
+),
+scan AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM toks
+)
+SELECT doc_id, n_tokens, start,
+       start // 2048 AS seq_id,
+       start % 2048 AS offset_in_seq,
+       (start + GREATEST(n_tokens, 1) - 1) // 2048
+           - start // 2048 + 1 AS n_seqs
+FROM scan
+"""
+        ),
         "docs_chunks": """
 WITH d AS (SELECT doc_id, COALESCE(text,'') AS text,
                   length(COALESCE(text,'')) AS n FROM documents),
