@@ -747,6 +747,29 @@ def _q_docs_packed(sf_dir: str):
     return pack_sequences(ds, budget=2048)
 
 
+_STRAT_RATES = {"en": 0.3, "de": 1.0, "fr": 0.1}
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (corpus rebalancing:
+    downsample dominant English, keep all German, thin French, default
+    5% for the rest). Rates dict broadcast in the closure; decision
+    depends only on (key, stratum, salt) so it is reshard-stable.
+    Oracle: CASE over the shared hash predicate."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import stratified_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return stratified_sample(
+        docs, _STRAT_RATES, strat_col="lang", key_col="doc_id",
+        default_rate=0.05, salt=7,
+    )
+
+
 def _q_docs_training_corpus(sf_dir: str):
     """Composite LLM training-corpus build, one streaming pipeline:
     exact-dedup purge (hash-partitioned semi join) -> quality filter
@@ -1431,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_mixture": _q_docs_mixture,
         "docs_packed": _q_docs_packed,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_training_corpus": _q_docs_training_corpus,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
@@ -2214,6 +2238,12 @@ FROM cum GROUP BY 1
         # helper functions the engine uses (sample_sql_predicate /
         # split_sql_expr / pack_sql), so thresholds and hash arithmetic
         # cannot drift between engine and oracle
+        "docs_stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + _sampling_sql().stratified_sql_predicate(
+                _STRAT_RATES, "lang", "doc_id", default_rate=0.05, salt=7
+            )
+        ),
         "docs_training_corpus": (
             r"""
 WITH kept AS (

@@ -227,3 +227,42 @@ class TestGuardRails:
     def test_pack_empty_input(self, ray_session):
         out = pack_sequences(_docs([]), budget=128).to_pandas()
         assert len(out) == 0
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, ray_session):
+        rng = np.random.default_rng(13)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n),
+                "lang": rng.choice(["en", "de", "fr", "zz"], n),
+            }
+        )
+        from tsfeatures_ray.functions import stratified_sample
+
+        out = stratified_sample(
+            rd.from_pandas(df), {"en": 0.5, "de": 1.0, "fr": 0.0},
+            strat_col="lang", key_col="doc_id", default_rate=0.1,
+        ).to_pandas()
+        by = out.groupby("lang").size()
+        tot = df.groupby("lang").size()
+        assert by.get("de", 0) == tot["de"]          # keep all
+        assert "fr" not in by.index                   # drop all
+        assert 0.4 < by["en"] / tot["en"] < 0.6       # ~half
+        assert 0.05 < by.get("zz", 0) / tot["zz"] < 0.2  # default rate
+
+    def test_reshard_stable(self, ray_session):
+        df = pd.DataFrame(
+            {"doc_id": np.arange(1000), "lang": ["en", "de"] * 500}
+        )
+        from tsfeatures_ray.functions import stratified_sample
+
+        rates = {"en": 0.4, "de": 0.7}
+        a = stratified_sample(
+            rd.from_pandas(df), rates, "lang", "doc_id"
+        ).to_pandas()
+        b = stratified_sample(
+            rd.from_pandas(df).repartition(7), rates, "lang", "doc_id"
+        ).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])

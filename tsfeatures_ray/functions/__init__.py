@@ -8,6 +8,7 @@ from .text import (  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
+    stratified_sample,
     weighted_mixture,
 )
 from .pack import pack_sequences  # noqa: F401

@@ -167,3 +167,52 @@ def weighted_mixture(
     for t in tagged[1:]:
         out = out.union(t)
     return out
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    rates: dict,
+    strat_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling: keep a row iff
+    ``h(key) < rates[row[strat_col]] * 2^32`` -- the tool for
+    rebalancing a skewed corpus (e.g. downsample the dominant language,
+    keep all of a rare one). Reshard-stable like ``deterministic_sample``
+    (the decision depends only on key, stratum and salt -- never on
+    block layout); strata absent from ``rates`` use ``default_rate``.
+
+    The rates dict is broadcast inside the map_batches closure (small
+    side read once per task, never shuffled). Oracle: a CASE expression
+    over the same shared hash predicate.
+    """
+    thr = {k: np.uint64(_threshold(v)) for k, v in rates.items()}
+    dflt = np.uint64(_threshold(default_rate))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash32(df[key_col].to_numpy(), salt)
+        # factorize + LUT: the python lookup runs once per DISTINCT
+        # stratum in the batch, not once per row
+        codes, uniq = pd.factorize(df[strat_col])
+        lut = np.array([thr.get(u, dflt) for u in uniq], dtype=np.uint64)
+        return df[h < lut[codes]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def stratified_sql_predicate(
+    rates: dict, strat_col: str, key_col: str,
+    default_rate: float = 0.0, salt: int = 0,
+) -> str:
+    """DuckDB predicate reproducing stratified_sample exactly (CASE over
+    the shared integer hash)."""
+    cases = " ".join(
+        f"WHEN {strat_col} = '{k}' THEN {_threshold(v)}"
+        for k, v in rates.items()
+    )
+    return (
+        f"{hash_sql_expr(key_col, salt)} < "
+        f"(CASE {cases} ELSE {_threshold(default_rate)} END)"
+    )
