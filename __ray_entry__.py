@@ -770,6 +770,107 @@ def _q_docs_stratified_sample(sf_dir: str):
     )
 
 
+def _q_q3_top_orders(sf_dir: str):
+    """TPC-H Q3-shaped composition: BUILDING-segment semi join ->
+    per-order revenue aggregate -> partitioned join to order metadata ->
+    global top-10 by revenue. Revenue is EXACT integer arithmetic
+    (cents x discount-percent), so the ranking cannot be flipped by fp
+    summation order and the oracle is hash-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import grouped_top_k
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+
+    def to_cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "revenue": price_c * (100 - disc_p),
+                }
+            )
+            .groupby("l_orderkey", sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+        g["part"] = stable_part(g["l_orderkey"].to_numpy(), num_parts)
+        return g
+
+    def merge_rev(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("l_orderkey", sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+
+    # partial per-batch pre-agg + ONE bounded exchange (Ray's native
+    # groupby.sum was ~25s here on 60k rows; this shape is <1s)
+    li_agg = (
+        li.map_batches(to_cents_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge_rev, batch_format="pandas")
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsfeatures_ray.functions.join import broadcast_join
+
+    # customer is the classic small dimension: broadcast the BUILDING
+    # key set once (ray.put, read per actor) instead of an exchange
+    cust_df = (
+        pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+            filters=[("c_mktsegment", "==", "BUILDING")],
+        )
+        .select(["c_custkey"])
+        .to_pandas()
+    )
+    orders_b = broadcast_join(
+        orders, cust_df, left_on="o_custkey", right_on="c_custkey",
+        how="semi",
+    ).drop_columns(["o_custkey"])
+    joined = partitioned_join(
+        li_agg, orders_b, left_on="l_orderkey", right_on="o_orderkey",
+        how="inner",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+
+    def tag_const(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["g"] = 0
+        return df
+
+    top = grouped_top_k(
+        joined.map_batches(tag_const, batch_format="pandas"),
+        "g", "revenue", k=10, tie_cols=["l_orderkey"],
+    )
+    return top.drop_columns(["g"])
+
+
 def _q_docs_training_corpus(sf_dir: str):
     """Composite LLM training-corpus build, one streaming pipeline:
     exact-dedup purge (hash-partitioned semi join) -> quality filter
@@ -1460,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_props_rollup": _q_events_props_rollup,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "q3_top_orders": _q_q3_top_orders,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
         "media_features": _q_media_features,
         "orders_by_segment": _q_orders_by_segment,
@@ -2354,6 +2456,27 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
         "orders_by_segment": orders_by_segment,
+        "q3_top_orders": """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue
+    FROM lineitem GROUP BY 1
+),
+b AS (
+    SELECT o.o_orderkey, o.o_orderdate FROM orders o
+    WHERE o.o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+),
+r AS (
+    SELECT li.l_orderkey, li.revenue, b.o_orderdate,
+           ROW_NUMBER() OVER (ORDER BY li.revenue DESC, li.l_orderkey) AS rk
+    FROM li JOIN b ON li.l_orderkey = b.o_orderkey
+)
+SELECT l_orderkey, revenue, o_orderdate, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10
+""",
         "events_count_entropy": events_count_entropy,
         "orders_top3_by_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
