@@ -1265,23 +1265,31 @@ def _q_events_asof_order(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "value"],
     )
+    from tsfeatures_ray.functions.grouped import grouped_agg
+
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
-    agg = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
-        rd.aggregate.Max("o_totalprice"), rd.aggregate.Count()
+    # partial+merge grouped_agg, not Ray's native groupby.aggregate
+    # (which sort-shuffles raw rows; see functions/grouped.py)
+    agg = grouped_agg(
+        orders, ["o_custkey", "o_orderdate"],
+        {"o_totalprice": ["max", "count"]},
     )
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            ["o_custkey", "o_orderdate", "last_price", "n_ord"]
-        )
+    def rename(df):
+        return df.rename(columns={"o_totalprice_max": "last_price",
+                                  "o_totalprice_count": "n_ord"})
 
-    agg = agg.map_batches(rename, batch_format="pyarrow")
+    agg = agg.map_batches(rename, batch_format="pandas")
     return asof_join(
         ev, agg, on="ts", by="user_id",
         right_on="o_orderdate", right_by="o_custkey",
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("last_price", pa.float64()), ("n_ord", pa.int64())]
+        ),
     )
 
 

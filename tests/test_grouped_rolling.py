@@ -129,3 +129,60 @@ class TestRollingAgg:
         with pytest.raises(ValueError):
             rolling_agg(rd.from_pandas(_frame(1)), key="g", order="rid",
                         cols=["v"], window=0)
+
+
+class TestGroupedAgg:
+    def test_matches_pandas(self, ray_session):
+        from tsfeatures_ray.functions.grouped import grouped_agg
+
+        df = _frame(7)
+        got = (
+            grouped_agg(
+                rd.from_pandas(df), "g",
+                {"v": ["sum", "min", "max", "count", "mean"],
+                 "f": ["sum", "last"]},
+                order_col="rid", num_parts=5,
+            )
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        base = df.groupby("g")
+        want = pd.DataFrame(
+            {
+                "v_sum": base["v"].sum(), "v_min": base["v"].min(),
+                "v_max": base["v"].max(), "v_count": base["v"].count(),
+                "v_mean": base["v"].sum() / base["v"].count(),
+                "f_sum": base["f"].sum(),
+                "f_last": df.loc[base["rid"].idxmax()].set_index("g")["f"],
+            }
+        ).reset_index().sort_values("g").reset_index(drop=True)
+        for c in want.columns:
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+                rtol=1e-12, err_msg=c,
+            )
+
+    def test_multi_key(self, ray_session):
+        from tsfeatures_ray.functions.grouped import grouped_agg
+
+        df = _frame(2)
+        df["g2"] = df["rid"] % 4
+        got = grouped_agg(
+            rd.from_pandas(df), ["g", "g2"], {"v": ["sum", "count"]}
+        ).to_pandas()
+        want = df.groupby(["g", "g2"])["v"].agg(["sum", "count"]).reset_index()
+        got = got.sort_values(["g", "g2"]).reset_index(drop=True)
+        want = want.sort_values(["g", "g2"]).reset_index(drop=True)
+        assert (got["v_sum"].to_numpy() == want["sum"].to_numpy()).all()
+        assert (got["v_count"].to_numpy() == want["count"].to_numpy()).all()
+
+    def test_last_requires_order(self, ray_session):
+        from tsfeatures_ray.functions.grouped import grouped_agg
+
+        with pytest.raises(ValueError, match="order_col"):
+            grouped_agg(rd.from_pandas(_frame(1)), "g", {"v": ["last"]})
+
+    def test_unknown_agg(self, ray_session):
+        from tsfeatures_ray.functions.grouped import grouped_agg
+
+        with pytest.raises(ValueError, match="unknown agg"):
+            grouped_agg(rd.from_pandas(_frame(1)), "g", {"v": ["median"]})

