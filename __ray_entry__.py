@@ -902,6 +902,23 @@ def _q_docs_training_corpus(sf_dir: str):
     return pack_sequences(sampled, budget=2048)
 
 
+def _q_docs_packed_bpe(sf_dir: str):
+    """Sequence packing driven by the BPE-ish tokenizer counts instead
+    of the char proxy: text_metrics supplies n_bpe_tokens, packing
+    consumes it via tokens_col -- the composition a real training-prep
+    pipeline runs. Oracle: regex token count + window SUM."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import pack_sequences
+    from tsfeatures_ray.functions.text import text_metrics
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    counted = text_metrics(docs).select_columns(["doc_id", "n_bpe_tokens"])
+    return pack_sequences(counted, budget=1024, tokens_col="n_bpe_tokens")
+
+
 def _q_events_distinct_users_1d(sf_dir: str):
     """Exact distinct users per day over events -- the exact counterpart
     of the HLL sketch query (two-level dedup: per-batch distinct pairs,
@@ -1563,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_mixture": _q_docs_mixture,
         "docs_packed": _q_docs_packed,
+        "docs_packed_bpe": _q_docs_packed_bpe,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_training_corpus": _q_docs_training_corpus,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
@@ -2348,6 +2366,26 @@ FROM cum GROUP BY 1
         # helper functions the engine uses (sample_sql_predicate /
         # split_sql_expr / pack_sql), so thresholds and hash arithmetic
         # cannot drift between engine and oracle
+        "docs_packed_bpe": r"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+scan AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM toks
+)
+SELECT doc_id, n_tokens, start,
+       start // 1024 AS seq_id,
+       start % 1024 AS offset_in_seq,
+       (start + GREATEST(n_tokens, 1) - 1) // 1024
+           - start // 1024 + 1 AS n_seqs
+FROM scan
+""",
         "docs_stratified_sample": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + _sampling_sql().stratified_sql_predicate(

@@ -372,6 +372,19 @@ def run_ops() -> dict:
 
     timed("interval_join_sessions", n_ev, _interval)
 
+    from tsfeatures_ray.functions.sketches import approx_top_tokens
+
+    timed("approx_top_tokens", n_docs,
+          lambda: approx_top_tokens(docs(), k=50).count())
+
+    from tsfeatures_ray.functions.grouped import grouped_agg
+
+    timed("grouped_agg_user", n_ev,
+          lambda: grouped_agg(_ev(["event_id", "user_id", "value"]),
+                              "user_id",
+                              {"value": ["sum", "min", "max", "count",
+                                         "mean", "last"]},
+                              order_col="event_id").count())
     timed("grouped_top3", n_ev,
           lambda: grouped_top_k(_ev(["event_id", "user_id", "value"]),
                                 "user_id", "value", k=3,

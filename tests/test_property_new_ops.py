@@ -6,6 +6,7 @@ HLL determinism/merge laws."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -70,3 +71,50 @@ def test_hll_merge_laws_property(seed, p, n):
     assert np.array_equal(hll_merge(whole, whole), whole)
     a, b = hll_build(vals[:half], p=p), hll_build(vals[half:], p=p)
     assert np.array_equal(hll_merge(a, b), hll_merge(b, a))
+
+
+class TestApproxTopTokens:
+    def test_misra_gries_bound_vs_exact(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import approx_top_tokens
+        from tsfeatures_ray.functions.text import top_tokens
+
+        rng = np.random.default_rng(31)
+        vocab = np.array([f"tok{i}" for i in range(400)])
+        # zipf-ish corpus: heavy head, long tail
+        weights = 1.0 / np.arange(1, len(vocab) + 1)
+        weights /= weights.sum()
+        docs = [
+            " ".join(rng.choice(vocab, size=60, p=weights))
+            for _ in range(300)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)),
+                                          "text": docs}))
+        exact = top_tokens(ds, k=400)
+        true = dict(zip(exact["token"], exact["cnt"]))
+        approx = approx_top_tokens(ds, k=20, sketch_k=64).to_pandas()
+        slack = int(approx["max_undercount"].iloc[0])
+        for t, est in zip(approx["token"], approx["est_count"]):
+            assert est <= true[t], (t, est, true[t])
+            assert true[t] - est <= slack, (t, est, true[t], slack)
+        # every token whose true count dominates the slack must appear
+        must = {t for t, c in true.items() if c > slack}
+        got = set(approx["token"])
+        assert must <= got or len(must) > 20, (len(must), slack)
+
+    def test_small_vocab_is_exact(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import approx_top_tokens
+        from tsfeatures_ray.functions.text import top_tokens
+
+        docs = ["alpha beta beta gamma", "alpha alpha delta"] * 10
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)),
+                                          "text": docs}))
+        approx = approx_top_tokens(ds, k=10, sketch_k=100).to_pandas()
+        assert int(approx["max_undercount"].iloc[0]) == 0
+        exact = top_tokens(ds, k=10)
+        assert dict(zip(approx["token"], approx["est_count"])) == dict(
+            zip(exact["token"], exact["cnt"])
+        )

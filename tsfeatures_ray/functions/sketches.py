@@ -216,3 +216,122 @@ def hll_distinct(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def spacesaving_partial(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """One Misra-Gries-style summary from exact per-batch (token, count)
+    pairs: keep the k largest counters, DROP the rest. Pure truncation,
+    so each kept estimate is exact for its batch and every dropped
+    token's batch count is <= dropped_max. Returns
+    (tokens, counts, dropped_max). Vectorized: one argpartition."""
+    if k < 1:
+        raise ValueError("spacesaving: k must be >= 1")
+    counts = counts.astype(np.int64)
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    order = np.argpartition(counts, -k)
+    dropped_max = int(counts[order[:-k]].max())
+    top = order[-k:]
+    return tokens[top], counts[top], dropped_max
+
+
+def spacesaving_merge(summaries, k: int):
+    """Merge summaries: sum counts per token, re-truncate to k. The
+    one-sided bound ADDS: est <= true <= est + total_slack, where
+    total_slack = sum over inputs of their dropped_max (+ this merge's
+    own truncation maximum)."""
+    frames = []
+    total_err = 0
+    for toks, cnts, err in summaries:
+        frames.append(pd.DataFrame({"t": toks, "c": cnts}))
+        total_err += int(err)
+    g = pd.concat(frames).groupby("t", sort=False)["c"].sum()
+    out_t, out_c, err2 = spacesaving_partial(
+        g.index.to_numpy(), g.to_numpy(), k
+    )
+    return out_t, out_c, total_err + err2
+
+
+def approx_top_tokens(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    sketch_k: int | None = None,
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Approximate heavy-hitter tokens via mergeable truncation
+    sketches: each batch tokenizes (same [a-z]+ byte tokenizer as the
+    exact ``top_tokens``), keeps its ``sketch_k`` largest counters, and
+    ONLY those sketch rows -- never the token stream -- enter the
+    exchange. Partials are hash-partitioned by token, so sums over the
+    SURVIVING partials are exact; the only error is per-batch
+    truncation, and its total is carried as a slack accumulator.
+
+    One-sided guarantee (Misra-Gries): est <= true and
+    true - est <= max_undercount (the reported global slack). Any token
+    whose true count exceeds max_undercount is guaranteed present.
+    Returns k rows (token, est_count, max_undercount) sorted by
+    (est DESC, token ASC); est ties at the boundary resolve by token.
+
+    vs exact ``top_tokens``: the exchange here is bounded by
+    sketch_k x batches rows regardless of vocabulary size -- the 100 TB
+    shape when the vocabulary itself (URLs, ids) is too big to ship.
+    """
+    from .text import _tokenize_counts
+
+    if sketch_k is None:
+        sketch_k = max(4 * k, 256)
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(batch) -> pd.DataFrame:
+        toks, cnts = _tokenize_counts(batch[text_col])
+        st, sc, err = spacesaving_partial(toks, cnts, sketch_k)
+        # the "" sentinel row carries this batch's slack; real tokens
+        # are never empty (the tokenizer filters zero-length)
+        df = pd.DataFrame(
+            {"token": np.append(st, ""), "est": np.append(sc, err)}
+        )
+        df["part"] = stable_part(df["token"].to_numpy(), num_parts)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["est"].sum().reset_index()
+        slack = s[s["token"] == ""]
+        cand = s[s["token"] != ""].sort_values(
+            ["est", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.concat([cand, slack], ignore_index=True)
+
+    parted = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["g"] = 0
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        slack = int(g.loc[g["token"] == "", "est"].sum())
+        cand = g[g["token"] != ""].sort_values(
+            ["est", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "token": cand["token"],
+                "est_count": cand["est"].astype(np.int64),
+                "max_undercount": np.int64(slack),
+            }
+        )
+
+    # per-partition candidates are tiny (<= k + 1 rows each): one
+    # single-group exchange does the global truncation, no driver code
+    return (
+        parted.map_batches(tag, batch_format="pandas")
+        .groupby("g")
+        .map_groups(lambda g: final(g.drop(columns="g")),
+                    batch_format="pandas")
+    )

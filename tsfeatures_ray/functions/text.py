@@ -343,6 +343,42 @@ def language_id(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+_TOKEN_TBL = np.full(256, 0x20, dtype=np.uint8)
+_TOKEN_TBL[0x61:0x7B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+_TOKEN_TBL[0x41:0x5B] = np.arange(0x61, 0x7B, dtype=np.uint8)
+
+
+def _tokenize_counts(text) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-level [a-z]+ tokenizer over a whole Arrow string column
+    (non-ASCII / non-letter bytes are separators, uppercase lowered):
+    returns (distinct tokens, counts) for the batch. One table lookup
+    over the raw UTF-8 buffer + Arrow split/dictionary_encode/bincount
+    -- no per-row Python."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    bufs = text.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        text.offset: text.offset + len(text) + 1
+    ].astype(np.int64)
+    b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    blanked = _TOKEN_TBL[b]
+    arr = pa.Array.from_buffers(
+        pa.large_utf8(), len(text),
+        [None, pa.py_buffer((offs - offs[0]).tobytes()),
+         pa.py_buffer(blanked.tobytes())],
+    )
+    words = pc.split_pattern(arr, " ").values
+    enc = pc.dictionary_encode(words)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pandas()
+    counts = np.bincount(codes, minlength=len(vocab))
+    keep = (vocab.str.len() > 0).to_numpy()
+    return vocab[keep].to_numpy(), counts[keep].astype("int64")
+
+
 def top_tokens(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -364,37 +400,9 @@ def top_tokens(
     if num_parts is None:
         num_parts = default_num_parts()
 
-    tbl = np.full(256, 0x20, dtype=np.uint8)
-    tbl[0x61:0x7B] = np.arange(0x61, 0x7B, dtype=np.uint8)
-    tbl[0x41:0x5B] = np.arange(0x61, 0x7B, dtype=np.uint8)
-
     def partial(batch: pa.Table) -> pd.DataFrame:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        if text.null_count:
-            text = pc.fill_null(text, "")
-        bufs = text.buffers()
-        off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
-        offs = np.frombuffer(bufs[1], dtype=off_dt)[
-            text.offset: text.offset + len(text) + 1
-        ].astype(np.int64)
-        b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
-        blanked = tbl[b]
-        arr = pa.Array.from_buffers(
-            pa.large_utf8(), len(text),
-            [None, pa.py_buffer((offs - offs[0]).tobytes()),
-             pa.py_buffer(blanked.tobytes())],
-        )
-        words = pc.split_pattern(arr, " ").values
-        enc = pc.dictionary_encode(words)
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary.to_pandas()
-        counts = np.bincount(codes, minlength=len(vocab))
-        keep = (vocab.str.len() > 0).to_numpy()
-        out = pd.DataFrame(
-            {"token": vocab[keep], "cnt": counts[keep].astype("int64")}
-        )
+        tokens, counts = _tokenize_counts(batch[text_col])
+        out = pd.DataFrame({"token": tokens, "cnt": counts})
         out["part"] = stable_part(out["token"].to_numpy(), num_parts)
         return out
 
