@@ -902,6 +902,27 @@ def _q_docs_training_corpus(sf_dir: str):
     return pack_sequences(sampled, budget=2048)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot_by_type(sf_dir: str):
+    """Long -> wide pivot aggregate: per-user value sums, one column
+    per event type (explicit value list, so the output schema never
+    depends on a data discovery pass). Oracle: SUM(CASE WHEN ...)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import pivot_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    out = pivot_agg(
+        ev, "user_id", "event_type", "value", values=_EVENT_TYPES,
+    )
+    return _round_floats(out)
+
+
 def _q_docs_packed_bpe(sf_dir: str):
     """Sequence packing driven by the BPE-ish tokenizer counts instead
     of the char proxy: text_metrics supplies n_bpe_tokens, packing
@@ -1586,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_props_rollup": _q_events_props_rollup,
+        "events_pivot_by_type": _q_events_pivot_by_type,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
@@ -2366,6 +2388,20 @@ FROM cum GROUP BY 1
         # helper functions the engine uses (sample_sql_predicate /
         # split_sql_expr / pack_sql), so thresholds and hash arithmetic
         # cannot drift between engine and oracle
+        "events_pivot_by_type": """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END)
+             + 0.0000001, 6) AS value_click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END)
+             + 0.0000001, 6) AS value_error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END)
+             + 0.0000001, 6) AS value_purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END)
+             + 0.0000001, 6) AS value_signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END)
+             + 0.0000001, 6) AS value_view
+FROM events GROUP BY user_id
+""",
         "docs_packed_bpe": r"""
 WITH toks AS (
     SELECT doc_id,

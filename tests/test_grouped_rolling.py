@@ -186,3 +186,53 @@ class TestGroupedAgg:
 
         with pytest.raises(ValueError, match="unknown agg"):
             grouped_agg(rd.from_pandas(_frame(1)), "g", {"v": ["median"]})
+
+
+class TestPivotAgg:
+    def _df(self, seed=0, n=800):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "u": rng.integers(0, 25, n),
+                "t": rng.choice(["a", "b", "c", "zz"], n),
+                "v": rng.normal(size=n).round(3),
+            }
+        )
+
+    @pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+    def test_matches_pandas_pivot(self, ray_session, agg):
+        from tsfeatures_ray.functions.grouped import pivot_agg
+
+        df = self._df(3)
+        got = (
+            pivot_agg(rd.from_pandas(df), "u", "t", "v",
+                      values=["a", "b", "c"], agg=agg, num_parts=4)
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        sub = df[df["t"].isin(["a", "b", "c"])]
+        want = sub.pivot_table(index="u", columns="t", values="v",
+                               aggfunc=agg, dropna=False)
+        want = want.reindex(columns=["a", "b", "c"])
+        if agg == "count":
+            want = want.fillna(0).astype(np.int64)
+        want.columns = [f"v_{c}" for c in want.columns]
+        want = want.reset_index().sort_values("u").reset_index(drop=True)
+        for c in ("v_a", "v_b", "v_c"):
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+                rtol=1e-9, equal_nan=True, err_msg=f"{agg}:{c}",
+            )
+
+    def test_unknown_values_dropped(self, ray_session):
+        from tsfeatures_ray.functions.grouped import pivot_agg
+
+        df = self._df(5)
+        got = pivot_agg(rd.from_pandas(df), "u", "t", "v",
+                        values=["a"]).to_pandas()
+        assert list(got.columns) == ["u", "v_a"]
+
+    def test_requires_values(self, ray_session):
+        from tsfeatures_ray.functions.grouped import pivot_agg
+
+        with pytest.raises(ValueError, match="values"):
+            pivot_agg(rd.from_pandas(self._df(1)), "u", "t", "v", values=[])

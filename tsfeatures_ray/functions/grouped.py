@@ -180,3 +180,69 @@ def _part_of(df: pd.DataFrame, kcols: list, num_parts: int) -> np.ndarray:
         return stable_part(df[kcols[0]].to_numpy(), num_parts)
     h = pd.util.hash_pandas_object(df[kcols], index=False).to_numpy()
     return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def pivot_agg(
+    ds,
+    index: str | list[str],
+    pivot_col: str,
+    value_col: str,
+    values: list,
+    agg: str = "sum",
+    num_parts: int | None = None,
+):
+    """Long -> wide pivot aggregate: one row per ``index``, one
+    ``<value_col>_<v>`` column per pivot value, cells aggregated with
+    ``agg`` (sum/count/min/max). ``values`` is explicit -- at scale the
+    output SCHEMA must not depend on a full discovery pass over the
+    data, and unknown pivot values are dropped rather than silently
+    widening the table. Same partial+merge shape as ``grouped_agg``:
+    each batch collapses to (index, one column per pivot value), only
+    those partials cross the one bounded exchange.
+
+    Oracle shape: ``GROUP BY index`` with
+    ``SUM(CASE WHEN pivot = v THEN value END)`` per value.
+    """
+    icols = [index] if isinstance(index, str) else list(index)
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"pivot_agg: unsupported agg {agg!r}")
+    if not values:
+        raise ValueError("pivot_agg: explicit pivot `values` required")
+    vnames = [f"{value_col}_{v}" for v in values]
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[pivot_col].isin(values)]
+        if not len(df):
+            out = pd.DataFrame(columns=icols + vnames)
+        else:
+            piv = df.pivot_table(
+                index=icols, columns=pivot_col, values=value_col,
+                aggfunc=agg,
+            )
+            piv = piv.reindex(columns=values)
+            piv.columns = [f"{value_col}_{c}" for c in piv.columns]
+            out = piv.reset_index().reindex(columns=icols + vnames)
+        out["part"] = _part_of(out, icols, num_parts) if len(out) else \
+            np.array([], dtype=np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(icols, sort=False)[vnames]
+        if agg == "count":
+            # SQL COUNT semantics: a (group, value) never seen is 0
+            out = gg.sum().fillna(0).astype(np.int64).reset_index()
+        elif agg == "sum":
+            # SQL SUM semantics: never seen stays NULL, not 0
+            out = gg.sum(min_count=1).reset_index()
+        else:
+            out = gg.agg(agg).reset_index()
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
