@@ -266,3 +266,20 @@ class TestStratifiedSample:
             rd.from_pandas(df).repartition(7), rates, "lang", "doc_id"
         ).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+    def test_mixture_tag_collision_raises(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "source": ["x", "y", "z"]})
+        )
+        with pytest.raises(Exception, match="tag_col"):
+            weighted_mixture([("a", ds, 1.0)]).to_pandas()
+
+    def test_mixture_custom_tag_col(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "source": ["x", "y", "z"]})
+        )
+        out = weighted_mixture(
+            [("a", ds, 1.0)], tag_col="mix_source"
+        ).to_pandas()
+        assert set(out["mix_source"]) == {"a"}
+        assert set(out["source"]) == {"x", "y", "z"}

@@ -143,6 +143,7 @@ def weighted_mixture(
     sources: list[tuple[str, "ray.data.Dataset", float]],
     key_col: str = "doc_id",
     salt: int = 0,
+    tag_col: str = "source",
 ) -> "ray.data.Dataset":
     """Deterministic training-data mixture: per-source Bernoulli(rate)
     sample (salted per source so the same key draws independently in
@@ -150,7 +151,9 @@ def weighted_mixture(
     ``sources`` is [(name, dataset, sampling_rate), ...]; rates are
     absolute per-source keep probabilities (compute them from corpus
     sizes + target mixture weights upstream). Union is streaming -- no
-    materialization, no shuffle."""
+    materialization, no shuffle. The tag goes in ``tag_col`` -- if the
+    input already carries a column of that name the op raises instead
+    of silently overwriting it (pass a different ``tag_col``)."""
     if not sources:
         raise ValueError("weighted_mixture needs at least one source")
     tagged = []
@@ -158,8 +161,13 @@ def weighted_mixture(
         s = deterministic_sample(ds, rate, key_col, salt=salt + i)
 
         def tag(df: pd.DataFrame, name=name) -> pd.DataFrame:
+            if tag_col in df.columns:
+                raise ValueError(
+                    f"weighted_mixture: input already has a {tag_col!r} "
+                    "column; pass a different tag_col"
+                )
             df = df.copy()
-            df["source"] = name
+            df[tag_col] = name
             return df
 
         tagged.append(s.map_batches(tag, batch_format="pandas"))
