@@ -224,3 +224,49 @@ class TestIntervalJoin:
             on="ts", by="uid", right_lo="lo", right_hi="hi", right_by="ruid",
         ).to_pandas()
         assert len(got) == 0
+
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+
+class TestTemporalJoinProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 10_000), n_keys=st.integers(1, 8))
+    def test_asof_matches_merge_asof_randomized(self, ray_session, seed, n_keys):
+        left, right = _mk(seed, n_left=120, n_right=90, n_keys=n_keys)
+        got = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="ts", by="uid", right_on="rts", right_by="ruid",
+                      num_parts=3)
+            .to_pandas().sort_values("l_id").reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("rts"),
+            left_on="ts", right_on="rts", left_by="uid", right_by="ruid",
+        ).sort_values("l_id").reset_index(drop=True)
+        assert got["r_id"].isna().equals(want["r_id"].isna())
+        m = ~want["r_id"].isna()
+        assert (got.loc[m, "r_id"].to_numpy()
+                == want.loc[m, "r_id"].to_numpy()).all()
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 10_000), mins=st.integers(1, 90))
+    def test_range_matches_brute_randomized(self, ray_session, seed, mins):
+        left, right = _mk(seed, n_left=100, n_right=80, n_keys=5)
+        lo, hi = pd.Timedelta(minutes=-mins), pd.Timedelta(minutes=mins // 2)
+        got = (
+            range_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="ts", by="uid", right_on="rts", right_by="ruid",
+                       lo=lo, hi=hi, num_parts=3)
+            .to_pandas()
+        )
+        brute = left.merge(right, left_on="uid", right_on="ruid")
+        brute = brute[(brute["rts"] >= brute["ts"] + lo)
+                      & (brute["rts"] <= brute["ts"] + hi)]
+        assert len(got) == len(brute)
+        assert set(zip(got["l_id"], got["r_id"])) == set(
+            zip(brute["l_id"], brute["r_id"])
+        )
