@@ -750,6 +750,21 @@ def _q_docs_packed(sf_dir: str):
 _STRAT_RATES = {"en": 0.3, "de": 1.0, "fr": 0.1}
 
 
+def _q_docs_sample_64(sf_dir: str):
+    """Exactly-n deterministic sample: the 64 docs with the smallest
+    key hash (fixed size, reshard-stable, monotone in n). Per-batch
+    prune to n before the exchange. Oracle: ORDER BY hash LIMIT n."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import deterministic_sample_n
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return deterministic_sample_n(docs, 64, key_col="doc_id", salt=3)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Per-stratum deterministic sampling (corpus rebalancing:
     downsample dominant English, keep all German, thin French, default
@@ -1602,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture": _q_docs_mixture,
         "docs_packed": _q_docs_packed,
         "docs_packed_bpe": _q_docs_packed_bpe,
+        "docs_sample_64": _q_docs_sample_64,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_training_corpus": _q_docs_training_corpus,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
@@ -2422,6 +2438,10 @@ SELECT doc_id, n_tokens, start,
            - start // 1024 + 1 AS n_seqs
 FROM scan
 """,
+        "docs_sample_64": _sampling_sql().sample_n_sql(
+            "documents", 64, "doc_id", salt=3,
+            cols="doc_id, lang, n_chars",
+        ),
         "docs_stratified_sample": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + _sampling_sql().stratified_sql_predicate(

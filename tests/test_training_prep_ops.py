@@ -283,3 +283,44 @@ class TestStratifiedSample:
         ).to_pandas()
         assert set(out["mix_source"]) == {"a"}
         assert set(out["source"]) == {"x", "y", "z"}
+
+
+class TestSampleN:
+    def test_exact_n_and_monotone(self, ray_session):
+        from tsfeatures_ray.functions import deterministic_sample_n
+
+        df = pd.DataFrame({"doc_id": np.arange(2000), "v": np.arange(2000.0)})
+        s32 = set(
+            deterministic_sample_n(rd.from_pandas(df), 32, "doc_id")
+            .to_pandas()["doc_id"]
+        )
+        s200 = set(
+            deterministic_sample_n(rd.from_pandas(df), 200, "doc_id")
+            .to_pandas()["doc_id"]
+        )
+        assert len(s32) == 32 and len(s200) == 200
+        assert s32 < s200  # monotone: bigger sample contains smaller
+
+    def test_matches_brute_hash_order(self, ray_session):
+        from tsfeatures_ray.functions import deterministic_sample_n
+        from tsfeatures_ray.functions.sampling import knuth_hash32
+
+        df = pd.DataFrame({"doc_id": np.arange(500)})
+        got = (
+            deterministic_sample_n(rd.from_pandas(df), 20, "doc_id", salt=9)
+            .to_pandas()["doc_id"]
+        )
+        h = knuth_hash32(df["doc_id"].to_numpy(), 9)
+        want = df["doc_id"].to_numpy()[np.lexsort((df["doc_id"], h))][:20]
+        assert sorted(got) == sorted(want)
+
+    def test_reshard_stable(self, ray_session):
+        from tsfeatures_ray.functions import deterministic_sample_n
+
+        df = pd.DataFrame({"doc_id": np.arange(1000)})
+        a = set(deterministic_sample_n(rd.from_pandas(df), 50, "doc_id")
+                .to_pandas()["doc_id"])
+        b = set(deterministic_sample_n(
+            rd.from_pandas(df).repartition(9), 50, "doc_id")
+            .to_pandas()["doc_id"])
+        assert a == b

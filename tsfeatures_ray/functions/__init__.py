@@ -7,6 +7,7 @@ from .text import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     deterministic_sample,
+    deterministic_sample_n,
     hash_split,
     stratified_sample,
     weighted_mixture,

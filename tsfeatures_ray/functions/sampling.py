@@ -224,3 +224,44 @@ def stratified_sql_predicate(
         f"{hash_sql_expr(key_col, salt)} < "
         f"(CASE {cases} ELSE {_threshold(default_rate)} END)"
     )
+
+
+def deterministic_sample_n(
+    ds: "ray.data.Dataset",
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """EXACTLY-n deterministic sample: the n rows with the smallest
+    key hash (ties by key). Unlike the Bernoulli ``deterministic_sample``
+    the output size is fixed, and the chosen set is reshard-stable and
+    grows monotonically with n (a larger sample always contains the
+    smaller one -- the hash order is a fixed permutation of the corpus).
+
+    Scale shape: per-batch prune to the n smallest BEFORE the exchange
+    (only n x batches rows move), one single-group exchange, final
+    n-smallest. Oracle: ``ORDER BY hash, key LIMIT n``.
+    """
+    from .grouped import grouped_top_k
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = knuth_hash32(df[key_col].to_numpy(), salt).astype(np.int64)
+        df["__g"] = 0
+        return df
+
+    out = grouped_top_k(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        "__g", "__h", k=n, descending=False, tie_cols=[key_col],
+    )
+    return out.drop_columns(["__h", "__g", "rk"])
+
+
+def sample_n_sql(table: str, n: int, key_col: str, salt: int = 0,
+                 cols: str = "*") -> str:
+    """DuckDB oracle for deterministic_sample_n."""
+    h = hash_sql_expr(key_col, salt)
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"ORDER BY {h}, {key_col} LIMIT {n}"
+    )
