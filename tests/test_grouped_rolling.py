@@ -236,3 +236,19 @@ class TestPivotAgg:
 
         with pytest.raises(ValueError, match="values"):
             pivot_agg(rd.from_pandas(self._df(1)), "u", "t", "v", values=[])
+
+    def test_block_without_matches(self, ray_session):
+        from tsfeatures_ray.functions.grouped import pivot_agg
+
+        # one block carries only unknown pivot values -> its partial is
+        # an empty frame that must keep the shared schema
+        a = pd.DataFrame({"u": [1, 2], "t": ["zz", "zz"], "v": [1.0, 2.0]})
+        b = pd.DataFrame({"u": [1, 3], "t": ["a", "b"], "v": [5.0, 7.0]})
+        ds = rd.from_pandas(a).union(rd.from_pandas(b))
+        got = (
+            pivot_agg(ds, "u", "t", "v", values=["a", "b"])
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        assert got["u"].tolist() == [1, 3]
+        assert got["v_a"].tolist()[0] == 5.0
+        assert got["v_b"].tolist()[1] == 7.0

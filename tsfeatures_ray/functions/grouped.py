@@ -214,9 +214,17 @@ def pivot_agg(
         num_parts = default_num_parts()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        full = df
         df = df[df[pivot_col].isin(values)]
         if not len(df):
-            out = pd.DataFrame(columns=icols + vnames)
+            # typed empty frame: a batch with no matching pivot rows
+            # must emit the same block schema as every other batch
+            out = pd.DataFrame(
+                {
+                    **{c: pd.Series(dtype=full[c].dtype) for c in icols},
+                    **{c: pd.Series(dtype="float64") for c in vnames},
+                }
+            )
         else:
             piv = df.pivot_table(
                 index=icols, columns=pivot_col, values=value_col,
