@@ -252,3 +252,58 @@ class TestPivotAgg:
         assert got["u"].tolist() == [1, 3]
         assert got["v_a"].tolist()[0] == 5.0
         assert got["v_b"].tolist()[1] == 7.0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+class TestAggProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 10_000), n_keys=st.integers(1, 12),
+           parts=st.integers(1, 8))
+    def test_grouped_agg_randomized(self, ray_session, seed, n_keys, parts):
+        from tsfeatures_ray.functions.grouped import grouped_agg
+
+        df = _frame(seed, n=150, n_keys=n_keys)
+        got = (
+            grouped_agg(rd.from_pandas(df), "g",
+                        {"v": ["sum", "count", "min", "max"]},
+                        num_parts=parts)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        want = df.groupby("g")["v"].agg(
+            ["sum", "count", "min", "max"]).reset_index()
+        want = want.sort_values("g").reset_index(drop=True)
+        for a, b in (("v_sum", "sum"), ("v_count", "count"),
+                     ("v_min", "min"), ("v_max", "max")):
+            assert (got[a].to_numpy() == want[b].to_numpy()).all(), a
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 10_000), parts=st.integers(1, 6))
+    def test_pivot_sum_randomized(self, ray_session, seed, parts):
+        from tsfeatures_ray.functions.grouped import pivot_agg
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 10, 200),
+            "t": rng.choice(["a", "b", "c"], 200),
+            "v": rng.integers(0, 100, 200).astype("int64"),
+        })
+        got = (
+            pivot_agg(rd.from_pandas(df), "u", "t", "v",
+                      values=["a", "b", "c"], num_parts=parts)
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        want = df.pivot_table(index="u", columns="t", values="v",
+                              aggfunc="sum", dropna=False)
+        want = want.reindex(columns=["a", "b", "c"])
+        want.columns = [f"v_{c}" for c in want.columns]
+        want = want.reset_index().sort_values("u").reset_index(drop=True)
+        for c in ("v_a", "v_b", "v_c"):
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+                equal_nan=True, err_msg=c,
+            )
