@@ -920,6 +920,22 @@ def _q_docs_training_corpus(sf_dir: str):
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _q_events_value_p95_exact(sf_dir: str):
+    """EXACT p95 of event values via iterative distributed selection
+    (histogram refinement, no global sort; driver sees only bin counts
+    + the final <=pull_threshold candidates). Oracle: rank-k row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import exact_quantile
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    v = exact_quantile(ev, "value", 0.95, bins=256, pull_threshold=10_000)
+    return pd.DataFrame({"p95": [v]})
+
+
 def _q_events_pivot_by_type(sf_dir: str):
     """Long -> wide pivot aggregate: per-user value sums, one column
     per event type (explicit value list, so the output schema never
@@ -1624,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_props_rollup": _q_events_props_rollup,
         "events_pivot_by_type": _q_events_pivot_by_type,
+        "events_value_p95_exact": _q_events_value_p95_exact,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
@@ -2404,6 +2421,15 @@ FROM cum GROUP BY 1
         # helper functions the engine uses (sample_sql_predicate /
         # split_sql_expr / pack_sql), so thresholds and hash arithmetic
         # cannot drift between engine and oracle
+        "events_value_p95_exact": """
+WITH r AS (
+    SELECT value, row_number() OVER (ORDER BY value) AS rn,
+           count(*) OVER () AS n
+    FROM events
+)
+SELECT value AS p95 FROM r
+WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+""",
         "events_pivot_by_type": """
 SELECT user_id,
        ROUND(SUM(CASE WHEN event_type = 'click' THEN value END)

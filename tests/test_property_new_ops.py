@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -118,3 +119,66 @@ class TestApproxTopTokens:
         assert dict(zip(approx["token"], approx["est_count"])) == dict(
             zip(exact["token"], exact["cnt"])
         )
+
+
+class TestExactQuantile:
+    def test_matches_numpy_kth(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import exact_kth_smallest
+
+        rng = np.random.default_rng(17)
+        v = rng.normal(size=20_000) * 100
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        s = np.sort(v)
+        for k in (1, 7, 10_000, 19_999, 20_000):
+            got = exact_kth_smallest(ds, "value", k, bins=64,
+                                     pull_threshold=500)
+            assert got == s[k - 1], (k, got, s[k - 1])
+
+    def test_quantile_vs_sql_rank(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import exact_quantile
+
+        rng = np.random.default_rng(5)
+        v = np.round(rng.exponential(size=5000) * 10, 3)  # many ties
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        for q in (0.01, 0.5, 0.95, 1.0):
+            got = exact_quantile(ds, "value", q, n=len(v), bins=32,
+                                 pull_threshold=200)
+            k = max(1, int(np.ceil(q * len(v))))
+            want = duckdb.sql(
+                f"SELECT value FROM (SELECT unnest(?) AS value) "
+                f"ORDER BY value LIMIT 1 OFFSET {k - 1}",
+                params=[v.tolist()],
+            ).fetchone()[0]
+            assert got == want, (q, got, want)
+
+    def test_empty_and_bad_args(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import (
+            exact_kth_smallest,
+            exact_quantile,
+        )
+
+        ds = rd.from_pandas(pd.DataFrame({"value": [1.0, 2.0]}))
+        with pytest.raises(ValueError):
+            exact_kth_smallest(ds, "value", 0)
+        with pytest.raises(ValueError):
+            exact_kth_smallest(ds, "value", 5)
+        with pytest.raises(ValueError):
+            exact_quantile(ds, "value", 0.0)
+        empty = rd.from_pandas(pd.DataFrame({"value": np.array([], "float64")}))
+        with pytest.raises(ValueError, match="empty"):
+            exact_kth_smallest(empty, "value", 1)
+
+    def test_constant_column(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions.sketches import exact_kth_smallest
+
+        ds = rd.from_pandas(pd.DataFrame({"value": np.full(1000, 3.5)}))
+        assert exact_kth_smallest(ds, "value", 500) == 3.5

@@ -335,3 +335,106 @@ def approx_top_tokens(
         .map_groups(lambda g: final(g.drop(columns="g")),
                     batch_format="pandas")
     )
+
+
+def exact_kth_smallest(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int,
+    bins: int = 1024,
+    pull_threshold: int = 100_000,
+    max_iters: int = 12,
+) -> float:
+    """EXACT k-th smallest value (1-indexed) of a column via iterative
+    distributed selection -- the exact counterpart of the
+    ``histogram_quantiles`` sketch, with no global sort.
+
+    Each round is one streaming pass: bin the candidate range into
+    ``bins`` buckets (per-batch bincount partials, merged through
+    ``grouped_agg``'s bounded exchange -- the driver only ever sees
+    <= ``bins`` rows), locate the bucket containing rank k, recurse
+    into it. When <= ``pull_threshold`` candidates remain they are
+    pulled and selected exactly. Typically 1-3 passes: each pass
+    shrinks the candidate set by ~``bins``x. Driver memory is bounded
+    by max(bins, pull_threshold) regardless of data size.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .grouped import grouped_agg
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    agg = ds.aggregate(Min(col), Max(col))
+    if not agg or agg.get(f"min({col})") is None:
+        raise ValueError("exact_kth_smallest: empty input")
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    cur = ds
+    for _ in range(max_iters):
+        if lo == hi:
+            return lo
+        width = (hi - lo) / bins
+        if width <= 0 or not np.isfinite(width):
+            return lo
+
+        def bin_partial(df: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+            v = df[col].to_numpy(dtype=np.float64)
+            b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+            u, c = np.unique(b, return_counts=True)
+            return pd.DataFrame({"bin": u, "cnt": c.astype(np.int64)})
+
+        hist = grouped_agg(
+            cur.map_batches(bin_partial, batch_format="pandas"),
+            "bin", {"cnt": ["sum"]},
+        ).to_pandas().sort_values("bin")
+        counts = np.zeros(bins, dtype=np.int64)
+        counts[hist["bin"].to_numpy()] = hist["cnt_sum"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        if k > total:
+            raise ValueError(f"k={k} > candidate count {total}")
+        b = int(np.searchsorted(cum, k))
+        k -= int(cum[b - 1]) if b else 0
+        blo = lo + b * width
+        bhi = hi if b == bins - 1 else lo + (b + 1) * width
+        in_bin = int(counts[b])
+
+        # membership = the SAME truncation arithmetic that produced the
+        # counts (a range comparison against lo + b*width can disagree
+        # at float boundaries and desync ranks)
+        def keep(t, lo=lo, width=width, b=b):
+            import pyarrow as pa
+
+            v = t[col].cast("double").to_numpy(zero_copy_only=False)
+            idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+            return t.filter(pa.array(idx == b))
+
+        cur = cur.map_batches(keep, batch_format="pyarrow")
+        if in_bin <= pull_threshold:
+            vals = np.sort(
+                cur.select_columns([col]).to_pandas()[col]
+                .to_numpy(dtype=np.float64)
+            )
+            if k > len(vals):
+                raise RuntimeError(
+                    "exact_kth_smallest: bucket filter lost candidates "
+                    f"(wanted rank {k} of {len(vals)})"
+                )
+            return float(vals[k - 1])
+        lo, hi = blo, bhi
+    raise RuntimeError("exact_kth_smallest: did not converge "
+                       f"(max_iters={max_iters})")
+
+
+def exact_quantile(
+    ds: "ray.data.Dataset", col: str, q: float, n: int | None = None,
+    **kwargs,
+) -> float:
+    """Exact lower-quantile element: the ceil(q*n)-th smallest value
+    (DuckDB ``ORDER BY col LIMIT 1 OFFSET ceil(q*n)-1``). ``n`` can be
+    passed when already known to save a count pass."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    if n is None:
+        n = ds.count()
+    k = max(1, int(np.ceil(q * n)))
+    return exact_kth_smallest(ds, col, k, **kwargs)
