@@ -377,6 +377,12 @@ def run_ops() -> dict:
     timed("approx_top_tokens", n_docs,
           lambda: approx_top_tokens(docs(), k=50).count())
 
+    from tsfeatures_ray.functions.sketches import exact_quantile
+
+    timed("exact_p95_selection", n_ev,
+          lambda: exact_quantile(_ev(["value"]), "value", 0.95,
+                                 bins=256, pull_threshold=10_000))
+
     from tsfeatures_ray.functions.grouped import grouped_agg
 
     timed("grouped_agg_user", n_ev,
