@@ -1283,7 +1283,9 @@ def _q_events_count_entropy(sf_dir: str):
 
     panel = ds.map_batches(to_panel, batch_format="pandas")
     out = tsfeatures(panel, freq=1, features=["count_entropy"], scale=False)
-    return _round_floats(out.drop_columns(["tier", "metric"]))
+    # canonical row order: feature rows surface in partition-completion
+    # order, nondeterministic run to run; ids are unique so this pins it
+    return _round_floats(out.drop_columns(["tier", "metric"])).sort("unique_id")
 
 
 def _q_orders_top3_by_cust(sf_dir: str):
@@ -1592,16 +1594,23 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry order matters: the round driver's CORRECTNESS window
+    # checks the FIRST 50 entries only (r03 checked exactly positions
+    # 1-50). Round-3 left 17 registered operators never driver-checked,
+    # so the window now rotates: the 17 previously-unchecked queries
+    # (temporal joins, grouped top-k, rolling, sessions/hopping, HLL,
+    # semi/anti, dedup-purge, compress round-trip, media, count-entropy,
+    # priority rollup, broadcast join, extras) moved INTO positions 1-50
+    # and 17 redundantly-covered round-3-green queries (rollup tiers /
+    # wide stats / LSH+IVF ANN variants / sampling+text variants whose
+    # operator family already has a driver-green r03 row) moved to the
+    # tail, so every operator family has a driver-green row across
+    # r03+r04.
     return {
+        # -- core pipeline + kernel gates (always in-window) ----------
         "derived_turns": _q_derived_turns,
-        "rollup_1m": _q_rollup("1m"),
         "rollup_1h": _q_rollup("1h"),
-        "rollup_1d": _q_rollup("1d"),
-        "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
-        "rollup_incremental_1h": _q_rollup_incremental_1h,
-        "rollup_compact_1h": _q_rollup_compact_1h,
         "series_stats": _q_series_stats,
-        "series_stats_wide": _q_series_stats_wide,
         "features_default_1h": _q_features_default,
         "features_sql_1m": _q_features_sql_1m,
         "features_sql2_1m": _q_features_sql2_1m,
@@ -1609,57 +1618,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features_recorded_extras_1m": _q_features_recorded_extras_1m,
         "series_extras_sql_1m": _q_series_extras_sql_1m,
         "events_rollup_1h": _q_events_rollup("1h"),
-        "events_rollup_1d": _q_events_rollup("1d"),
         "events_user_stats": _q_events_user_stats,
         "events_forecast_metrics": _q_events_forecast_metrics,
-        "docs_text_metrics": _q_docs_text_metrics,
-        "docs_quality": _q_docs_quality,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_lang_id": _q_docs_lang_id,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_simhash": _q_docs_simhash,
-        "docs_simhash_dups": _q_docs_simhash_dups,
-        "docs_near_dups": _q_docs_near_dups,
-        "embeddings_knn": _q_embeddings_knn,
-        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
-        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
-        "embeddings_knn_ivf": _q_embeddings_knn_ivf,
-        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
-        "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
-        "docs_top_tokens": _q_docs_top_tokens,
-        "docs_chunks": _q_docs_chunks,
-        "docs_redacted": _q_docs_redacted,
-        "docs_hash_split": _q_docs_hash_split,
-        "docs_mixture": _q_docs_mixture,
+        # -- round-3 hash-red pack family (fixed: canonical sort + pinned
+        #    schemas) stays in-window to flip green ---------------------
         "docs_packed": _q_docs_packed,
         "docs_packed_bpe": _q_docs_packed_bpe,
-        "docs_sample_64": _q_docs_sample_64,
-        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_training_corpus": _q_docs_training_corpus,
-        "events_distinct_users_1d": _q_events_distinct_users_1d,
-        "events_hist_quantiles": _q_events_hist_quantiles,
-        "events_props_rollup": _q_events_props_rollup,
-        "events_pivot_by_type": _q_events_pivot_by_type,
-        "events_value_p95_exact": _q_events_value_p95_exact,
-        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
-        "q3_top_orders": _q_q3_top_orders,
-        "orders_revenue_by_priority": _q_orders_revenue_by_priority,
-        "media_features": _q_media_features,
-        "orders_by_segment": _q_orders_by_segment,
-        "series_extras_1h": _q_series_extras_1h,
-        "compress_roundtrip": _q_compress_roundtrip,
-        "events_count_entropy": _q_events_count_entropy,
-        "orders_top3_by_cust": _q_orders_top3_by_cust,
-        "rollup_rolling3_1h": _q_rollup_rolling3_1h,
+        # -- never-driver-checked operators rotated INTO the window ----
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
         "events_in_session": _q_events_in_session,
         "events_sessions": _q_events_sessions,
         "events_hopping_1h30m": _q_events_hopping_1h30m,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
+        "events_count_entropy": _q_events_count_entropy,
+        "orders_top3_by_cust": _q_orders_top3_by_cust,
+        "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "orders_semi_building": _q_orders_semi_building,
         "orders_anti_building": _q_orders_anti_building,
+        "orders_by_segment": _q_orders_by_segment,
+        "orders_revenue_by_priority": _q_orders_revenue_by_priority,
         "docs_dedup_purged": _q_docs_dedup_purged,
+        "compress_roundtrip": _q_compress_roundtrip,
+        "media_features": _q_media_features,
+        "series_extras_1h": _q_series_extras_1h,
+        # -- one representative per remaining family --------------------
+        "docs_text_metrics": _q_docs_text_metrics,
+        "docs_quality": _q_docs_quality,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_simhash_dups": _q_docs_simhash_dups,
+        "docs_near_dups": _q_docs_near_dups,
+        "docs_top_tokens": _q_docs_top_tokens,
+        "docs_chunks": _q_docs_chunks,
+        "docs_sample_64": _q_docs_sample_64,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "embeddings_knn": _q_embeddings_knn,
+        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
+        "events_distinct_users_1d": _q_events_distinct_users_1d,
+        "events_props_rollup": _q_events_props_rollup,
+        "events_pivot_by_type": _q_events_pivot_by_type,
+        "events_value_p95_exact": _q_events_value_p95_exact,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "q3_top_orders": _q_q3_top_orders,
+        # ---------------- position 50 ends the driver window ----------
+        # r03-driver-green variants whose operator family keeps an
+        # in-window row; rotated out so the window covers every family
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1d": _q_rollup("1d"),
+        "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
+        "rollup_incremental_1h": _q_rollup_incremental_1h,
+        "rollup_compact_1h": _q_rollup_compact_1h,
+        "series_stats_wide": _q_series_stats_wide,
+        "events_rollup_1d": _q_events_rollup("1d"),
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
+        "docs_redacted": _q_docs_redacted,
+        "docs_hash_split": _q_docs_hash_split,
+        "docs_mixture": _q_docs_mixture,
+        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
+        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
+        "embeddings_knn_ivf": _q_embeddings_knn_ivf,
+        "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
+        "events_hist_quantiles": _q_events_hist_quantiles,
     }
 
 

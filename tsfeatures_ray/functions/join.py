@@ -203,18 +203,30 @@ def partitioned_join(
                 df[n] = df[n].astype(want)
         return df
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # empty merge results must still carry the full declared schema: an
+    # empty pandas frame round-trips to Arrow with null-typed (or no)
+    # columns, which destabilizes the stream's schema and the driver's
+    # output serialization (observed as empty-schema RefBundles)
+    empty_names = lnames if semi_like else out_names
+    empty_schema = pa.schema(
+        [(n, (ltypes if semi_like else types)[n]) for n in empty_names]
+    )
+
+    def merge(g: pd.DataFrame):
         lmask = g[_SIDE].to_numpy() == 0
         ldf = g.loc[lmask, lnames]
         rkeys = set(g.loc[~lmask, left_on])
         if how == "semi":
-            return restore_dtypes(ldf[ldf[left_on].isin(rkeys)])
-        if how == "anti":
-            return restore_dtypes(ldf[~ldf[left_on].isin(rkeys)])
-        rdf = g.loc[~lmask, [left_on] + rpayload]
-        out = ldf.merge(
-            rdf, on=left_on, how=("left" if how == "left" else "inner")
-        )[out_names]
+            out = ldf[ldf[left_on].isin(rkeys)]
+        elif how == "anti":
+            out = ldf[~ldf[left_on].isin(rkeys)]
+        else:
+            rdf = g.loc[~lmask, [left_on] + rpayload]
+            out = ldf.merge(
+                rdf, on=left_on, how=("left" if how == "left" else "inner")
+            )[out_names]
+        if len(out) == 0:
+            return empty_schema.empty_table()
         return restore_dtypes(out)
 
     return both.groupby(_PART).map_groups(merge, batch_format="pandas")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -106,8 +107,24 @@ def pack_sequences(
     )
     base_ref = ray.put(base)
 
+    # every output block carries this exact schema (empty groups included)
+    # so the stream is schema-stable and the driver's serialization of the
+    # result cannot drift with dtype inference
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start", pa.int64()),
+            ("seq_id", pa.int64()),
+            ("offset_in_seq", pa.int64()),
+            ("n_seqs", pa.int64()),
+        ]
+    )
+
     # pass 2: local ordered cumsum + broadcast base offset
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
+    def scan(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
         b = ray.get(base_ref)
         g = g.sort_values(id_col, kind="mergesort")
         tok = g["n_tokens"].to_numpy()
@@ -116,18 +133,25 @@ def pack_sequences(
         )
         seq_id = start // budget
         last = start + np.maximum(tok, 1) - 1  # empty docs occupy their start seq
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].to_numpy(),
-                "n_tokens": tok,
-                "start": start,
-                "seq_id": seq_id,
-                "offset_in_seq": start % budget,
-                "n_seqs": last // budget - seq_id + 1,
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(g[id_col].to_numpy().astype(np.int64)),
+                pa.array(tok),
+                pa.array(start),
+                pa.array(seq_id),
+                pa.array(start % budget),
+                pa.array(last // budget - seq_id + 1),
+            ],
+            schema=out_schema,
         )
 
-    return parted.groupby("part").map_groups(scan, batch_format="pandas")
+    packed = parted.groupby("part").map_groups(scan, batch_format="pandas")
+    # canonical output order: map_groups emits blocks in partition-
+    # completion order, which is nondeterministic across runs/CPU counts;
+    # ids are unique, so sorting pins a total row order for row-order-
+    # sensitive consumers (the slim 6-int64-wide table keeps the sort
+    # exchange cheap even at corpus scale)
+    return packed.sort(id_col)
 
 
 def pack_sql(table: str, budget: int, id_col: str = "doc_id") -> str:
