@@ -1432,7 +1432,9 @@ def _q_events_in_session(sf_dir: str):
              ("session_end", pa.timestamp("us"))]
         ),
     )
-    return out.drop_columns(["s_user_id"])
+    # canonical row order: interval_join emits pairs in partition-
+    # completion order; event_id is unique so this pins it
+    return out.drop_columns(["s_user_id"]).sort("event_id")
 
 
 def _q_events_sessions(sf_dir: str):

@@ -13,9 +13,20 @@ freeze the exact current outputs on the public golden series and a
 seeded synthetic panel: any change to the optimizers flips this test,
 forcing a deliberate re-pin with justification.
 
-Pinned 2026-08-17 (round 3) from kernels/het.py + kernels/ets.py as
-verified by the dense-grid gates. Tolerance 1e-9 relative: the kernels
-are deterministic pure NumPy, so anything beyond ULP noise is drift.
+Pinned 2026-08-17 (round 3), DELIBERATELY re-pinned same day (round 4)
+after two verified kernel changes:
+
+- hw grid-seed fix: the old _hw_sse_grid used (1-a)*(l+b+s) in the level
+  update while the NM objective used the standard (1-a)*(l+b); unifying
+  on the standard recursion reseeds the NM, and the re-pinned hw fits
+  have strictly LOWER SSE on these series (usacc 5.507 -> 5.402, synth
+  3.499752 -> 3.499751; dense-grid gates still pass).
+- GARCH NLL log: math.log -> np.log (required for bit-equality between
+  the per-series and lane-batched execution paths; the two differ by
+  1 ulp on ~25% of inputs), shifting garch_* in the last 1-2 digits.
+
+Tolerance 1e-9 relative: the kernels are deterministic pure NumPy, so
+anything beyond ULP noise is drift.
 """
 
 from __future__ import annotations
@@ -28,7 +39,7 @@ PINS = {
     # (WWWusage is nonseasonal: hw_* is NaN by contract, freq == 1)
     "www": {
         "arch_acf": 0.04617380627872344,
-        "garch_acf": 0.04617344471517634,
+        "garch_acf": 0.04617344471517632,
         "arch_r2": 0.0547680173997489,
         "garch_r2": 0.0547680173997489,
         "hw_alpha": float("nan"),
@@ -40,18 +51,18 @@ PINS = {
         "garch_acf": 0.17347773243338666,
         "arch_r2": 0.15428533479981044,
         "garch_r2": 0.1542853347998101,
-        "hw_alpha": 0.5625527146631577,
-        "hw_beta": 0.05421749427740641,
-        "hw_gamma": 0.00013315360564381494,
+        "hw_alpha": 0.5735303719981533,
+        "hw_beta": 7.400165237746444e-05,
+        "hw_gamma": 1.0293196274868633e-06,
     },
     "synth": {
         "arch_acf": 0.18258440772893414,
         "garch_acf": 0.1825816223021352,
         "arch_r2": 0.21587646022287532,
         "garch_r2": 0.2158764602228751,
-        "hw_alpha": 0.939122321628368,
-        "hw_beta": 0.2609190404528685,
-        "hw_gamma": 0.06087732695407116,
+        "hw_alpha": 0.9384482272838226,
+        "hw_beta": 0.2613834605305555,
+        "hw_gamma": 0.061548497506095805,
     },
 }
 

@@ -270,3 +270,50 @@ class TestTemporalJoinProperties:
         assert set(zip(got["l_id"], got["r_id"])) == set(
             zip(brute["l_id"], brute["r_id"])
         )
+
+
+class TestIntervalJoinSkewedBucket:
+    def test_hot_key_wide_band_matches_brute(self, ray_session):
+        """One hot (key, band) bucket holding ~10k points x ~1.5k
+        intervals: the round-4 chunked sorted-stab path must return the
+        exact brute pairs WITHOUT the old O(points x intervals) dense
+        allocation (chunks are 4096 points; candidates pruned by lo/hi
+        range per chunk). Also crosses several chunk boundaries."""
+        from tsfeatures_ray.functions import interval_join
+
+        rng = np.random.default_rng(5)
+        base = np.datetime64("2024-01-01", "us")
+        n_pts, n_iv = 10_000, 1_500
+        # everything on ONE key inside ONE band (band = 1 day)
+        left = pd.DataFrame(
+            {
+                "l_id": np.arange(n_pts),
+                "ts": base + rng.integers(0, 3_600_000_000, n_pts)
+                .astype("timedelta64[us]"),
+                "uid": np.zeros(n_pts, dtype=np.int64),
+            }
+        )
+        lo = rng.integers(0, 3_000_000_000, n_iv)
+        ln = rng.integers(1, 600_000_000, n_iv)
+        right = pd.DataFrame(
+            {
+                "r_id": np.arange(n_iv),
+                "lo": base + lo.astype("timedelta64[us]"),
+                "hi": base + (lo + ln).astype("timedelta64[us]"),
+                "ruid": np.zeros(n_iv, dtype=np.int64),
+            }
+        )
+        got = (
+            interval_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="ts", by="uid", right_lo="lo", right_hi="hi",
+                right_by="ruid", band=pd.Timedelta(days=1), num_parts=3,
+            )
+            .to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        )
+        brute = left.merge(right, left_on="uid", right_on="ruid")
+        brute = brute[(brute["lo"] <= brute["ts"]) & (brute["ts"] <= brute["hi"])]
+        brute = brute.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        assert len(got) == len(brute) and len(got) > 100_000
+        assert (got["l_id"].to_numpy() == brute["l_id"].to_numpy()).all()
+        assert (got["r_id"].to_numpy() == brute["r_id"].to_numpy()).all()

@@ -368,7 +368,8 @@ def exact_kth_smallest(
     if not agg or agg.get(f"min({col})") is None:
         raise ValueError("exact_kth_smallest: empty input")
     lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
-    cur = ds
+    # only the selection column ever needs to move or persist
+    cur = ds.select_columns([col])
     for _ in range(max_iters):
         if lo == hi:
             return lo
@@ -409,6 +410,14 @@ def exact_kth_smallest(
             return t.filter(pa.array(idx == b))
 
         cur = cur.map_batches(keep, batch_format="pyarrow")
+        if in_bin > pull_threshold:
+            # another refine pass is coming: materialize the survivors
+            # (in_bin single-column rows, ~bins-x smaller than the
+            # current candidate set) so pass N+1 scans them instead of
+            # re-executing the whole filter lineage from the source --
+            # at scale each avoided re-execution is a full input scan
+            # (VERDICT r3 ask #7)
+            cur = cur.materialize()
         if in_bin <= pull_threshold:
             vals = np.sort(
                 cur.select_columns([col]).to_pandas()[col]

@@ -484,14 +484,38 @@ def interval_join(
             if not len(ri):
                 continue
             li = sub.to_numpy()
-            m = (r_lo[ri][None, :] <= l_ts[li][:, None]) & (
-                l_ts[li][:, None] <= r_hi[ri][None, :]
-            )
-            pl, pr = np.nonzero(m)
-            if not len(pl):
-                continue
-            l_idx_parts.append(li[pl])
-            r_idx_parts.append(ri[pr])
+            # sorted-interval stab with bounded allocation (VERDICT r3
+            # ask #6): points ascend, intervals sort by lo; each fixed
+            # 4096-point chunk prunes its candidate intervals to
+            # lo <= chunk_max (searchsorted prefix) and hi >= chunk_min
+            # before the pair mask, so peak memory is O(chunk x
+            # surviving candidates) instead of O(points x intervals) on
+            # a hot (key, band) bucket. Pair enumeration itself is
+            # inherently Omega(output).
+            ts = l_ts[li]
+            po = np.argsort(ts, kind="stable")
+            li_s, ts_s = li[po], ts[po]
+            io_ = np.argsort(r_lo[ri], kind="stable")
+            ri_s = ri[io_]
+            lo_s, hi_s = r_lo[ri_s], r_hi[ri_s]
+            CH = 4096
+            for c0 in range(0, len(ts_s), CH):
+                tch = ts_s[c0 : c0 + CH]
+                lch = li_s[c0 : c0 + CH]
+                k = int(np.searchsorted(lo_s, tch[-1], side="right"))
+                if k == 0:
+                    continue
+                cand = np.flatnonzero(hi_s[:k] >= tch[0])
+                if not len(cand):
+                    continue
+                m = (lo_s[cand][None, :] <= tch[:, None]) & (
+                    tch[:, None] <= hi_s[cand][None, :]
+                )
+                pl, pr = np.nonzero(m)
+                if not len(pl):
+                    continue
+                l_idx_parts.append(lch[pl])
+                r_idx_parts.append(ri_s[cand[pr]])
         if not l_idx_parts:
             return empty
         li = np.concatenate(l_idx_parts)

@@ -1,0 +1,943 @@
+"""Cross-series (lane-batched) implementations of the optimizer-backed
+kernels -- Holt, Holt-Winters and the GARCH(1,1) stage of heterogeneity.
+
+Motivation (round-4 VERDICT ask #3): the per-series profile at sf0.1
+puts holt_parameters + heterogeneity at ~75% of total kernel time, and
+much of that cost is per-CALL overhead (thousands of tiny numpy ops per
+series), not flops. These implementations run S series as independent
+*lanes* of 2-D arrays: one grid/simplex iteration executes a handful of
+wide numpy ops for the whole batch instead of S Python-level optimizer
+runs.
+
+Execution discipline -- SORTED-PREFIX LANES: inside each cohort, lanes
+are sorted by series length (descending, stable). The sequential-time
+recursions then touch only the contiguous prefix ``[:cnt_t]`` of lanes
+still alive at step t: no per-step masks, no padded-step arithmetic,
+work exactly proportional to sum(n_i). The outputs are scattered back
+to input order afterwards.
+
+Correctness contract -- LANE INDEPENDENCE: every operation is
+elementwise across lanes (no reductions over the lane axis) and the
+transcendentals used (np.log) are position-independent on this platform
+(verified: the same float64 input yields the same bits at any array
+offset and for scalar input). A series therefore produces bit-identical
+results no matter which -- or how many -- other series share its batch,
+which is what keeps feature outputs deterministic across block layouts,
+CPU counts and runs. tests/test_batch_kernels.py pins this property.
+
+The scalar kernels in ets.py / het.py delegate here with a single lane,
+so there is exactly ONE implementation of each optimizer. The batched
+Nelder-Mead mirrors _optim.nelder_mead (same simplex construction,
+stable sort order, branch rules, convergence test and first-minimum
+selection), evaluating reflect/expand/contract candidates in one
+vectorized objective call per iteration.
+
+Reference semantics preserved: holt_parameters <- reference
+tsfeatures.py:340-368, hw_parameters <- :392-423, heterogeneity
+<- :278-338 (same NaN gates, parameter regions and output names).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PENALTY = 1e12
+
+# Series at/above this length take the per-series (Python-float loop)
+# path instead of lane arrays: a lone long series in a numpy T-step loop
+# pays ~10us of dispatch per step, while the Python float loop pays
+# ~0.5us -- and lanes that long are near-singletons in practice. The
+# dispatch depends ONLY on the series' own length, so results stay
+# composition-independent; both paths compute bit-identical values
+# (same IEEE ops in the same order; pinned by tests/test_batch_kernels).
+_SINGLE_N = 512
+
+# Cohorts smaller than this run the per-series path too. Measured
+# crossover (tools-level microbench, lengths 12-96): lanes already win
+# ~2x at S=32 and stay ahead at S=16, so only near-singleton cohorts
+# drop to the per-series path. Both paths are bit-identical (validated
+# corpus-wide and pinned by tests), so this dispatch -- though
+# composition-dependent -- cannot change any output value.
+_MIN_LANES = 16
+
+
+# ---------------------------------------------------------------------------
+# padding / cohorts
+# ---------------------------------------------------------------------------
+
+def _pad_sorted(ys: list[np.ndarray]):
+    """Sort series by length (desc, stable), pad to (S, T), and return
+    (order, y_pad, ns_desc, cnt) where cnt[t] = lanes alive at step t
+    (a prefix, by construction)."""
+    lens = np.array([len(y) for y in ys], dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    ns = lens[order]
+    T = int(ns[0]) if len(ns) else 0
+    y = np.zeros((len(ys), T))
+    for row, i in enumerate(order):
+        y[row, : lens[i]] = ys[i]
+    # count of lanes with n >= t+1 for each step t
+    cnt = np.searchsorted(-ns, -(np.arange(T) + 1), side="right")
+    return order, y, ns, cnt
+
+
+def _cohorts(lengths: np.ndarray, extra_key=None):
+    """Group lane indices into cohorts of similar (power-of-two bucketed)
+    length, optionally split further by an exact key (e.g. seasonal
+    period). Yields index arrays. Cohort membership never changes a
+    lane's result (lane independence); it only bounds wasted flops."""
+    buckets: dict = {}
+    for i, n in enumerate(lengths):
+        b = int(n).bit_length()  # 2^(b-1) <= n < 2^b
+        key = (b,) if extra_key is None else (b, extra_key[i])
+        buckets.setdefault(key, []).append(i)
+    for key in sorted(buckets):
+        yield np.asarray(buckets[key], dtype=np.int64)
+
+
+def _writable(arr, shape):
+    """Broadcast to ``shape`` into a fresh writable buffer (never
+    aliases the input -- ascontiguousarray would return read-only
+    broadcast views unchanged when shapes already match)."""
+    out = np.empty(shape)
+    out[...] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batched Nelder-Mead (mirrors _optim.nelder_mead lane-for-lane)
+# ---------------------------------------------------------------------------
+
+def nelder_mead_batch(
+    obj,
+    x0: np.ndarray,
+    step: float = 0.1,
+    max_iter: int = 400,
+    xtol: float = 1e-6,
+    ftol: float = 1e-10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minimize S independent objectives. ``obj(P, idx, epoch) -> (M, K)``
+    evaluates K candidate points per lane for the M lanes selected by
+    ``idx`` (ascending; lane compaction drops converged lanes from
+    further evaluation). ``epoch`` increments exactly when ``idx``
+    changes, so objectives can cache their idx-sliced closure data for
+    the (many) consecutive calls that share one lane set.
+    Returns (x_best (S, n), f_best (S,))."""
+    x0 = np.asarray(x0, dtype=float)
+    S, n = x0.shape
+    sim = np.repeat(x0[:, None, :], n + 1, axis=1)
+    for i in range(n):
+        xi = sim[:, i + 1, i]
+        sim[:, i + 1, i] = np.where(
+            xi == 0.0, xi + step, xi + step * np.maximum(np.abs(xi), 1.0)
+        )
+    idx = np.arange(S)
+    epoch = 0
+    fs = obj(sim, idx, epoch)
+    final_sim = sim.copy()
+    final_fs = fs.copy()
+
+    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    for _ in range(max_iter):
+        if len(idx) == 0:
+            break
+        order = np.argsort(fs, axis=1, kind="stable")
+        sim = np.take_along_axis(sim, order[:, :, None], axis=1)
+        fs = np.take_along_axis(fs, order, axis=1)
+        spread = np.max(np.abs(sim[:, 1:, :] - sim[:, :1, :]), axis=(1, 2))
+        conv = (spread < xtol) & (np.abs(fs[:, -1] - fs[:, 0]) < ftol)
+        if conv.any():
+            done = idx[conv]
+            final_sim[done] = sim[conv]
+            final_fs[done] = fs[conv]
+            keep = ~conv
+            sim, fs, idx = sim[keep], fs[keep], idx[keep]
+            epoch += 1
+            if len(idx) == 0:
+                break
+        # sequential-sum centroid of the n best points (matches the
+        # scalar implementation's Python-float summation order)
+        centroid = sim[:, 0, :].copy()
+        for j in range(1, n):
+            centroid += sim[:, j, :]
+        centroid /= n
+        worst = sim[:, -1, :]
+        xr = centroid + alpha * (centroid - worst)
+        xe = centroid + gamma * (centroid - worst)
+        xc = centroid + rho * (worst - centroid)
+        # one stacked 3-candidate eval: the T-step loop's numpy dispatch
+        # is per STEP, not per candidate, so evaluating (xr, xe, xc)
+        # together costs barely more than xr alone -- lazily splitting
+        # them into subset calls was measured strictly slower
+        fvals = obj(np.stack([xr, xe, xc], axis=1), idx, epoch)
+        fr, fe, fc = fvals[:, 0], fvals[:, 1], fvals[:, 2]
+        fs0, fs_sw, fs_last = fs[:, 0], fs[:, -2], fs[:, -1]
+        case2 = fr < fs0
+        case1 = (fs0 <= fr) & (fr < fs_sw)
+        case3 = ~(case1 | case2)
+        use_xe = case2 & (fe < fr)
+        use_xc = case3 & (fc < fs_last)
+        shrink = case3 & ~use_xc
+        newpt = np.where(use_xe[:, None], xe, xr)
+        newf = np.where(use_xe, fe, fr)
+        newpt = np.where(use_xc[:, None], xc, newpt)
+        newf = np.where(use_xc, fc, newf)
+        repl = ~shrink
+        sim[repl, -1, :] = newpt[repl]
+        fs[repl, -1] = newf[repl]
+        if shrink.any():
+            shr = sim[:, :1, :] + sigma * (sim[:, 1:, :] - sim[:, :1, :])
+            fshr = obj(shr, idx, epoch)
+            sim[shrink, 1:, :] = shr[shrink]
+            fs[shrink, 1:] = fshr[shrink]
+    if len(idx):
+        final_sim[idx] = sim
+        final_fs[idx] = fs
+    k = np.argmin(final_fs, axis=1)
+    xb = np.take_along_axis(final_sim, k[:, None, None], axis=1)[:, 0, :]
+    fb = np.take_along_axis(final_fs, k[:, None], axis=1)[:, 0]
+    return xb, fb
+
+
+# ---------------------------------------------------------------------------
+# Holt (additive trend) -- reference tsfeatures.py:340-368
+# ---------------------------------------------------------------------------
+
+def _heuristic_level_trend_each(ys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """OLS line through the first min(10, n) observations, per series
+    (same np.linalg.lstsq call as the per-series kernel always made)."""
+    l0 = np.full(len(ys), np.nan)
+    b0 = np.full(len(ys), np.nan)
+    for i, y in enumerate(ys):
+        k = min(10, len(y))
+        t = np.arange(k, dtype=float)
+        A = np.column_stack([np.ones(k), t])
+        try:
+            coef, _, _, _ = np.linalg.lstsq(A, y[:k], rcond=None)
+            l0[i], b0[i] = float(coef[0]), float(coef[1])
+        except Exception:
+            pass  # lane stays NaN -> NaN outputs
+    return l0, b0
+
+
+def _holt_sse_prefix(a, b, l, bb, yT, cnt) -> np.ndarray:
+    """SSE of additive Holt for (S, K) candidate lanes over
+    length-desc-sorted padded series yT (T, S -- time-major, so each
+    step reads a contiguous row): step t touches only the alive prefix
+    [:cnt[t]]. All per-step arithmetic runs through preallocated
+    scratch (out=), so the T-loop allocates nothing and stays
+    cache-resident; the operation ORDER matches the plain expression
+    form bit-for-bit."""
+    S, K = a.shape
+    sse = np.zeros((S, K))
+    l_cur = _writable(l, (S, K))
+    b_cur = _writable(bb, (S, K))
+    one_a = 1.0 - a  # loop-invariant (the per-series kernel hoists too)
+    one_b = 1.0 - b
+    f = np.empty((S, K))
+    e = np.empty((S, K))
+    t1 = np.empty((S, K))
+    t2 = np.empty((S, K))
+    with np.errstate(all="ignore"):
+        for t in range(yT.shape[0]):
+            c = int(cnt[t])
+            if c == 0:
+                break
+            v = yT[t, :c, None]
+            fc, ec, t1c, t2c = f[:c], e[:c], t1[:c], t2[:c]
+            lc, tc = l_cur[:c], b_cur[:c]
+            np.add(lc, tc, out=fc)                      # f = l + b
+            np.subtract(v, fc, out=ec)                  # e = v - f
+            np.multiply(ec, ec, out=t1c)
+            np.add(sse[:c], t1c, out=sse[:c])           # sse += e*e
+            np.multiply(a[:c], v, out=t1c)
+            np.multiply(one_a[:c], fc, out=t2c)
+            np.add(t1c, t2c, out=t1c)                   # l_new = a*v+(1-a)*f
+            np.subtract(t1c, lc, out=t2c)
+            np.multiply(b[:c], t2c, out=t2c)
+            np.multiply(one_b[:c], tc, out=ec)
+            np.add(t2c, ec, out=b_cur[:c])              # b = b*(ln-l)+(1-b)*b
+            l_cur[:c] = t1c
+    return sse
+
+
+def _holt_fit_cohort(ys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Grid + zoom + Nelder-Mead Holt fit for one cohort (all lanes
+    eligible). Returns (alpha, beta) arrays in input order."""
+    order, y, ns, cnt = _pad_sorted(ys)
+    yT = np.ascontiguousarray(y.T)  # time-major for the step loop
+    S = len(ys)
+    l0, b0 = _heuristic_level_trend_each([ys[i] for i in order])
+
+    # round 1: common coarse grid (13 alphas x 9 beta fractions)
+    a_grid = np.linspace(0.02, 0.98, 13)
+    f_grid = np.linspace(0.02, 0.98, 9)
+    A, F = np.meshgrid(a_grid, f_grid, indexing="ij")
+    alphas = _writable(A.ravel(), (S, A.size))
+    betas = _writable((A * F).ravel(), (S, A.size))
+    keep = np.ones(alphas.shape, dtype=bool)
+    a_c = b_c = None
+    for _ in range(3):
+        sse = _holt_sse_prefix(alphas, betas, l0[:, None], b0[:, None], yT, cnt)
+        sse = np.where(np.isfinite(sse), sse, np.inf)
+        sse = np.where(keep, sse, np.inf)
+        i = np.argmin(sse, axis=1)
+        # all-excluded/all-inf guard: fall back to the first KEPT
+        # candidate (what argmin over the compacted per-series array does)
+        no_min = ~np.isfinite(np.take_along_axis(sse, i[:, None], 1)[:, 0])
+        if no_min.any():
+            i = np.where(no_min, np.argmax(keep, axis=1), i)
+        a_c = np.take_along_axis(alphas, i[:, None], 1)[:, 0]
+        b_c = np.take_along_axis(betas, i[:, None], 1)[:, 0]
+        amax = np.max(np.where(keep, alphas, -np.inf), axis=1)
+        amin = np.min(np.where(keep, alphas, np.inf), axis=1)
+        span_a = (amax - amin) * 0.15
+        a_g = np.clip(
+            np.linspace(a_c - span_a, a_c + span_a, 7), 1e-4, 1 - 1e-4
+        ).T  # (S, 7)
+        b_g = np.clip(
+            np.linspace(b_c - span_a, b_c + span_a, 7), 1e-4, 1 - 1e-4
+        ).T
+        # meshgrid 'ij' ravel order: k = i*7 + j
+        alphas = np.repeat(a_g, 7, axis=1)  # (S, 49)
+        betas = np.tile(b_g, (1, 7))
+        keep = betas <= alphas
+
+    # idx is ascending -> ns[idx] stays length-descending, so the alive
+    # prefix discipline holds on the compacted subset; the idx-sliced
+    # data is cached per epoch (idx only changes when lanes converge)
+    cache: dict = {"epoch": -1}
+
+    def obj(P: np.ndarray, idx: np.ndarray, epoch: int) -> np.ndarray:
+        a, b, l, bb = P[..., 0], P[..., 1], P[..., 2], P[..., 3]
+        valid = (a > 1e-6) & (a < 1 - 1e-6) & (b > 1e-6) & (b <= a)
+        if epoch >= 0 and cache["epoch"] == epoch:
+            yT_s, cnt_s = cache["yT"], cache["cnt"]
+        else:
+            yT_s = np.ascontiguousarray(yT[:, idx])
+            cnt_s = np.searchsorted(-ns[idx], -(np.arange(y.shape[1]) + 1),
+                                    side="right")
+            if epoch >= 0:
+                cache.update(epoch=epoch, yT=yT_s, cnt=cnt_s)
+        sse = _holt_sse_prefix(a, b, l, bb, yT_s, cnt_s)
+        return np.where(valid, sse, _PENALTY)
+
+    x0 = np.column_stack([a_c, b_c, l0, b0])
+    p, _ = nelder_mead_batch(obj, x0, step=0.02, max_iter=100)
+    # lanes whose init heuristic failed (non-finite level/trend) follow
+    # the per-series kernel's exception path: NaN outputs
+    bad = ~(np.isfinite(l0) & np.isfinite(b0))
+    a_sorted = np.where(bad, np.nan, p[:, 0])
+    b_sorted = np.where(bad, np.nan, p[:, 1])
+    a_out = np.empty(S)
+    b_out = np.empty(S)
+    a_out[order] = a_sorted
+    b_out[order] = b_sorted
+    return a_out, b_out
+
+
+def _holt_fit_single(y: np.ndarray) -> tuple[float, float]:
+    """Per-series Holt fit for long series (n >= _SINGLE_N): identical
+    grid/zoom (vectorized over candidates) + the scalar Nelder-Mead with
+    a Python-float SSE loop. Bit-identical to _holt_fit_cohort([y])
+    (same IEEE ops in the same order; pinned by tests)."""
+    from ._optim import nelder_mead
+    from .ets import _holt_sse_fast, _holt_sse_grid
+
+    l0_a, b0_a = _heuristic_level_trend_each([y])
+    l0, b0 = float(l0_a[0]), float(b0_a[0])
+    if not (np.isfinite(l0) and np.isfinite(b0)):
+        return np.nan, np.nan
+    a_grid = np.linspace(0.02, 0.98, 13)
+    f_grid = np.linspace(0.02, 0.98, 9)
+    A, F = np.meshgrid(a_grid, f_grid, indexing="ij")
+    alphas, betas = A.ravel(), (A * F).ravel()
+    a_c = b_c = None
+    for _ in range(3):
+        sse = _holt_sse_grid(alphas, betas, l0, b0, y)
+        i = int(np.argmin(sse))
+        a_c, b_c = alphas[i], betas[i]
+        span_a = (alphas.max() - alphas.min()) * 0.15
+        a_g = np.clip(np.linspace(a_c - span_a, a_c + span_a, 7), 1e-4, 1 - 1e-4)
+        b_g = np.clip(np.linspace(b_c - span_a, b_c + span_a, 7), 1e-4, 1 - 1e-4)
+        A2, B2 = np.meshgrid(a_g, b_g, indexing="ij")
+        keep = B2 <= A2
+        alphas, betas = A2[keep], B2[keep]
+    y_list = y.tolist()
+
+    def obj(p: np.ndarray) -> float:
+        a, b, l, bb = p
+        if not (1e-6 < a < 1 - 1e-6) or not (1e-6 < b <= a):
+            return _PENALTY
+        return _holt_sse_fast(float(a), float(b), float(l), float(bb), y_list)
+
+    p, _ = nelder_mead(obj, np.array([a_c, b_c, l0, b0]), step=0.02, max_iter=100)
+    return float(p[0]), float(p[1])
+
+
+def holt_parameters_batch(
+    ys: list[np.ndarray], freqs=None
+) -> dict[str, np.ndarray]:
+    """Batched holt_parameters: one (alpha, beta) row per series; NaN
+    rows for the reference's gates (n<5, non-finite, constant). Long
+    series (n >= _SINGLE_N) take the per-series path, everything else
+    runs as cohort lanes."""
+    S = len(ys)
+    alpha = np.full(S, np.nan)
+    beta = np.full(S, np.nan)
+    ok = np.array(
+        [
+            len(y) >= 5 and bool(np.all(np.isfinite(y))) and float(np.std(y)) != 0.0
+            for y in ys
+        ],
+        dtype=bool,
+    )
+    lanes = np.flatnonzero(ok)
+    lens = np.array([len(ys[i]) for i in lanes])
+    small = lanes[lens < _SINGLE_N]
+    for i in lanes[lens >= _SINGLE_N]:
+        try:
+            alpha[i], beta[i] = _holt_fit_single(ys[i])
+        except Exception:
+            pass
+    for sub in _cohorts(np.array([len(ys[i]) for i in small])):
+        sel = small[sub]
+        if len(sel) < _MIN_LANES:
+            for i in sel:
+                try:
+                    alpha[i], beta[i] = _holt_fit_single(ys[i])
+                except Exception:
+                    pass
+            continue
+        try:
+            a, b = _holt_fit_cohort([ys[i] for i in sel])
+        except Exception:
+            continue  # lanes stay NaN, matching the per-series except-path
+        alpha[sel] = a
+        beta[sel] = b
+    return {"alpha": alpha, "beta": beta}
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (additive) -- reference tsfeatures.py:392-423
+# ---------------------------------------------------------------------------
+
+def _hw_sse_prefix(a, b, g, l0, b0, s0, yT, cnt, m) -> np.ndarray:
+    """HW SSE for (S, K) lanes over time-major yT (T, S); seasonal state
+    laid out (m, S, K) so the per-step slice s[j][:c] is contiguous.
+    Standard additive recursion: level update uses (1-a)*(l+b) -- the
+    seasonal term belongs in the forecast only. Preallocated scratch;
+    op order matches the plain expression form bit-for-bit."""
+    S, K = a.shape
+    s = np.ascontiguousarray(
+        np.broadcast_to(s0.T[:, :, None], (m, S, K))
+    )  # (m, S, K)
+    l_cur = _writable(l0[:, None], (S, K))
+    b_cur = _writable(b0[:, None], (S, K))
+    sse = np.zeros((S, K))
+    one_a = 1.0 - a
+    one_b = 1.0 - b
+    one_g = 1.0 - g
+    f = np.empty((S, K))
+    e = np.empty((S, K))
+    t1 = np.empty((S, K))
+    t2 = np.empty((S, K))
+    t3 = np.empty((S, K))
+    with np.errstate(all="ignore"):
+        for t in range(yT.shape[0]):
+            c = int(cnt[t])
+            if c == 0:
+                break
+            j = t % m
+            v = yT[t, :c, None]
+            si = s[j][:c]
+            lc, tc = l_cur[:c], b_cur[:c]
+            fc, ec, t1c, t2c, t3c = f[:c], e[:c], t1[:c], t2[:c], t3[:c]
+            np.add(lc, tc, out=t3c)                      # l + b
+            np.add(t3c, si, out=fc)                      # f = l + b + s
+            np.subtract(v, fc, out=ec)                   # e = v - f
+            np.multiply(ec, ec, out=t1c)
+            np.add(sse[:c], t1c, out=sse[:c])            # sse += e*e
+            np.subtract(v, si, out=t1c)
+            np.multiply(a[:c], t1c, out=t1c)
+            np.multiply(one_a[:c], t3c, out=t2c)
+            np.add(t1c, t2c, out=t1c)                    # l_new
+            np.subtract(t1c, lc, out=t2c)
+            np.multiply(b[:c], t2c, out=t2c)
+            np.multiply(one_b[:c], tc, out=t3c)
+            np.add(t2c, t3c, out=b_cur[:c])              # b update
+            np.subtract(v, t1c, out=t2c)
+            np.multiply(g[:c], t2c, out=t2c)
+            np.multiply(one_g[:c], si, out=t3c)
+            np.add(t2c, t3c, out=s[j][:c])               # s update
+            l_cur[:c] = t1c
+    return sse
+
+
+def _heuristic_seasonal_each(ys, m):
+    from .ets import _heuristic_seasonal
+
+    l0 = np.full(len(ys), np.nan)
+    b0 = np.full(len(ys), np.nan)
+    s0 = np.zeros((len(ys), m))
+    for i, y in enumerate(ys):
+        try:
+            l0[i], b0[i], s0[i] = _heuristic_seasonal(y, m)
+        except Exception:
+            pass  # lane stays NaN -> NaN outputs
+    return l0, b0, s0
+
+
+def _hw_fit_cohort(ys: list[np.ndarray], m: int):
+    order, y, ns, cnt = _pad_sorted(ys)
+    yT = np.ascontiguousarray(y.T)  # time-major for the step loop
+    S = len(ys)
+    l0, b0, s0 = _heuristic_seasonal_each([ys[i] for i in order], m)
+
+    a_g = np.linspace(0.05, 0.95, 7)
+    bf_g = np.array([0.05, 0.3, 0.9])
+    gf_g = np.array([0.05, 0.3, 0.9])
+    A, BF, GF = np.meshgrid(a_g, bf_g, gf_g, indexing="ij")
+    al1 = A.ravel()
+    be1 = (A * BF).ravel()
+    ga1 = ((1.0 - A) * GF).ravel()
+    alphas = _writable(al1, (S, al1.size))
+    betas = _writable(be1, (S, al1.size))
+    gammas = _writable(ga1, (S, al1.size))
+    sse = _hw_sse_prefix(alphas, betas, gammas, l0, b0, s0, yT, cnt, m)
+    sse = np.where(np.isfinite(sse), sse, np.inf)
+    i = np.argmin(sse, axis=1)
+    a_c = al1[i]
+    b_c = be1[i]
+    g_c = ga1[i]
+
+    # zoom: per-lane local 5x5x5 grid, constraint-masked
+    a_g2 = np.clip(np.linspace(a_c - 0.1, a_c + 0.1, 5), 1e-4, 1 - 1e-4).T
+    b_g2 = np.clip(np.linspace(b_c - 0.1, b_c + 0.1, 5), 1e-4, 1 - 1e-4).T
+    g_g2 = np.clip(np.linspace(g_c - 0.1, g_c + 0.1, 5), 1e-4, 1 - 1e-4).T
+    # meshgrid 'ij' ravel order: k = i*25 + j*5 + l
+    A2 = np.repeat(a_g2, 25, axis=1)  # (S, 125)
+    B2 = np.tile(np.repeat(b_g2, 5, axis=1), (1, 5))
+    G2 = np.tile(g_g2, (1, 25))
+    keep = (B2 <= A2) & (G2 <= 1.0 - A2)
+    any_keep = keep.any(axis=1)
+    sse = _hw_sse_prefix(A2, B2, G2, l0, b0, s0, yT, cnt, m)
+    sse = np.where(np.isfinite(sse), sse, np.inf)
+    sse = np.where(keep, sse, np.inf)
+    i = np.argmin(sse, axis=1)
+    no_min = ~np.isfinite(np.take_along_axis(sse, i[:, None], 1)[:, 0])
+    if no_min.any():
+        i = np.where(no_min, np.argmax(keep, axis=1), i)
+    # lanes with an empty constraint set keep the round-1 winner
+    pick = any_keep & ~no_min
+    a_c = np.where(pick, np.take_along_axis(A2, i[:, None], 1)[:, 0], a_c)
+    b_c = np.where(pick, np.take_along_axis(B2, i[:, None], 1)[:, 0], b_c)
+    g_c = np.where(pick, np.take_along_axis(G2, i[:, None], 1)[:, 0], g_c)
+
+    cache: dict = {"epoch": -1}
+
+    def obj(P: np.ndarray, idx: np.ndarray, epoch: int) -> np.ndarray:
+        a, b, g = P[..., 0], P[..., 1], P[..., 2]
+        valid = (
+            (a > 1e-6) & (a < 1 - 1e-6)
+            & (b > 1e-6) & (b <= a)
+            & (g > 1e-6) & (g <= 1.0 - a)
+        )
+        if epoch >= 0 and cache["epoch"] == epoch:
+            yT_s, l0_s, b0_s, s0_s, cnt_s = (
+                cache["yT"], cache["l0"], cache["b0"], cache["s0"],
+                cache["cnt"],
+            )
+        else:
+            yT_s = np.ascontiguousarray(yT[:, idx])
+            l0_s, b0_s = l0[idx], b0[idx]
+            s0_s = np.ascontiguousarray(s0[idx])
+            cnt_s = np.searchsorted(-ns[idx], -(np.arange(y.shape[1]) + 1),
+                                    side="right")
+            if epoch >= 0:
+                cache.update(epoch=epoch, yT=yT_s, l0=l0_s, b0=b0_s,
+                             s0=s0_s, cnt=cnt_s)
+        sse = _hw_sse_prefix(a, b, g, l0_s, b0_s, s0_s, yT_s, cnt_s, m)
+        return np.where(valid, sse, _PENALTY)
+
+    x0 = np.column_stack([a_c, b_c, g_c])
+    p, _ = nelder_mead_batch(obj, x0, step=0.03, max_iter=50)
+    bad = ~(np.isfinite(l0) & np.isfinite(b0))
+    a_out = np.empty(S)
+    b_out = np.empty(S)
+    g_out = np.empty(S)
+    a_out[order] = np.where(bad, np.nan, p[:, 0])
+    b_out[order] = np.where(bad, np.nan, p[:, 1])
+    g_out[order] = np.where(bad, np.nan, p[:, 2])
+    return a_out, b_out, g_out
+
+
+def _hw_fit_single(y: np.ndarray, m: int) -> tuple[float, float, float]:
+    """Per-series HW fit for long series: identical grid/zoom semantics
+    to _hw_fit_cohort (corrected level recursion, round-1-winner
+    fallback when the zoom constraint set is empty or all-inf) + the
+    scalar Nelder-Mead with a Python-float SSE loop."""
+    from ._optim import nelder_mead
+    from .ets import _hw_sse_fast, _hw_sse_grid
+
+    l0_a, b0_a, s0_a = _heuristic_seasonal_each([y], m)
+    l0, b0, s0 = float(l0_a[0]), float(b0_a[0]), s0_a[0]
+    if not (np.isfinite(l0) and np.isfinite(b0)):
+        return np.nan, np.nan, np.nan
+    a_g = np.linspace(0.05, 0.95, 7)
+    bf_g = np.array([0.05, 0.3, 0.9])
+    gf_g = np.array([0.05, 0.3, 0.9])
+    A, BF, GF = np.meshgrid(a_g, bf_g, gf_g, indexing="ij")
+    al1, be1, ga1 = A.ravel(), (A * BF).ravel(), ((1.0 - A) * GF).ravel()
+    sse = _hw_sse_grid(al1, be1, ga1, l0, b0, s0, y)
+    i = int(np.argmin(sse))
+    a_c, b_c, g_c = al1[i], be1[i], ga1[i]
+    a_g2 = np.clip(np.linspace(a_c - 0.1, a_c + 0.1, 5), 1e-4, 1 - 1e-4)
+    b_g2 = np.clip(np.linspace(b_c - 0.1, b_c + 0.1, 5), 1e-4, 1 - 1e-4)
+    g_g2 = np.clip(np.linspace(g_c - 0.1, g_c + 0.1, 5), 1e-4, 1 - 1e-4)
+    A2, B2, G2 = np.meshgrid(a_g2, b_g2, g_g2, indexing="ij")
+    keep = (B2 <= A2) & (G2 <= 1.0 - A2)
+    if keep.any():
+        al2, be2, ga2 = A2[keep], B2[keep], G2[keep]
+        sse = _hw_sse_grid(al2, be2, ga2, l0, b0, s0, y)
+        j = int(np.argmin(sse))
+        # all-inf zoom keeps the round-1 winner (cohort 'pick' semantics)
+        if np.isfinite(sse[j]):
+            a_c, b_c, g_c = al2[j], be2[j], ga2[j]
+    y_list = y.tolist()
+    s0_list = s0.tolist()
+
+    def obj(p: np.ndarray) -> float:
+        a, b, g = p
+        if (
+            not (1e-6 < a < 1 - 1e-6)
+            or not (1e-6 < b <= a)
+            or not (1e-6 < g <= 1.0 - a)
+        ):
+            return _PENALTY
+        return _hw_sse_fast(float(a), float(b), float(g), l0, b0, s0_list, y_list)
+
+    p, _ = nelder_mead(obj, np.array([a_c, b_c, g_c]), step=0.03, max_iter=50)
+    return float(p[0]), float(p[1]), float(p[2])
+
+
+def hw_parameters_batch(
+    ys: list[np.ndarray], freqs: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Batched hw_parameters (cohorts keyed by seasonal period m); long
+    series take the per-series path."""
+    S = len(ys)
+    out = {
+        "hw_alpha": np.full(S, np.nan),
+        "hw_beta": np.full(S, np.nan),
+        "hw_gamma": np.full(S, np.nan),
+    }
+    ms = np.asarray(freqs, dtype=int)
+    ok = np.array(
+        [
+            int(ms[i]) >= 2
+            and len(y) >= 2 * int(ms[i])
+            and len(y) >= 5
+            and bool(np.all(np.isfinite(y)))
+            and float(np.std(y)) != 0.0
+            for i, y in enumerate(ys)
+        ],
+        dtype=bool,
+    )
+    lanes = np.flatnonzero(ok)
+    lens = np.array([len(ys[i]) for i in lanes])
+    small = lanes[lens < _SINGLE_N]
+    for i in lanes[lens >= _SINGLE_N]:
+        try:
+            (out["hw_alpha"][i], out["hw_beta"][i],
+             out["hw_gamma"][i]) = _hw_fit_single(ys[i], int(ms[i]))
+        except Exception:
+            pass
+    for sub in _cohorts(np.array([len(ys[i]) for i in small]),
+                        extra_key=[int(ms[i]) for i in small]):
+        sel = small[sub]
+        m = int(ms[sel[0]])
+        if len(sel) < _MIN_LANES:
+            for i in sel:
+                try:
+                    (out["hw_alpha"][i], out["hw_beta"][i],
+                     out["hw_gamma"][i]) = _hw_fit_single(ys[i], m)
+                except Exception:
+                    pass
+            continue
+        try:
+            a, b, g = _hw_fit_cohort([ys[i] for i in sel], m)
+        except Exception:
+            continue
+        out["hw_alpha"][sel] = a
+        out["hw_beta"][sel] = b
+        out["hw_gamma"][sel] = g
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GARCH(1,1) mean residual (heterogeneity stage 2) -- het.py semantics
+# ---------------------------------------------------------------------------
+
+def _garch_nll_prefix(omega, a, b, e2T, cnt, backcast) -> np.ndarray:
+    """Gaussian NLL for (S, K) candidate lanes over time-major,
+    length-desc-sorted padded e2T (T, S). Same recursion and summation
+    order as the original per-series nll ((l2pi + log(s)) + e2t/s);
+    s<=0 -> penalty. Preallocated scratch; op order matches the plain
+    expression form bit-for-bit."""
+    import math
+
+    l2pi = math.log(2 * math.pi)
+    S, K = omega.shape
+    s = _writable(backcast[:, None], (S, K))
+    prev = _writable(backcast[:, None], (S, K))
+    ll = np.zeros((S, K))
+    bad = np.zeros((S, K), dtype=bool)
+    t1 = np.empty((S, K))
+    t2 = np.empty((S, K))
+    t3 = np.empty((S, K))
+    with np.errstate(all="ignore"):
+        for t in range(e2T.shape[0]):
+            c = int(cnt[t])
+            if c == 0:
+                break
+            e2t = e2T[t, :c, None]
+            sc, pc = s[:c], prev[:c]
+            t1c, t2c, t3c = t1[:c], t2[:c], t3[:c]
+            np.multiply(a[:c], pc, out=t1c)
+            np.add(omega[:c], t1c, out=t1c)
+            np.multiply(b[:c], sc, out=t2c)
+            np.add(t1c, t2c, out=t1c)                   # s_new
+            bad[:c] |= t1c <= 0
+            np.log(t1c, out=t2c)
+            np.add(l2pi, t2c, out=t2c)                  # l2pi + log(s)
+            np.divide(e2t, t1c, out=t3c)                # e2t / s
+            np.add(t2c, t3c, out=t2c)
+            np.add(ll[:c], t2c, out=ll[:c])             # ll += ...
+            s[:c] = t1c
+            prev[:c] = e2t
+    valid = (omega > 0) & (a >= 0) & (b >= 0) & (a + b < 0.9999)
+    half = 0.5 * ll
+    res = np.where(np.isfinite(half), half, _PENALTY)
+    return np.where(valid & ~bad, res, _PENALTY)
+
+
+def garch_mean_resid_batch(xs: list[np.ndarray]) -> list:
+    """Batched het._garch11_mean_resid: fit GARCH(1,1) mu per lane and
+    return per-series (x - mu); None marks the gates the per-series
+    kernel expresses by raising (n < 10, zero variance, fit failure)."""
+    S = len(xs)
+    mus = np.array([float(np.mean(x)) if len(x) else np.nan for x in xs])
+    var0 = np.array([float(np.var(x)) if len(x) else 0.0 for x in xs])
+    ok = np.array(
+        [len(x) >= 10 and v > 0 for x, v in zip(xs, var0)], dtype=bool
+    )
+    lanes = np.flatnonzero(ok)
+    lens = np.array([len(xs[i]) for i in lanes])
+    small = lanes[lens < _SINGLE_N]
+    for i in lanes[lens >= _SINGLE_N]:
+        try:
+            mus[i] = _garch_mu_single(xs[i], mus[i], var0[i])
+        except Exception:
+            ok[i] = False
+    for sub in _cohorts(np.array([len(xs[i]) for i in small])):
+        sel = small[sub]
+        if len(sel) < _MIN_LANES:
+            for i in sel:
+                try:
+                    mus[i] = _garch_mu_single(xs[i], mus[i], var0[i])
+                except Exception:
+                    ok[i] = False
+            continue
+        try:
+            mus[sel] = _garch_mu_cohort([xs[i] for i in sel],
+                                        mus[sel], var0[sel])
+        except Exception:
+            ok[sel] = False  # whole-cohort numeric failure -> NaN gates
+    return [(xs[i] - mus[i]) if ok[i] else None for i in range(S)]
+
+
+def _garch_mu_single(x: np.ndarray, mu: float, var0: float) -> float:
+    """Per-series mirror of _garch_mu_cohort for long series: the NLL is
+    a Python-float loop with scalar np.log (np.log(scalar) is bit-equal
+    to np.log(array)[i] on this platform, unlike math.log)."""
+    import math
+
+    from ._optim import nelder_mead
+
+    n = len(x)
+    l2pi = math.log(2 * math.pi)
+    tau = min(75, n)
+    w = 0.94 ** np.arange(tau)
+    w /= w.sum()
+    q = np.array([var0 * 0.1, 0.1, 0.8])
+    with np.errstate(all="ignore"):
+        return _garch_mu_single_rounds(x, mu, q, w, tau, l2pi)
+
+
+def _garch_mu_single_rounds(x, mu, q, w, tau, l2pi):
+    import math
+
+    from ._optim import nelder_mead
+
+    n = len(x)
+    for _ in range(2):
+        e2 = (x - mu) ** 2
+        # np.sum of the product (not np.dot): see _garch_mu_cohort
+        backcast = float(np.sum(w * e2[:tau]))
+        e2l = e2.tolist()
+
+        def nll(p: np.ndarray) -> float:
+            omega, a, b = float(p[0]), float(p[1]), float(p[2])
+            if not (omega > 0 and a >= 0 and b >= 0 and a + b < 0.9999):
+                return _PENALTY
+            s_t = backcast
+            prev = backcast
+            ll = 0.0
+            bad = False
+            for e2t in e2l:
+                s_t = (omega + a * prev) + b * s_t
+                if s_t <= 0:
+                    bad = True
+                ll += (l2pi + float(np.log(s_t))) + e2t / s_t
+                prev = e2t
+            half = 0.5 * ll
+            if not math.isfinite(half) or bad:
+                return _PENALTY
+            return half
+
+        if n >= _SINGLE_N:
+            # series this long NEVER take the lane path (dispatch is
+            # keyed on length alone), so lane-equality of the log
+            # function is moot -- use math.log (~5x faster per call
+            # than scalar np.log; the NLL loop is log-bound)
+            ml = math.log
+
+            def nll_fast(p: np.ndarray) -> float:
+                omega, a, b = float(p[0]), float(p[1]), float(p[2])
+                if not (omega > 0 and a >= 0 and b >= 0 and a + b < 0.9999):
+                    return _PENALTY
+                s_t = backcast
+                prev = backcast
+                ll = 0.0
+                bad = False
+                for e2t in e2l:
+                    s_t = (omega + a * prev) + b * s_t
+                    if s_t <= 0:
+                        bad = True
+                        break
+                    ll += (l2pi + ml(s_t)) + e2t / s_t
+                    prev = e2t
+                half = 0.5 * ll
+                if bad or not math.isfinite(half):
+                    return _PENALTY
+                return half
+
+            q, _ = nelder_mead(nll_fast, q, step=0.2, max_iter=60)
+        else:
+            q, _ = nelder_mead(nll, q, step=0.2, max_iter=60)
+        omega, a, b = float(q[0]), float(q[1]), float(q[2])
+        if not (omega > 0 and a >= 0 and b >= 0 and a + b < 0.9999):
+            break
+        s_prev = backcast
+        prev = backcast
+        inv_sum = 0.0
+        wx_sum = 0.0
+        sig_ok = True
+        for t in range(n):
+            s_new = (omega + a * prev) + b * s_prev
+            if not (s_new > 0 and math.isfinite(s_new)):
+                sig_ok = False
+            w_t = 1.0 / s_new
+            inv_sum += w_t
+            wx_sum += w_t * float(x[t])
+            s_prev = s_new
+            prev = float(e2[t])
+        if not sig_ok:
+            break
+        if math.isfinite(wx_sum) and inv_sum > 0:
+            mu = wx_sum / inv_sum
+    return mu
+
+
+def _garch_mu_cohort(xs: list[np.ndarray], mu0: np.ndarray,
+                     var0: np.ndarray) -> np.ndarray:
+    """Two-round profile-likelihood mu fit for one cohort: NM over
+    (omega, a, b) with mu fixed, then the closed-form 1/sigma^2-weighted
+    mu update; lanes that hit an invalid fit keep their last good mu
+    (the per-series loop's break semantics)."""
+    order, x_pad, ns, cnt = _pad_sorted(xs)
+    S = len(xs)
+    mu = mu0[order].copy()
+    v0 = var0[order]
+    q = np.column_stack([v0 * 0.1, np.full(S, 0.1), np.full(S, 0.8)])
+    active = np.ones(S, dtype=bool)
+    T = x_pad.shape[1]
+    for _ in range(2):
+        if not active.any():
+            break
+        # padded-tail garbage is never read: backcast uses e2[i, :tau]
+        # with tau <= n_i and the recursions touch alive prefixes only
+        e2 = (x_pad - mu[:, None]) ** 2
+        e2T = np.ascontiguousarray(e2.T)  # time-major for the step loop
+        backcast = np.empty(S)
+        for i in range(S):
+            tau = min(75, int(ns[i]))
+            w = 0.94 ** np.arange(tau)
+            w /= w.sum()
+            # np.sum over the elementwise product, NOT np.dot: BLAS ddot
+            # is pointer-alignment-dependent, so a dot on the e2[i] row
+            # view would give different last-bits depending on the
+            # lane's position in the cohort (composition dependence);
+            # ufunc ops + numpy's pairwise sum are alignment-proof
+            backcast[i] = float(np.sum(w * e2[i, :tau]))
+
+        act = np.flatnonzero(active)
+        cache: dict = {"epoch": -1}
+
+        def obj(P: np.ndarray, idx: np.ndarray, epoch: int) -> np.ndarray:
+            if epoch >= 0 and cache["epoch"] == epoch:
+                e2T_s, bc_s, cnt_s = cache["e2T"], cache["bc"], cache["cnt"]
+            else:
+                rows = act[idx]
+                e2T_s = np.ascontiguousarray(e2T[:, rows])
+                bc_s = backcast[rows]
+                cnt_s = np.searchsorted(-ns[rows], -(np.arange(T) + 1),
+                                        side="right")
+                if epoch >= 0:
+                    cache.update(epoch=epoch, e2T=e2T_s, bc=bc_s, cnt=cnt_s)
+            return _garch_nll_prefix(
+                P[..., 0], P[..., 1], P[..., 2], e2T_s, cnt_s, bc_s,
+            )
+
+        q_new, _ = nelder_mead_batch(obj, q[act], step=0.2, max_iter=60)
+        q[act] = q_new
+        omega, a, b = q[:, 0], q[:, 1], q[:, 2]
+        good = (omega > 0) & (a >= 0) & (b >= 0) & (a + b < 0.9999)
+        active = active & good
+        if not active.any():
+            break
+        # sigma2 path + closed-form weighted mu (prefix-sliced lanes)
+        s_prev = backcast.copy()
+        prev = backcast.copy()
+        sig_ok = np.ones(S, dtype=bool)
+        inv_sum = np.zeros(S)
+        wx_sum = np.zeros(S)
+        with np.errstate(all="ignore"):
+            for t in range(T):
+                c = int(cnt[t])
+                if c == 0:
+                    break
+                s_new = omega[:c] + a[:c] * prev[:c] + b[:c] * s_prev[:c]
+                sig_ok[:c] &= (s_new > 0) & np.isfinite(s_new)
+                w_t = 1.0 / s_new
+                inv_sum[:c] += w_t
+                wx_sum[:c] += w_t * x_pad[:c, t]
+                s_prev[:c] = s_new
+                prev[:c] = e2[:c, t]
+        active = active & sig_ok
+        upd = active & np.isfinite(wx_sum) & (inv_sum > 0)
+        mu = np.where(upd, wx_sum / inv_sum, mu)
+    out = np.empty(S)
+    out[order] = mu
+    return out

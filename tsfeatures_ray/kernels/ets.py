@@ -17,11 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ._optim import nelder_mead
-
 __all__ = ["holt_parameters", "hw_parameters"]
-
-_PENALTY = 1e12
 
 
 def _holt_sse_fast(alpha: float, beta: float, l: float, b: float, y) -> float:
@@ -73,43 +69,18 @@ def _heuristic_level_trend(y: np.ndarray) -> tuple[float, float]:
 
 def holt_parameters(x: np.ndarray, freq: int = 1) -> dict:
     """alpha / beta of an additive-trend Holt fit (reference
-    tsfeatures.py:340-368). NaN when the fit cannot run (short series)."""
+    tsfeatures.py:340-368). NaN when the fit cannot run (short series).
+
+    Delegates to the lane-batched fit (_batch.py: coarse vectorized
+    grid, two zoom rounds, then a batched Nelder-Mead polish over all 4
+    params) with a single lane -- one optimizer implementation serves
+    both the per-series API and the cross-series feature stage."""
+    from ._batch import holt_parameters_batch
+
     y = np.asarray(x, dtype=float)
     try:
-        n = len(y)
-        if n < 5 or not np.all(np.isfinite(y)) or np.std(y) == 0.0:
-            raise ValueError("series too short, non-finite, or constant")
-        l0, b0 = _heuristic_level_trend(y)
-
-        # coarse vectorized grid, two zoom rounds, then a short simplex
-        # polish over all 4 params (initial states included)
-        a_grid = np.linspace(0.02, 0.98, 13)
-        f_grid = np.linspace(0.02, 0.98, 9)
-        A, F = np.meshgrid(a_grid, f_grid, indexing="ij")
-        alphas, betas = A.ravel(), (A * F).ravel()
-        for _ in range(3):
-            sse = _holt_sse_grid(alphas, betas, l0, b0, y)
-            i = int(np.argmin(sse))
-            a_c, b_c = alphas[i], betas[i]
-            span_a = (alphas.max() - alphas.min()) * 0.15
-            a_grid = np.clip(np.linspace(a_c - span_a, a_c + span_a, 7), 1e-4, 1 - 1e-4)
-            b_grid = np.clip(np.linspace(b_c - span_a, b_c + span_a, 7), 1e-4, 1 - 1e-4)
-            A, B = np.meshgrid(a_grid, b_grid, indexing="ij")
-            keep = B <= A
-            alphas, betas = A[keep], B[keep]
-
-        y_list = y.tolist()
-
-        def obj(p: np.ndarray) -> float:
-            a, b, l, bb = p
-            if not (1e-6 < a < 1 - 1e-6) or not (1e-6 < b <= a):
-                return _PENALTY
-            return _holt_sse_fast(float(a), float(b), float(l), float(bb), y_list)
-
-        p, _ = nelder_mead(
-            obj, np.array([a_c, b_c, l0, b0]), step=0.02, max_iter=100
-        )
-        params = {"alpha": float(p[0]), "beta": float(p[1])}
+        out = holt_parameters_batch([y])
+        params = {"alpha": float(out["alpha"][0]), "beta": float(out["beta"][0])}
     except Exception:
         params = {"alpha": np.nan, "beta": np.nan}
     return params
@@ -159,7 +130,10 @@ def _hw_sse_grid(alphas, betas, gammas, l0: float, b0: float, s0: np.ndarray,
             f = l + b + si
             e = y[t] - f
             sse += e * e
-            l_new = alphas * (y[t] - si) + (1.0 - alphas) * f
+            # standard additive-HW level update (same objective as
+            # _hw_sse_fast): (1-a)*(l+b) -- the seasonal term belongs in
+            # the forecast, not the level recursion
+            l_new = alphas * (y[t] - si) + (1.0 - alphas) * (l + b)
             b = betas * (l_new - l) + (1.0 - betas) * b
             s[:, j] = gammas * (y[t] - l_new) + (1.0 - gammas) * si
             l = l_new
@@ -194,56 +168,20 @@ def _heuristic_seasonal(y: np.ndarray, m: int) -> tuple[float, float, np.ndarray
 def hw_parameters(x: np.ndarray, freq: int = 1) -> dict:
     """alpha / beta / gamma of an additive Holt-Winters fit (reference
     tsfeatures.py:392-423). NaN when freq < 2 or fewer than two full
-    seasonal cycles exist (statsmodels raises there -> reference except)."""
+    seasonal cycles exist (statsmodels raises there -> reference except).
+
+    Delegates to the lane-batched fit (_batch.py: coarse vectorized grid
+    + one zoom round, then a batched Nelder-Mead polish) with a single
+    lane -- one optimizer implementation for both execution shapes."""
+    from ._batch import hw_parameters_batch
+
     y = np.asarray(x, dtype=float)
-    m = int(freq)
     try:
-        n = len(y)
-        if m < 2 or n < 2 * m or n < 5 or not np.all(np.isfinite(y)) or np.std(y) == 0.0:
-            raise ValueError("seasonal fit not identifiable")
-        l0, b0, s0 = _heuristic_seasonal(y, m)
-
-        # coarse vectorized grid + one zoom round, then a short simplex
-        a_g = np.linspace(0.05, 0.95, 7)
-        bf_g = np.array([0.05, 0.3, 0.9])
-        gf_g = np.array([0.05, 0.3, 0.9])
-        A, BF, GF = np.meshgrid(a_g, bf_g, gf_g, indexing="ij")
-        alphas = A.ravel()
-        betas = (A * BF).ravel()
-        gammas = ((1.0 - A) * GF).ravel()
-        sse = _hw_sse_grid(alphas, betas, gammas, l0, b0, s0, y)
-        i = int(np.argmin(sse))
-        a_c, b_c, g_c = alphas[i], betas[i], gammas[i]
-        # zoom: local grid around the winner
-        a_g = np.clip(np.linspace(a_c - 0.1, a_c + 0.1, 5), 1e-4, 1 - 1e-4)
-        b_g = np.clip(np.linspace(b_c - 0.1, b_c + 0.1, 5), 1e-4, 1 - 1e-4)
-        g_g = np.clip(np.linspace(g_c - 0.1, g_c + 0.1, 5), 1e-4, 1 - 1e-4)
-        A, B, G = np.meshgrid(a_g, b_g, g_g, indexing="ij")
-        keep = (B <= A) & (G <= 1.0 - A)
-        if keep.any():
-            alphas, betas, gammas = A[keep], B[keep], G[keep]
-            sse = _hw_sse_grid(alphas, betas, gammas, l0, b0, s0, y)
-            i = int(np.argmin(sse))
-            a_c, b_c, g_c = alphas[i], betas[i], gammas[i]
-
-        y_list = y.tolist()
-        s0_list = s0.tolist()
-
-        def obj(p: np.ndarray) -> float:
-            a, b, g = p
-            if (
-                not (1e-6 < a < 1 - 1e-6)
-                or not (1e-6 < b <= a)
-                or not (1e-6 < g <= 1.0 - a)
-            ):
-                return _PENALTY
-            return _hw_sse_fast(float(a), float(b), float(g), l0, b0, s0_list, y_list)
-
-        p, _ = nelder_mead(obj, np.array([a_c, b_c, g_c]), step=0.03, max_iter=50)
+        out = hw_parameters_batch([y], np.array([int(freq)]))
         params = {
-            "hw_alpha": float(p[0]),
-            "hw_beta": float(p[1]),
-            "hw_gamma": float(p[2]),
+            "hw_alpha": float(out["hw_alpha"][0]),
+            "hw_beta": float(out["hw_beta"][0]),
+            "hw_gamma": float(out["hw_gamma"][0]),
         }
     except Exception:
         params = {"hw_alpha": np.nan, "hw_beta": np.nan, "hw_gamma": np.nan}

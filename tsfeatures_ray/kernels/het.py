@@ -25,14 +25,22 @@ from __future__ import annotations
 import numpy as np
 
 from ._math import acf, embed
-from ._optim import nelder_mead
 from .simple import arch_stat
 
-__all__ = ["heterogeneity"]
+__all__ = ["heterogeneity", "heterogeneity_batch"]
 
 
 def _ar_by_aic_resid(x: np.ndarray) -> np.ndarray:
-    """Whiten x with an AR(p) model, p chosen by AIC (trend='c')."""
+    """Whiten x with an AR(p) model, p chosen by AIC (trend='c').
+
+    Lag selection via ONE reduced QR of the full-maxlag design matrix:
+    the candidate models are nested (columns [const, lag1..lagk] are a
+    prefix of [const, lag1..lagmaxlag]), so RSS_k = ||y||^2 - sum_{j<=k}
+    (q_j.y)^2 gives every candidate's sigma^2 from a single
+    factorization instead of maxlag separate lstsq solves (the AR stage
+    was the heterogeneity kernel's second-largest cost). Ties/guards
+    mirror the loop form: strict-improvement argmin, sigma2<=0 skipped,
+    non-finite falls back to the per-lag lstsq path."""
     n = len(x)
     if not np.all(np.isfinite(x)):
         raise ValueError("non-finite input")
@@ -43,18 +51,35 @@ def _ar_by_aic_resid(x: np.ndarray) -> np.ndarray:
     mat = embed(x, maxlag + 1)  # rows: [x_t, x_{t-1}, ..., x_{t-maxlag}]
     y = mat[:, 0]
     nobs = len(y)
-    best = (np.inf, 1)
-    for lag in range(1, maxlag + 1):
-        X = np.column_stack([np.ones(nobs), mat[:, 1 : lag + 1]])
-        params, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
-        resid = y - X @ params
-        sigma2 = float(np.sum(resid**2)) / nobs
-        if sigma2 <= 0:
-            continue
-        aic = np.log(sigma2) + 2.0 * (lag + 1) / nobs
-        if aic < best[0]:
-            best = (aic, lag)
-    lag = best[1]
+    lag = None
+    if nobs > maxlag + 1:  # QR prefix-RSS needs a tall design matrix
+        try:
+            X = np.column_stack([np.ones(nobs), mat[:, 1:]])
+            q, _ = np.linalg.qr(X, mode="reduced")
+            qty = q.T @ y
+            rss = float(y @ y) - np.cumsum(qty**2)
+            sigma2 = rss[1:] / nobs  # candidate k uses columns 0..k
+            if np.all(np.isfinite(sigma2)):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    aic = np.log(sigma2) + 2.0 * (np.arange(1, maxlag + 1) + 1) / nobs
+                aic = np.where(sigma2 > 0, aic, np.inf)
+                k = int(np.argmin(aic))
+                lag = k + 1 if np.isfinite(aic[k]) else 1
+        except np.linalg.LinAlgError:
+            pass
+    if lag is None:  # degenerate design: per-lag lstsq fallback
+        best = (np.inf, 1)
+        for cand in range(1, maxlag + 1):
+            X = np.column_stack([np.ones(nobs), mat[:, 1 : cand + 1]])
+            params, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+            resid = y - X @ params
+            s2 = float(np.sum(resid**2)) / nobs
+            if s2 <= 0:
+                continue
+            a = np.log(s2) + 2.0 * (cand + 1) / nobs
+            if a < best[0]:
+                best = (a, cand)
+        lag = best[1]
     # refit the winner on its own full conditional sample
     mat = embed(x, lag + 1)
     y = mat[:, 0]
@@ -69,100 +94,68 @@ def _garch11_mean_resid(x: np.ndarray) -> np.ndarray:
 
     Profile-likelihood split: conditional on the volatility path the MLE
     of mu is the closed-form 1/sigma^2-weighted mean, so we fit
-    (omega, a, b) with mu fixed (3-param simplex over a likelihood whose
-    squared-residual series is HOISTED out of the objective) and update
-    mu in closed form -- same estimate as the joint 4-param search at a
+    (omega, a, b) with mu fixed (3-param simplex) and update mu in
+    closed form -- same estimate as the joint 4-param search at a
     fraction of the cost. Only mu feeds the kernel's outputs.
+
+    Delegates to the lane-batched implementation (_batch.py) with a
+    single lane, so the per-series and cross-series paths are the SAME
+    optimizer by construction.
     """
-    import math
+    from ._batch import garch_mean_resid_batch
 
     x = np.asarray(x, dtype=float)
-    n = len(x)
-    if n < 10:
-        raise ValueError("series too short for GARCH fit")
-    mu = float(np.mean(x))
-    var0 = float(np.var(x))
-    if var0 <= 0:
-        raise ValueError("zero variance")
-
-    # arch-style exponentially weighted backcast of sigma^2
-    tau = min(75, n)
-    w = 0.94 ** np.arange(tau)
-    w /= w.sum()
-    l2pi = math.log(2 * math.pi)
-
-    def make_nll(e2l: list, backcast: float):
-        def nll(q: np.ndarray) -> float:
-            # plain floats: numpy-scalar arithmetic in the loop is ~10x slower
-            omega, a, b = float(q[0]), float(q[1]), float(q[2])
-            if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
-                return 1e12
-            s_t = backcast
-            prev_e2 = backcast
-            ll = 0.0
-            for e2t in e2l:
-                s_t = omega + a * prev_e2 + b * s_t
-                if s_t <= 0:
-                    return 1e12
-                ll += l2pi + math.log(s_t) + e2t / s_t
-                prev_e2 = e2t
-            return 0.5 * ll if math.isfinite(ll) else 1e12
-
-        return nll
-
-    q = np.array([var0 * 0.1, 0.1, 0.8])
-    for _ in range(2):
-        e2 = (x - mu) ** 2
-        backcast = float(np.dot(w, e2[:tau]))
-        q, _ = nelder_mead(make_nll(e2.tolist(), backcast), q, step=0.2, max_iter=60)
-        omega, a, b = q
-        if omega <= 0 or a < 0 or b < 0 or a + b >= 0.9999:
-            break
-        sigma2 = np.empty(n)
-        s_prev = backcast
-        prev_e2 = backcast
-        e2l = e2
-        for t in range(n):
-            s_prev = omega + a * prev_e2 + b * s_prev
-            sigma2[t] = s_prev
-            prev_e2 = e2l[t]
-        if np.any(sigma2 <= 0) or not np.all(np.isfinite(sigma2)):
-            break
-        wgt = 1.0 / sigma2
-        mu = float(np.dot(wgt, x) / wgt.sum())
-    return x - mu
+    out = garch_mean_resid_batch([x])[0]
+    if out is None:
+        raise ValueError("GARCH fit not available (short/degenerate series)")
+    return out
 
 
 def heterogeneity(x: np.ndarray, freq: int = 1) -> dict:
     """ARCH/GARCH heterogeneity features (reference tsfeatures.py:278-338)."""
-    x = np.asarray(x, dtype=float)
-    m = freq
-    try:
-        x_whitened = _ar_by_aic_resid(x)
-    except Exception:
-        return {
-            "arch_acf": np.nan,
-            "garch_acf": np.nan,
-            "arch_r2": np.nan,
-            "garch_r2": np.nan,
-        }
+    out = heterogeneity_batch([np.asarray(x, dtype=float)], [freq])
+    return {k: float(v[0]) for k, v in out.items()}
 
-    x_archtest = arch_stat(x_whitened, m)["arch_lm"]
-    try:
-        LBstat = float((acf(x_whitened**2, nlags=12)[1:] ** 2).sum())
-    except Exception:
-        LBstat = np.nan
-    try:
-        garch_resid = _garch11_mean_resid(x_whitened)
-        x_garch_archtest = arch_stat(garch_resid, m)["arch_lm"]
-        LBstat2 = float((acf(garch_resid**2, nlags=12)[1:] ** 2).sum())
-    except Exception:
-        x_garch_archtest = np.nan
-        LBstat2 = np.nan
 
-    return {
-        "arch_acf": LBstat,
-        "garch_acf": LBstat2,
-        "arch_r2": x_archtest,
-        "garch_r2": x_garch_archtest,
+def heterogeneity_batch(ys: list, freqs) -> dict:
+    """Cross-series heterogeneity: AR-by-AIC whitening and the
+    Ljung-Box / ARCH-LM statistics stay per-series (cheap, lstsq-bound);
+    the GARCH(1,1) MLE -- the expensive stage -- runs lane-batched
+    (_batch.garch_mean_resid_batch). Same NaN gates as the reference:
+    whitening failure blanks all four outputs; GARCH failure blanks only
+    the garch_* pair."""
+    S = len(ys)
+    out = {
+        "arch_acf": np.full(S, np.nan),
+        "garch_acf": np.full(S, np.nan),
+        "arch_r2": np.full(S, np.nan),
+        "garch_r2": np.full(S, np.nan),
     }
+    whitened: list = []
+    for y in ys:
+        try:
+            whitened.append(_ar_by_aic_resid(np.asarray(y, dtype=float)))
+        except Exception:
+            whitened.append(None)
+    for i, wht in enumerate(whitened):
+        if wht is None:
+            continue
+        out["arch_r2"][i] = arch_stat(wht, freqs[i])["arch_lm"]
+        try:
+            out["arch_acf"][i] = float((acf(wht**2, nlags=12)[1:] ** 2).sum())
+        except Exception:
+            pass
+    lanes = [i for i, w in enumerate(whitened) if w is not None]
+    from ._batch import garch_mean_resid_batch
+
+    resids = garch_mean_resid_batch([whitened[i] for i in lanes])
+    for i, r in zip(lanes, resids):
+        if r is None:
+            continue
+        try:
+            out["garch_r2"][i] = arch_stat(r, freqs[i])["arch_lm"]
+            out["garch_acf"][i] = float((acf(r**2, nlags=12)[1:] ** 2).sum())
+        except Exception:
+            out["garch_r2"][i] = np.nan
+            out["garch_acf"][i] = np.nan
+    return out

@@ -134,14 +134,49 @@ class FeatureKernels:
         return offsets, flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels._batch import holt_parameters_batch, hw_parameters_batch
+        from ..kernels._math import scalets
+        from ..kernels.het import heterogeneity_batch
+
+        batch_impls = {
+            "holt_parameters": lambda xs, fr: holt_parameters_batch(xs),
+            "hw_parameters": hw_parameters_batch,
+            "heterogeneity": heterogeneity_batch,
+        }
         offsets, flat = self._extract_series(batch["y"])
         freqs = batch["freq"].to_numpy()
         n = len(batch)
+        # scale once per series (identical to compute_features' scalets).
+        # Unscaled series are COPIED out of the Arrow buffer: a zero-copy
+        # view's pointer alignment varies with block layout, and BLAS
+        # kernels (lstsq/QR/matmul) are alignment-sensitive in the last
+        # bit -- fresh allocations keep outputs run-deterministic.
+        xs = []
+        for i in range(n):
+            x = np.array(flat[offsets[i] : offsets[i + 1]], dtype=float)
+            xs.append(scalets(x) if self.scale else x)
+        # registry kernels with a cross-series (lane-batched) impl run
+        # ONCE per batch; custom callables that merely share a registry
+        # name keep the per-series path
+        plan = []  # (feature_fn, batch_result | None), feature-list order
+        for f in self.features:
+            name = getattr(f, "__name__", "")
+            if name in batch_impls and ALL_FEATURES.get(name) is f:
+                plan.append((f, batch_impls[name](xs, freqs)))
+            else:
+                plan.append((f, None))
+        plan.reverse()  # reversed dict.update == ChainMap first-wins
         out = {c: np.full(n, np.nan) for c in self.columns}
         for i in range(n):
-            x = flat[offsets[i] : offsets[i + 1]]
-            feats = compute_features(x, int(freqs[i]), self.features, scale=self.scale)
-            for k, v in feats.items():
+            row: dict = {}
+            fi = int(freqs[i])
+            for f, br in plan:
+                if br is None:
+                    row.update(f(xs[i], fi))
+                else:
+                    for k, v in br.items():
+                        row[k] = v[i]
+            for k, v in row.items():
                 if k in out:
                     out[k][i] = v
         id_cols = [c for c in ("unique_id", "tier", "metric") if c in batch.column_names]
@@ -176,10 +211,10 @@ def features_over_packed(
     features=None,
     scale: bool = True,
     concurrency=None,
-    batch_size: int = 64,
+    batch_size: int = 1024,
     balance: bool = True,
     use_actors: bool = False,
-    giant_threshold: int | None = None,
+    giant_threshold: "int | str | None" = "auto",
 ) -> "ray.data.Dataset":
     """Run the feature kernels over a packed Dataset.
 
@@ -191,17 +226,19 @@ def features_over_packed(
     straggler tail collapses (measured 38s -> 14s on the sf0.1 bench at
     32 CPUs). Only packed rows move -- never the raw input.
 
-    Giant-series policy (SURVEY.md §4): with ``giant_threshold`` set,
-    series of >= that many buckets are routed to a dedicated pool of
-    single-series tasks dispatched alongside (not behind) the main pool:
-    a multi-hour kernel call on one power-law outlier then bounds the
-    stage wall at max(giant, rest/N) instead of adding head-of-line
-    latency to whichever batch it lands in. Cost: the packed table (one
-    row per series, already orders of magnitude below the input) is
-    materialized once so the split does not re-execute the upstream
-    pipeline. Unsplittable series are inherent to per-series kernels --
-    this policy bounds their damage rather than pretending to
-    parallelize one series.
+    Giant-series policy (SURVEY.md §4; DEFAULT ON since round 4):
+    series of >= ``giant_threshold`` buckets are routed to a dedicated
+    pool of single-series tasks dispatched alongside (not behind) the
+    main pool: a multi-hour kernel call on one power-law outlier then
+    bounds the stage wall at max(giant, rest/N) instead of adding
+    head-of-line latency to whichever batch it lands in. The default
+    ``"auto"`` probes the packed length distribution (the packed table
+    is one row per series, orders of magnitude below the input, and is
+    materialized once anyway) and routes series longer than
+    max(2048, 8 x p99): only true power-law outliers pay the
+    single-task overhead. Pass ``None`` to disable. Unsplittable series
+    are inherent to per-series kernels -- this policy bounds their
+    damage rather than pretending to parallelize one series.
 
     Execution: stateless tasks by default (kernels hold no model state;
     a per-worker cache amortizes setup, and tasks avoid actor-pool
@@ -218,6 +255,25 @@ def features_over_packed(
     kernel_fn = _make_kernel_task(features, scale)
     if giant_threshold is not None:
         packed = packed.materialize()
+        if giant_threshold == "auto":
+            # probe the length distribution from the slim n_buckets
+            # projection of the already-materialized packed table (sub-
+            # second) and route a series ONLY if it would actually gate
+            # the stage: per-series kernel cost is ~linear in length, so
+            # a series longer than ~half of one worker's share of total
+            # points would pin a core past the rest of the stage. When
+            # nothing qualifies (the common case) the split machinery --
+            # whose union/filter execution costs a few seconds -- is
+            # skipped entirely and the plain single-pool path runs.
+            lens = (
+                packed.select_columns(["n_buckets"]).to_pandas()["n_buckets"]
+                .to_numpy()
+            )
+            if len(lens) == 0:
+                giant_threshold = 1 << 30
+            else:
+                share = float(lens.sum()) / max(1, concurrency)
+                giant_threshold = max(2048, int(0.5 * share))
         big = packed.filter(expr=f"n_buckets >= {giant_threshold}")
         n_big = big.count()
         if n_big > 0:
@@ -226,10 +282,15 @@ def features_over_packed(
                 small, kernel_fn, features, scale, concurrency, batch_size,
                 balance, use_actors,
             )
-            # one block per giant -> one immediately-dispatched task per
-            # giant series, scheduled concurrently with the main pool
-            big_out = big.repartition(n_big).map_batches(
-                kernel_fn, batch_format="pyarrow", batch_size=1, num_cpus=1
+            # heavy series run in SMALL batches (8/task, task count
+            # capped) dispatched alongside (not behind) the main pool:
+            # fine enough that no heavy task gates the stage, coarse
+            # enough that a power-law corpus cannot explode into tens of
+            # thousands of per-series tasks
+            big_out = big.repartition(
+                max(1, min(n_big, n_big // 8 + 1))
+            ).map_batches(
+                kernel_fn, batch_format="pyarrow", batch_size=8, num_cpus=1
             )
             return big_out.union(small_out)
     return _dispatch(
@@ -244,13 +305,22 @@ def _dispatch(packed, kernel_fn, features, scale, concurrency, batch_size,
     # repartition below slices those mixed runs into fine-grained,
     # cost-balanced blocks; balance=True adds a full random_shuffle for
     # packed inputs that did NOT come from this engine's pack stage
+    # Task composition stays length-MIXED (pack interleaves series; the
+    # balance shuffle restores the mix for foreign inputs): with ~1024
+    # rows per batch every task carries a near-equal cost mix, so no
+    # mega-task forms. Length grouping happens INSIDE each batch -- the
+    # lane-batched kernels cohort by length themselves -- so task-level
+    # homogeneity would only concentrate the long-series cost into one
+    # straggler (measured 17s -> 47s when tried; don't sort here).
     if balance:
         packed = packed.random_shuffle(seed=7)
-    # x8 over-decomposition: packed blocks carry wildly uneven kernel
-    # cost (series length mix), so fine blocks + work stealing beat
-    # coarse ones; measured 12.9s (x4) -> 11.5s (x8) at 32 CPUs, with
-    # x16+ giving the overhead back (sf0.1 sweep, BASELINE.md)
-    packed = packed.repartition(concurrency * 8)
+    # x4 over-decomposition (round 4, re-swept): the lane-batched
+    # kernels want LARGE batches (cross-series cohorts amortize the
+    # optimizer's fixed numpy dispatch), while scheduling wants enough
+    # tasks for work stealing; with giants routed separately the
+    # remaining per-batch cost is near-uniform, so ~4 waves of
+    # 1024-row batches balance both (sf0.1@32 sweep, BASELINE.md)
+    packed = packed.repartition(concurrency * 4)
     if use_actors:
         return packed.map_batches(
             FeatureKernels,
