@@ -161,6 +161,13 @@ def hw_ceiling() -> dict:
 
 
 def _hw_work(seed: int) -> int:
+    """One ceiling-probe worker: runs the ENGINE'S REAL kernel path --
+    FeatureKernels over a ~256-series batch (lane-batched optimizers +
+    per-series kernels, same mix as the feature stage) -- so the
+    measured ceiling reflects the workload that actually scales (the
+    round-3 probe ran per-series Python loops, which share SMT cores
+    far better than the round-4 SIMD lanes and so OVERSTATED the
+    ceiling for the new kernels). Returns series processed in ~6 s."""
     import os
 
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
@@ -168,17 +175,27 @@ def _hw_work(seed: int) -> int:
     import time
 
     import numpy as np
+    import pyarrow as pa
 
-    from tsfeatures_ray.kernels import compute_features, scalets
+    from tsfeatures_ray.stages.features import FeatureKernels
 
     rng = np.random.RandomState(seed)
+    lens = rng.choice([1, 2, 6, 12, 20, 40, 80, 160], size=256,
+                      p=[0.3, 0.2, 0.1, 0.1, 0.1, 0.1, 0.05, 0.05])
+    ys = [list(100 + np.cumsum(rng.randn(int(n)))) for n in lens]
+    batch = pa.table(
+        {
+            "unique_id": pa.array([str(i) for i in range(len(ys))]),
+            "freq": pa.array([24] * len(ys), type=pa.int64()),
+            "y": pa.array(ys, type=pa.list_(pa.float64())),
+        }
+    )
+    fk = FeatureKernels()
     t0 = time.perf_counter()
     cnt = 0
     while time.perf_counter() - t0 < 6.0:
-        n = rng.choice([20, 40, 80, 160])
-        x = scalets(100 + np.cumsum(rng.randn(n)))
-        compute_features(x, 24, scale=False)
-        cnt += 1
+        fk(batch)
+        cnt += len(ys)
     return cnt
 
 

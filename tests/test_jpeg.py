@@ -1,0 +1,102 @@
+"""Gates for the baseline JPEG codec (functions/jpeg.py).
+
+Encoder and decoder are independent implementations of the T.81 wire
+format (the decoder reads its Huffman/quant tables from the stream, the
+encoder writes its own), so a round trip exercises marker framing,
+byte-stuffing, entropy coding, zigzag, quantization and both DCT
+directions. The DCT basis and zigzag order are additionally pinned
+against analytic ground truth so a complementary encoder/decoder bug
+cannot hide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tsfeatures_ray.functions.jpeg import _A, _ZZ, decode_jpeg, encode_jpeg
+
+
+def _smooth(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            100 + 40 * np.sin(y / 15 + seed),
+            120 + 30 * np.cos(x / 20),
+            90 + 20 * np.sin((x + y) / 25),
+        ],
+        axis=2,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_dct_basis_orthonormal_and_invertible():
+    assert np.allclose(_A @ _A.T, np.eye(8), atol=1e-12)
+    rng = np.random.RandomState(0)
+    blk = rng.randn(8, 8) * 50
+    coef = _A.T @ blk @ _A
+    assert np.allclose(_A @ coef @ _A.T, blk, atol=1e-9)
+
+
+def test_zigzag_is_diagonal_traversal():
+    # spec-defined start of the zigzag scan + a permutation of 0..63
+    assert _ZZ[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZZ.tolist()) == list(range(64))
+
+
+def test_flat_image_roundtrip_exact():
+    img = np.full((16, 24, 3), 130, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("hw", [(48, 64), (45, 53), (8, 8), (17, 9)])
+def test_smooth_roundtrip(sub, hw):
+    img = _smooth(*hw)
+    dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.max() <= 12, err.max()
+    assert err.mean() <= 3.0, err.mean()
+
+
+def test_grayscale_roundtrip():
+    img = (np.outer(np.arange(17), np.ones(13)) * 5 % 200 + 20).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (17, 13, 3)
+    assert int(np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_noise_roundtrip_survives_byte_stuffing():
+    # dense noise maximizes entropy-coded 0xFF bytes and AC symbol
+    # coverage; lossy error is large by design, structure must survive
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 60
+
+
+def test_decode_image_dispatch():
+    from tsfeatures_ray.functions.multimodal import decode_image
+
+    img = _smooth(16, 16)
+    out = decode_image(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img.astype(float)).mean() <= 3.0
+
+
+def test_progressive_rejected():
+    img = _smooth(8, 8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"P6\n1 1\n255\nabc")

@@ -6,16 +6,18 @@ stub, decode is REAL for the three container formats this engine
 defines/supports without external libraries:
 
 - image: PNG (REAL decoder: stdlib zlib inflate + CRC-checked chunks +
-  all five scanline filters per RFC 2083; encoder too) and binary PPM
-  (P6), both pure numpy/stdlib;
+  all five scanline filters per RFC 2083; encoder too), baseline JPEG
+  (REAL pure-numpy codec, functions/jpeg.py: any-sampling SOF0 decoder
+  with in-stream DHT/DQT, restart markers; 4:4:4 / 4:2:0 encoder) and
+  binary PPM (P6), all pure numpy/stdlib;
 - audio: RIFF/WAV PCM16, decoded with the stdlib ``wave`` module;
 - video: a trivial concatenated-PPM container (``VID0`` magic +
   frame count + back-to-back P6 frames) -- a real, parseable format.
 
-Codecs that genuinely need external libraries (JPEG/MP3/MP4, 16-bit /
-palette / interlaced PNG) raise ``NotImplementedError`` from
-``decode_media`` (clearly marked seam: real deployments plug PIL/libav
-into ``MediaFeatures(decode=...)``).
+Codecs that genuinely need external libraries (MP3/MP4, progressive /
+arithmetic JPEG, 16-bit / palette / interlaced PNG) raise
+``NotImplementedError`` from ``decode_media`` (clearly marked seam:
+real deployments plug PIL/libav into ``MediaFeatures(decode=...)``).
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
@@ -64,10 +66,15 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatching image decoder: PNG (real stdlib-zlib decoder) or
+    """Dispatching image decoder: PNG (real stdlib-zlib decoder),
+    baseline JPEG (real pure-numpy decoder, functions/jpeg.py) or
     binary PPM; HxWx3 uint8 out."""
     if payload.startswith(_PNG_MAGIC):
         return _as_rgb(decode_png(payload))
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_ppm(payload)
 
 
@@ -402,8 +409,8 @@ def extract_features(payload: bytes, media_type: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic media table with REAL payloads: PPM images, WAV
-    PCM16 audio, VID0 concatenated-PPM video."""
+    """Deterministic media table with REAL payloads: PNG / JPEG / PPM
+    images, WAV PCM16 audio, VID0 concatenated-PPM video."""
     rng = np.random.Generator(np.random.PCG64(seed))
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, rates, framecounts = [], [], [], [], []
@@ -412,8 +419,15 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if t == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            # alternate REAL container formats: PNG and binary PPM
-            payloads.append(encode_png(img) if i % 2 else encode_ppm(img))
+            # rotate REAL container formats: PPM, PNG, baseline JPEG
+            if i % 3 == 2:
+                from .jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(img))
+            elif i % 3 == 1:
+                payloads.append(encode_png(img))
+            else:
+                payloads.append(encode_ppm(img))
             widths.append(w); heights.append(h); rates.append(0); framecounts.append(1)
         elif t == "audio":
             rate = 8000

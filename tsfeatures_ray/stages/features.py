@@ -274,13 +274,15 @@ def features_over_packed(
             else:
                 share = float(lens.sum()) / max(1, concurrency)
                 giant_threshold = max(2048, int(0.5 * share))
+        # packed is materialized above, so count() is metadata-cheap
+        n_rows = packed.count()
         big = packed.filter(expr=f"n_buckets >= {giant_threshold}")
         n_big = big.count()
         if n_big > 0:
             small = packed.filter(expr=f"n_buckets < {giant_threshold}")
             small_out = _dispatch(
                 small, kernel_fn, features, scale, concurrency, batch_size,
-                balance, use_actors,
+                balance, use_actors, n_rows=(n_rows - n_big) if n_rows else None,
             )
             # heavy series run in SMALL batches (8/task, task count
             # capped) dispatched alongside (not behind) the main pool:
@@ -293,14 +295,17 @@ def features_over_packed(
                 kernel_fn, batch_format="pyarrow", batch_size=8, num_cpus=1
             )
             return big_out.union(small_out)
+        n_rows_plain = n_rows
+    else:
+        n_rows_plain = None
     return _dispatch(
         packed, kernel_fn, features, scale, concurrency, batch_size,
-        balance, use_actors,
+        balance, use_actors, n_rows=n_rows_plain,
     )
 
 
 def _dispatch(packed, kernel_fn, features, scale, concurrency, batch_size,
-              balance, use_actors):
+              balance, use_actors, n_rows=None):
     # pack already mixes series within each block (pack.py), so the plain
     # repartition below slices those mixed runs into fine-grained,
     # cost-balanced blocks; balance=True adds a full random_shuffle for
@@ -314,13 +319,17 @@ def _dispatch(packed, kernel_fn, features, scale, concurrency, batch_size,
     # straggler (measured 17s -> 47s when tried; don't sort here).
     if balance:
         packed = packed.random_shuffle(seed=7)
-    # x4 over-decomposition (round 4, re-swept): the lane-batched
-    # kernels want LARGE batches (cross-series cohorts amortize the
-    # optimizer's fixed numpy dispatch), while scheduling wants enough
-    # tasks for work stealing; with giants routed separately the
-    # remaining per-batch cost is near-uniform, so ~4 waves of
-    # 1024-row batches balance both (sf0.1@32 sweep, BASELINE.md)
-    packed = packed.repartition(concurrency * 4)
+    # Block count targets the BATCH SIZE, not the CPU count (round 4):
+    # the lane-batched kernels' per-row cost depends on batch width, so
+    # tying blocks to concurrency would make per-row speed vary with
+    # cluster size (it silently deflated the measured scaling
+    # efficiency). A floor of 2 waves keeps every core busy when the
+    # input is small.
+    if n_rows is not None:
+        n_blocks = max(concurrency * 2, -(-n_rows // max(1, batch_size)))
+    else:
+        n_blocks = concurrency * 4
+    packed = packed.repartition(n_blocks)
     if use_actors:
         return packed.map_batches(
             FeatureKernels,
