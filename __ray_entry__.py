@@ -358,12 +358,14 @@ def _q_events_user_stats(sf_dir: str):
         )
 
     panel = ds.map_batches(to_panel, batch_format="pandas")
-    return _round_floats(
+    out = _round_floats(
         tsfeatures(
             panel, freq=1, features=["statistics", "series_length"], scale=False
         ).drop_columns(["tier", "metric"]),
         overrides=_STAT_ROUNDING,
     )
+    # canonical row order (map_groups emits in completion order)
+    return out.sort("unique_id")
 
 
 def _q_events_forecast_metrics(sf_dir: str):
@@ -1102,7 +1104,11 @@ def _q_embeddings_cosine_dups(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
-    return _round_floats(cosine_near_dups(ds, threshold=0.4))
+    # canonical row order: pairs surface in partition-pair completion
+    # order; (id_a, id_b) is unique per pair
+    return _round_floats(cosine_near_dups(ds, threshold=0.4)).sort(
+        ["id_a", "id_b"]
+    )
 
 
 def _q_embeddings_cosine_dups_lsh(sf_dir: str):
