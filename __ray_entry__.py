@@ -1589,6 +1589,26 @@ def _q_docs_dedup_purged(sf_dir: str):
     docs = rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
     return dedup_purge(ds, docs)
 
+
+
+def _q_docs_dup_spans(sf_dir: str):
+    """Substring-level dedup stats (Lee et al.-style, SURVEY engine
+    scope): per document, how many k=24-char grams also appear in
+    OTHER documents and how many characters those duplicated spans
+    cover (exact interval union). Three slim exchanges; the text
+    column never shuffles. Oracle: the same stats re-derived in SQL
+    from the actual substrings (the engine's 128-bit rolling-hash
+    identity has negligible collision mass)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.spans import duplicated_span_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicated_span_stats(docs, k=24)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1659,7 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dups": _q_docs_simhash_dups,
         "docs_near_dups": _q_docs_near_dups,
         "docs_top_tokens": _q_docs_top_tokens,
-        "docs_chunks": _q_docs_chunks,
+        "docs_dup_spans": _q_docs_dup_spans,
         "docs_sample_64": _q_docs_sample_64,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "embeddings_knn": _q_embeddings_knn,
@@ -1690,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_ivf": _q_embeddings_knn_ivf,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "events_hist_quantiles": _q_events_hist_quantiles,
+        "docs_chunks": _q_docs_chunks,
     }
 
 
@@ -2551,6 +2572,38 @@ SELECT doc_id, n_tokens, start,
 FROM scan
 """
         ),
+        "docs_dup_spans": """
+WITH pos AS (
+    SELECT d.doc_id, t.i,
+           substr(d.text, CAST(t.i AS INTEGER), 24) AS gram
+    FROM documents d,
+         LATERAL unnest(generate_series(
+             1, GREATEST(length(d.text) - 23, 0))) AS t(i)
+),
+dup AS (
+    SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)),
+cover AS (
+    SELECT dp.doc_id, COUNT(DISTINCT c.o) AS dup_char_cover
+    FROM dp, LATERAL unnest(generate_series(dp.i, dp.i + 23)) AS c(o)
+    GROUP BY dp.doc_id
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_dup_kgrams FROM dp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(GREATEST(length(d.text) - 23, 0) AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(a.n_dup_kgrams, 0) AS BIGINT) AS n_dup_kgrams,
+       CAST(COALESCE(c.dup_char_cover, 0) AS BIGINT) AS dup_char_cover,
+       CASE WHEN length(d.text) > 0
+            THEN CAST(COALESCE(c.dup_char_cover, 0) AS DOUBLE)
+                 / length(d.text)
+            ELSE 0.0 END AS dup_char_frac
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN cover c USING (doc_id)
+ORDER BY d.doc_id
+""",
         "docs_chunks": """
 WITH d AS (SELECT doc_id, COALESCE(text,'') AS text,
                   length(COALESCE(text,'')) AS n FROM documents),
