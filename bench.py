@@ -335,6 +335,13 @@ def run_ops() -> dict:
           ).count())
     timed("pack_sequences", n_docs,
           lambda: pack_sequences(docs(), budget=2048).count())
+    from tsfeatures_ray.functions import duplicated_span_stats
+
+    timed("dup_spans_exact_k24", n_docs,
+          lambda: duplicated_span_stats(docs(), k=24).count())
+    timed("dup_spans_winnow_w16", n_docs,
+          lambda: duplicated_span_stats(
+              docs(), k=24, mode="winnow", window=16).count())
 
     from tsfeatures_ray.functions import asof_join, range_join
     import pandas as _pd

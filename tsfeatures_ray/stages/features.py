@@ -258,13 +258,16 @@ def features_over_packed(
         if giant_threshold == "auto":
             # probe the length distribution from the slim n_buckets
             # projection of the already-materialized packed table (sub-
-            # second) and route a series ONLY if it would actually gate
-            # the stage: per-series kernel cost is ~linear in length, so
-            # a series longer than ~half of one worker's share of total
-            # points would pin a core past the rest of the stage. When
-            # nothing qualifies (the common case) the split machinery --
-            # whose union/filter execution costs a few seconds -- is
-            # skipped entirely and the plain single-pool path runs.
+            # second). Route a series when its SOLO kernel cost is large
+            # in absolute terms (>= 50k points: tens of seconds on any
+            # core -- at sf1.0 one unrouted 132k-point conversation was
+            # a measured 42 s straggler gating a 61 s stage) AND it is a
+            # genuine outlier (>= 4x p99, so uniformly-long corpora stay
+            # in the lane-batched pool where they belong). The split
+            # machinery's union costs a few fixed seconds, so the rule
+            # deliberately does NOT fire for small outliers that a
+            # 1024-row batch absorbs anyway. Routed count is capped at
+            # 8x concurrency by raising the cut to the largest lengths.
             lens = (
                 packed.select_columns(["n_buckets"]).to_pandas()["n_buckets"]
                 .to_numpy()
@@ -272,8 +275,13 @@ def features_over_packed(
             if len(lens) == 0:
                 giant_threshold = 1 << 30
             else:
-                share = float(lens.sum()) / max(1, concurrency)
-                giant_threshold = max(2048, int(0.5 * share))
+                srt = np.sort(lens)
+                p99 = int(srt[min(len(srt) - 1, int(0.99 * len(srt)))])
+                giant_threshold = max(50_000, 4 * p99)
+                cap = concurrency * 8
+                n_over = int((lens >= giant_threshold).sum())
+                if n_over > cap:
+                    giant_threshold = int(srt[len(srt) - cap])
         # packed is materialized above, so count() is metadata-cheap
         n_rows = packed.count()
         big = packed.filter(expr=f"n_buckets >= {giant_threshold}")
@@ -284,15 +292,11 @@ def features_over_packed(
                 small, kernel_fn, features, scale, concurrency, batch_size,
                 balance, use_actors, n_rows=(n_rows - n_big) if n_rows else None,
             )
-            # heavy series run in SMALL batches (8/task, task count
-            # capped) dispatched alongside (not behind) the main pool:
-            # fine enough that no heavy task gates the stage, coarse
-            # enough that a power-law corpus cannot explode into tens of
-            # thousands of per-series tasks
-            big_out = big.repartition(
-                max(1, min(n_big, n_big // 8 + 1))
-            ).map_batches(
-                kernel_fn, batch_format="pyarrow", batch_size=8, num_cpus=1
+            # one task per giant (the auto rule caps their count),
+            # dispatched alongside (not behind) the main pool: the
+            # stage wall becomes max(longest giant, rest / N)
+            big_out = big.repartition(n_big).map_batches(
+                kernel_fn, batch_format="pyarrow", batch_size=1, num_cpus=1
             )
             return big_out.union(small_out)
         n_rows_plain = n_rows
