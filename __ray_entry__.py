@@ -2504,15 +2504,16 @@ WITH toks AS (
 ),
 scan AS (
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
     FROM toks
 )
 SELECT doc_id, n_tokens, start,
-       start // 1024 AS seq_id,
-       start % 1024 AS offset_in_seq,
-       (start + GREATEST(n_tokens, 1) - 1) // 1024
-           - start // 1024 + 1 AS n_seqs
+       CAST(start // 1024 AS BIGINT) AS seq_id,
+       CAST(start % 1024 AS BIGINT) AS offset_in_seq,
+       CAST((start + GREATEST(n_tokens, 1) - 1) // 1024
+           - start // 1024 + 1 AS BIGINT) AS n_seqs
 FROM scan
 """,
         "docs_sample_64": _sampling_sql().sample_n_sql(
@@ -2560,15 +2561,16 @@ toks AS (
 ),
 scan AS (
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
     FROM toks
 )
 SELECT doc_id, n_tokens, start,
-       start // 2048 AS seq_id,
-       start % 2048 AS offset_in_seq,
-       (start + GREATEST(n_tokens, 1) - 1) // 2048
-           - start // 2048 + 1 AS n_seqs
+       CAST(start // 2048 AS BIGINT) AS seq_id,
+       CAST(start % 2048 AS BIGINT) AS offset_in_seq,
+       CAST((start + GREATEST(n_tokens, 1) - 1) // 2048
+           - start // 2048 + 1 AS BIGINT) AS n_seqs
 FROM scan
 """
         ),

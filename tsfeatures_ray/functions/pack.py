@@ -163,16 +163,20 @@ WITH toks AS (
     FROM {table}
 ),
 scan AS (
+    -- DuckDB window SUM(BIGINT) yields HUGEINT, which pandas fetches as
+    -- float64; CAST back to BIGINT (and cast the derived columns) so the
+    -- oracle dtype matches the engine's int64 output.
     SELECT {id_col}, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
     FROM toks
 )
 SELECT {id_col}, n_tokens, start,
-       start // {budget} AS seq_id,
-       start % {budget} AS offset_in_seq,
-       (start + GREATEST(n_tokens, 1) - 1) // {budget}
-           - start // {budget} + 1 AS n_seqs
+       CAST(start // {budget} AS BIGINT) AS seq_id,
+       CAST(start % {budget} AS BIGINT) AS offset_in_seq,
+       CAST((start + GREATEST(n_tokens, 1) - 1) // {budget}
+           - start // {budget} + 1 AS BIGINT) AS n_seqs
 FROM scan
 """
 
