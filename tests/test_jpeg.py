@@ -88,6 +88,23 @@ def test_decode_image_dispatch():
     assert np.abs(out.astype(float) - img.astype(float)).mean() <= 3.0
 
 
+def test_fill_bytes_before_markers():
+    # T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    # code, both in the header stream and before the scan-terminating
+    # marker; decode must skip the run, not parse 0xFF as a marker or
+    # truncate the scan
+    img = _smooth(24, 16, seed=2)
+    enc = encode_jpeg(img)
+    ref = decode_jpeg(enc)
+    padded = bytearray(enc)
+    i = padded.find(b"\xff\xc0")  # fill before SOF0 (header loop)
+    padded[i:i] = b"\xff"
+    assert padded.endswith(b"\xff\xd9")
+    padded[-2:-2] = b"\xff\xff"  # fill run before EOI (entropy splitter)
+    dec = decode_jpeg(bytes(padded))
+    assert np.array_equal(dec, ref)
+
+
 def test_progressive_rejected():
     img = _smooth(8, 8)
     enc = bytearray(encode_jpeg(img))

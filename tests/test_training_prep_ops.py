@@ -228,6 +228,22 @@ class TestGuardRails:
         out = pack_sequences(_docs([]), budget=128).to_pandas()
         assert len(out) == 0
 
+    def test_pack_non_integer_id_raises(self, ray_session):
+        # string ids would corrupt the range partitioning / pinned int64
+        # schema; the contract is an eager TypeError, not silent casting
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ["a", "b"], "text": ["xx", "yyy"]})
+        )
+        with pytest.raises(Exception, match="integer id_col"):
+            pack_sequences(ds, budget=16).to_pandas()
+
+    def test_pack_non_integer_tokens_raise(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1], "n_tok": [1.5, 2.0]})
+        )
+        with pytest.raises(Exception, match="integer token counts"):
+            pack_sequences(ds, budget=16, tokens_col="n_tok").to_pandas()
+
 
 class TestStratifiedSample:
     def test_per_stratum_rates(self, ray_session):

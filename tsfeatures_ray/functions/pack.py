@@ -52,9 +52,12 @@ def pack_sequences(
     tokenizer's count column plugs in). Returns one row per doc:
     (id, n_tokens, start, seq_id, offset_in_seq, n_seqs).
 
-    ``id_col`` values must be unique -- they define the global layout
-    order, so duplicates would make the packing (and the SQL oracle's
-    window ORDER BY) ambiguous.
+    ``id_col`` values must be unique AND integer-typed -- they define
+    the global layout order, the contiguous range partitioning
+    (``(key - lo) // span``), and the pinned int64 output schema.
+    String doc ids must be mapped to an int64 ordinal (or a collision-
+    checked hash) upstream; a non-integer id column raises TypeError at
+    the first batch rather than corrupting offsets silently.
     """
     from ..stages.derive import default_num_parts
 
@@ -62,11 +65,26 @@ def pack_sequences(
         num_parts = default_num_parts()
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        if not np.issubdtype(ids.dtype, np.integer):
+            raise TypeError(
+                f"pack_sequences requires an integer id_col; got "
+                f"{id_col!r} with dtype {ids.dtype}. Map string/float "
+                "ids to an int64 ordinal upstream."
+            )
         if tokens_col is not None:
-            tok = df[tokens_col].to_numpy().astype(np.int64)
+            tokv = df[tokens_col].to_numpy()
+            if not np.issubdtype(tokv.dtype, np.integer):
+                raise TypeError(
+                    f"pack_sequences requires integer token counts; got "
+                    f"{tokens_col!r} with dtype {tokv.dtype}."
+                )
+            tok = tokv.astype(np.int64)
         else:
             tok = df[text_col].fillna("").str.len().to_numpy().astype(np.int64)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(), "n_tokens": tok})
+        return pd.DataFrame(
+            {id_col: ids.astype(np.int64), "n_tokens": tok}
+        )
 
     # materialize the slim (id, count) projection ONCE -- 16 bytes/row,
     # object-store resident (spills if huge); the three consumers below

@@ -412,7 +412,15 @@ def holt_parameters_batch(
         try:
             a, b = _holt_fit_cohort([ys[i] for i in sel])
         except Exception:
-            continue  # lanes stay NaN, matching the per-series except-path
+            # one pathological lane must not NaN its cohort-mates: retry
+            # each lane through the per-series path (bit-equal to lanes),
+            # leaving NaN only on the lanes that individually fail
+            for i in sel:
+                try:
+                    alpha[i], beta[i] = _holt_fit_single(ys[i])
+                except Exception:
+                    pass
+            continue
         alpha[sel] = a
         beta[sel] = b
     return {"alpha": alpha, "beta": beta}
@@ -668,6 +676,14 @@ def hw_parameters_batch(
         try:
             a, b, g = _hw_fit_cohort([ys[i] for i in sel], m)
         except Exception:
+            # cohort-composition-independent failure handling: per-series
+            # retry so one bad lane cannot blank its cohort-mates
+            for i in sel:
+                try:
+                    (out["hw_alpha"][i], out["hw_beta"][i],
+                     out["hw_gamma"][i]) = _hw_fit_single(ys[i], m)
+                except Exception:
+                    pass
             continue
         out["hw_alpha"][sel] = a
         out["hw_beta"][sel] = b
@@ -753,7 +769,14 @@ def garch_mean_resid_batch(xs: list[np.ndarray]) -> list:
             mus[sel] = _garch_mu_cohort([xs[i] for i in sel],
                                         mus[sel], var0[sel])
         except Exception:
-            ok[sel] = False  # whole-cohort numeric failure -> NaN gates
+            # per-series retry: one pathological lane must not NaN-gate
+            # its cohort-mates (lane-independence contract); only lanes
+            # that individually fail keep the gate
+            for i in sel:
+                try:
+                    mus[i] = _garch_mu_single(xs[i], mus[i], var0[i])
+                except Exception:
+                    ok[i] = False
     return [(xs[i] - mus[i]) if ok[i] else None for i in range(S)]
 
 

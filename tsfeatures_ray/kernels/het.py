@@ -59,6 +59,13 @@ def _ar_by_aic_resid(x: np.ndarray) -> np.ndarray:
             qty = q.T @ y
             rss = float(y @ y) - np.cumsum(qty**2)
             sigma2 = rss[1:] / nobs  # candidate k uses columns 0..k
+            # ||y||^2 - cumsum can cancel to a small NEGATIVE value for
+            # near-perfectly-fitting lags; the lstsq path would compute a
+            # tiny positive sigma2 and could select such a candidate, so
+            # a negative rss must route to the fallback loop rather than
+            # silently excluding the candidate via aic=inf
+            if np.any(sigma2 < 0):
+                sigma2 = np.array([np.nan])  # force the lstsq fallback
             if np.all(np.isfinite(sigma2)):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     aic = np.log(sigma2) + 2.0 * (np.arange(1, maxlag + 1) + 1) / nobs

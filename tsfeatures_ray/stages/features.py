@@ -235,8 +235,9 @@ def features_over_packed(
     ``"auto"`` probes the packed length distribution (the packed table
     is one row per series, orders of magnitude below the input, and is
     materialized once anyway) and routes series longer than
-    max(2048, 8 x p99): only true power-law outliers pay the
-    single-task overhead. Pass ``None`` to disable. Unsplittable series
+    max(50_000, 4 x p99), capped at 8 x concurrency routed series: only
+    true power-law outliers whose SOLO kernel cost is large in absolute
+    terms pay the single-task overhead. Pass ``None`` to disable. Unsplittable series
     are inherent to per-series kernels -- this policy bounds their
     damage rather than pretending to parallelize one series.
 
