@@ -75,6 +75,28 @@ def test_manifest_tolerates_torn_write(tmp_path):
     assert set(loaded) == {"part-0"}
 
 
+def test_resume_recovers_partitions_in_parallel(ray_session):
+    """K missing partitions must recover in ~max(partition) wall, not
+    ~sum: with a 1 s injected per-partition cost, 4 partitions on the
+    4-CPU test session take ~1 s in parallel vs >= 4 s serial."""
+    import time
+
+    from tsfeatures_ray.state.lineage import run_resumable_rollup
+
+    out = "/tmp/tsfr_resume_par"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    t0 = time.monotonic()
+    summary = run_resumable_rollup(
+        SF, out, tiers=["1d"], num_parts=4, _test_sleep_s=1.0
+    )
+    wall = time.monotonic() - t0
+    assert summary["computed"] == 4
+    # serial would be >= 4 x (1 s + compute); allow generous slack for
+    # stage A + task dispatch while still rejecting the serial shape
+    assert wall < 3.5, f"stage B looks serial: {wall:.2f}s for 4 x 1s"
+
+
 def test_resumable_with_features(ray_session):
     import pandas as pd
 

@@ -206,6 +206,43 @@ def _make_kernel_task(features, scale):
     return kernel_task
 
 
+# giant-probe histogram resolution: 4096 geometric bins across 40
+# octaves (lengths 1 .. 2^40) put adjacent bin edges 2^(40/4096) = 0.7%
+# apart -- effectively exact for a 4x-p99 routing threshold
+_PROBE_BINS = 4096
+_PROBE_LOG2_MAX = 40.0
+
+
+def _giant_probe_partial(batch: pa.Table, cap: int) -> pa.Table:
+    """Per-block partial for the giant-routing probe: row count, a
+    geometric length histogram, and the block's exact top-``cap``
+    lengths (top-k partials merge losslessly on the driver). One output
+    row per block, so the collect is bounded by block count."""
+    lens = batch.column("n_buckets").to_numpy()
+    n = int(len(lens))
+    if n == 0:
+        hist = np.zeros(_PROBE_BINS, dtype=np.int64)
+        top = np.array([], dtype=np.int64)
+    else:
+        b = np.clip(
+            (
+                np.log2(np.maximum(lens, 1)) / _PROBE_LOG2_MAX * _PROBE_BINS
+            ).astype(np.int64),
+            0,
+            _PROBE_BINS - 1,
+        )
+        hist = np.bincount(b, minlength=_PROBE_BINS).astype(np.int64)
+        srt = np.sort(lens.astype(np.int64))
+        top = srt[-cap:] if n > cap else srt
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "hist": pa.array([hist.tolist()], type=pa.list_(pa.int64())),
+            "top": pa.array([top.tolist()], type=pa.list_(pa.int64())),
+        }
+    )
+
+
 def features_over_packed(
     packed: "ray.data.Dataset",
     features=None,
@@ -257,9 +294,7 @@ def features_over_packed(
     if giant_threshold is not None:
         packed = packed.materialize()
         if giant_threshold == "auto":
-            # probe the length distribution from the slim n_buckets
-            # projection of the already-materialized packed table (sub-
-            # second). Route a series when its SOLO kernel cost is large
+            # Route a series when its SOLO kernel cost is large
             # in absolute terms (>= 50k points: tens of seconds on any
             # core -- at sf1.0 one unrouted 132k-point conversation was
             # a measured 42 s straggler gating a 61 s stage) AND it is a
@@ -269,20 +304,44 @@ def features_over_packed(
             # deliberately does NOT fire for small outliers that a
             # 1024-row batch absorbs anyway. Routed count is capped at
             # 8x concurrency by raising the cut to the largest lengths.
-            lens = (
-                packed.select_columns(["n_buckets"]).to_pandas()["n_buckets"]
-                .to_numpy()
+            # distributed probe: per-block (count, geometric histogram,
+            # exact top-cap lengths) partials -- the driver sees one
+            # ~4 KB row per BLOCK, bounded by block count, never one int
+            # per series (billions of series would otherwise pull GBs)
+            cap = concurrency * 8
+            probe = (
+                packed.select_columns(["n_buckets"])
+                .map_batches(
+                    lambda b: _giant_probe_partial(b, cap),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
             )
-            if len(lens) == 0:
+            ntot = int(probe["n"].sum()) if len(probe) else 0
+            if ntot == 0:
                 giant_threshold = 1 << 30
             else:
-                srt = np.sort(lens)
-                p99 = int(srt[min(len(srt) - 1, int(0.99 * len(srt)))])
+                hist = np.sum(
+                    np.array(probe["hist"].tolist(), dtype=np.int64), axis=0
+                )
+                top = np.sort(np.concatenate(probe["top"].tolist()))[-cap:]
+                # order statistic int(0.99 n) lands in bin `b99`; its
+                # upper edge over-estimates p99 by < 0.7% (4096 bins over
+                # 40 octaves), immaterial to the max(50k, 4*p99) rule
+                rank = min(ntot - 1, int(0.99 * ntot))
+                b99 = int(np.searchsorted(np.cumsum(hist), rank + 1))
+                p99 = int(
+                    min(
+                        2.0 ** ((b99 + 1) / _PROBE_BINS * _PROBE_LOG2_MAX),
+                        float(top[-1]),
+                    )
+                )
                 giant_threshold = max(50_000, 4 * p99)
-                cap = concurrency * 8
-                n_over = int((lens >= giant_threshold).sum())
-                if n_over > cap:
-                    giant_threshold = int(srt[len(srt) - cap])
+                if len(top) == cap and int(top[0]) >= giant_threshold:
+                    # >= cap series over the cut: raise it to the cap-th
+                    # largest length (top[0] is exact -- top-k partials
+                    # merge losslessly)
+                    giant_threshold = int(top[0])
         # packed is materialized above, so count() is metadata-cheap
         n_rows = packed.count()
         big = packed.filter(expr=f"n_buckets >= {giant_threshold}")

@@ -74,6 +74,54 @@ class _Killed(RuntimeError):
     pass
 
 
+def _rollup_partition_local(
+    part_dir: str,
+    tmp_dir: str,
+    tiers: list[str] | None,
+    gapfill: bool,
+    with_features: bool,
+    sleep_s: float = 0.0,
+) -> dict:
+    """Stage-B body for ONE hash partition, pandas-local: the partition
+    is 1/num_parts of the input by construction, so the partial+merge
+    runs in-process (the same ``_partial_agg`` -> ``_final_merge``
+    kernels the distributed ``rollup()`` applies, hence identical rows)
+    and writes to ``tmp_dir``; the caller owns the atomic rename and the
+    manifest append. Runs as a Ray task so K missing partitions recover
+    in ~max(partition) wall, not ~sum. ``sleep_s`` is a test hook that
+    makes the parallel-recovery timing gate deterministic."""
+    import time as _time
+
+    from ..stages.features import FeatureKernels
+    from ..stages.pack import _pack_partition
+    from ..stages.rollup import DEFAULT_SPEC, TIERS, _final_merge, _partial_agg
+
+    if sleep_s:
+        _time.sleep(sleep_s)
+    spec = DEFAULT_SPEC
+    tier_objs = [TIERS[t] for t in (tiers or list(TIERS))]
+    tier_widths = {t.name: t.bucket_us for t in tier_objs}
+    df_in = pd.read_parquet(part_dir)
+    partials = _partial_agg(tier_objs, spec)(df_in)
+    df = _final_merge(gapfill, tier_widths, spec)(partials)
+    if os.path.exists(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)  # stale temp from a killed run
+    os.makedirs(tmp_dir, exist_ok=True)
+    df.to_parquet(os.path.join(tmp_dir, "data.parquet"), index=False)
+    if with_features:
+        packed = _pack_partition("token_len_sum")(df)
+        feats = FeatureKernels()(packed)
+        feats.to_pandas().to_parquet(
+            os.path.join(tmp_dir, "features.parquet"), index=False
+        )
+    return {
+        "rows": int(len(df)),
+        "checksum": _df_checksum(df.drop(columns=["bucket"])),
+    }
+
+
 def run_resumable_rollup(
     sf_dir: str,
     out_dir: str,
@@ -82,19 +130,21 @@ def run_resumable_rollup(
     gapfill: bool = False,
     kill_after: int | None = None,
     with_features: bool = False,
+    _test_sleep_s: float = 0.0,
 ) -> dict:
     """Resumable transcripts -> rollup (-> features) run. Returns summary
     stats. Each hash partition's rollup (and, with ``with_features``,
     its feature matrix) is written atomically and recorded in the
     manifest; ``kill_after=k`` aborts after k stage-B partitions (test
-    hook for the kill-and-resume gate)."""
+    hook for the kill-and-resume gate). Missing partitions are
+    recomputed as PARALLEL Ray tasks -- the driver keeps only the
+    atomic rename + manifest bookkeeping, in task-completion order, so
+    recovering K partitions costs ~max(partition) wall, not ~sum."""
+    import ray
     import ray.data as rd
 
     from ..sources.synth import transcripts_path
     from ..stages.derive import derive_turn_metrics
-    from ..stages.features import FeatureKernels
-    from ..stages.pack import _pack_partition
-    from ..stages.rollup import rollup
 
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     done = manifest.load()
@@ -123,8 +173,10 @@ def run_resumable_rollup(
         )
         done = manifest.load()
 
-    # ---- stage B: per-partition rollup ---------------------------------
+    # ---- stage B: per-partition rollup, parallel Ray tasks -------------
     computed, skipped = 0, 0
+    task = ray.remote(num_cpus=1)(_rollup_partition_local)
+    pending: dict = {}  # ObjectRef -> (pid, part_dir, tmp, final)
     for p in range(num_parts):
         pid = f"part-{p}"
         final = os.path.join(out_dir, "rollup", f"part={p}")
@@ -137,34 +189,44 @@ def run_resumable_rollup(
                 {"partition": pid, "inputs": [], "rows": 0, "checksum": "0x0"}
             )
             continue
-        ds_p = rd.read_parquet(part_dir)
-        rolled = rollup(ds_p, tiers=tiers, gapfill=gapfill, num_parts=2)
-        df = rolled.to_pandas()
         tmp = final + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        df.to_parquet(os.path.join(tmp, "data.parquet"), index=False)
-        if with_features:
-            packed = _pack_partition("token_len_sum")(df)
-            feats = FeatureKernels()(packed)
-            feats.to_pandas().to_parquet(
-                os.path.join(tmp, "features.parquet"), index=False
-            )
-        if os.path.exists(final):
-            import shutil
-
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        manifest.append(
-            {
-                "partition": pid,
-                "inputs": sorted(os.listdir(part_dir)),
-                "rows": int(len(df)),
-                "checksum": _df_checksum(df.drop(columns=["bucket"])),
-            }
+        ref = task.remote(
+            part_dir, tmp, tiers, gapfill, with_features, _test_sleep_s
         )
-        computed += 1
-        if kill_after is not None and computed >= kill_after:
-            raise _Killed(f"killed after {computed} partitions (test hook)")
+        pending[ref] = (pid, part_dir, tmp, final)
+
+    # rename + manifest bookkeeping in completion order: only the 8-byte
+    # summary record crosses back to the driver, never partition data
+    try:
+        while pending:
+            ready, _ = ray.wait(list(pending), num_returns=1)
+            ref = ready[0]
+            pid, part_dir, tmp, final = pending.pop(ref)
+            rec = ray.get(ref)
+            if os.path.exists(final):
+                import shutil
+
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+            manifest.append(
+                {
+                    "partition": pid,
+                    "inputs": sorted(os.listdir(part_dir)),
+                    "rows": rec["rows"],
+                    "checksum": rec["checksum"],
+                }
+            )
+            computed += 1
+            if kill_after is not None and computed >= kill_after:
+                raise _Killed(
+                    f"killed after {computed} partitions (test hook)"
+                )
+    finally:
+        # on abort (kill hook / driver error) stop in-flight work so a
+        # rerun in the same Ray session never races stale writers on the
+        # temp dirs it is about to reuse
+        for ref in pending:
+            ray.cancel(ref, force=True)
 
     return {"computed": computed, "skipped": skipped, "num_parts": num_parts}
 
