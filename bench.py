@@ -310,6 +310,52 @@ def run_ops() -> dict:
               docs(), threshold=0.8, estimate_filter=True).count())
     timed("simhash_near_dups_exact", n_docs,
           lambda: simhash_near_dups(docs(), max_hamming=6).count())
+
+    # auto-cascade policy A/B: synthetic corpora at 1 KB and 32 KB mean
+    # doc size; the auto rule (mean bytes >= 8 x 8 x num_perm) must pick
+    # the measured winner at BOTH sizes
+    from tsfeatures_ray.functions.dedup import _mean_doc_bytes
+
+    def _synth_docs(n, size, seed):
+        rng = np.random.default_rng(seed)
+        words = [
+            "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 6))
+            for _ in range(800)
+        ]
+        texts = [
+            " ".join(rng.choice(words, max(4, size // 7))) for _ in range(n)
+        ]
+        for j in range(n // 10):  # 10% near-dups, ~2% words mutated
+            w = texts[j * 7 % n].split(" ")
+            for _ in range(max(1, len(w) // 50)):
+                w[int(rng.integers(len(w)))] = words[int(rng.integers(800))]
+            texts.append(" ".join(w))
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    for label, n, size in [("1kb", 2500, 1024), ("32kb", 800, 32768)]:
+        path = f"/tmp/tsfr_cascade_{label}.parquet"
+        _synth_docs(n, size, seed=42).to_parquet(path, index=False)
+        sdocs = lambda p=path: rd.read_parquet(p)  # noqa: E731
+        walls = {}
+        for mode in (False, True):
+            t0 = time.perf_counter()
+            minhash_near_dups_distributed(
+                sdocs(), threshold=0.8, estimate_filter=mode
+            ).count()
+            walls[mode] = time.perf_counter() - t0
+        auto_cascade = bool(
+            _mean_doc_bytes(sdocs(), "text") >= 8 * 8 * 64
+        )
+        out[f"near_dups_auto_{label}"] = {
+            "plain_sec": round(walls[False], 2),
+            "cascade_sec": round(walls[True], 2),
+            "auto_picks": "cascade" if auto_cascade else "plain",
+            "auto_correct": auto_cascade == (walls[True] < walls[False]),
+        }
     emb = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     q = np.stack([r["embedding"] for r in emb.take(16)])
     timed("brute_knn_16q", n_emb, lambda: len(brute_knn(emb, q, k=10)))

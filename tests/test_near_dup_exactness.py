@@ -167,6 +167,42 @@ def test_near_dup_estimate_cascade(ray_session, corpus, truth):
     assert recall >= 0.9, (recall, len(truth), len(got_pairs))
 
 
+def test_near_dup_auto_cascade_policy(ray_session, corpus, truth):
+    """estimate_filter="auto" gates the cascade on mean doc bytes vs the
+    8 x 8 x num_perm crossover: small docs route to the plain path (and
+    must match it exactly); the byte probe itself is pinned."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import (
+        _CASCADE_AUTO_FACTOR,
+        _mean_doc_bytes,
+        minhash_near_dups_distributed,
+    )
+
+    ids, texts = corpus
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    mean_b = _mean_doc_bytes(ds, "text")
+    assert abs(mean_b - np.mean([len(t.encode()) for t in texts])) < 1e-9
+    assert mean_b < _CASCADE_AUTO_FACTOR * 8 * 64  # corpus docs are small
+    key = lambda d: {  # noqa: E731
+        (min(a, b), max(a, b)) for a, b in zip(d["id_a"], d["id_b"])
+    }
+    auto = minhash_near_dups_distributed(
+        ds, threshold=THRESHOLD, estimate_filter="auto"
+    ).to_pandas()
+    plain = minhash_near_dups_distributed(
+        ds, threshold=THRESHOLD, estimate_filter=False
+    ).to_pandas()
+    assert key(auto) == key(plain)  # auto chose (and equals) plain
+    # large docs flip the branch: 64 KB of text per doc
+    big = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["x y z " * 11000, "a b c " * 11000]}
+        )
+    )
+    assert _mean_doc_bytes(big, "text") >= _CASCADE_AUTO_FACTOR * 8 * 64
+
+
 def test_simhash_near_dups_exact_vs_brute(ray_session, corpus):
     """simhash_near_dups is EXACT by construction (pigeonhole-complete
     banding + popcount verify): its output must EQUAL brute-force

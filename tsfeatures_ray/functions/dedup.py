@@ -396,11 +396,25 @@ def minhash_near_dups_distributed(
     survivors pay the TEXT joins + exact verify. The win grows with
     document size (web pages at 2-8 KB vs 512 B signatures); recall is
     probabilistic, which is why the default stays off and the brute
-    all-pairs gate pins the filtered recall floor."""
+    all-pairs gate pins the filtered recall floor.
+
+    ``estimate_filter="auto"`` decides from the data: the cascade's
+    extra cost is two signature joins at 8 x num_perm bytes/doc plus
+    fixed per-join overhead, its saving is the text bytes of killed
+    pairs -- so it pays off once docs dwarf their signatures. Measured
+    (BASELINE.md): at ~1 KB docs it LOSES ~2x (19.5 s vs 10.6 s at
+    sf0.1); at 32 KB docs it wins. The auto rule samples the mean doc
+    byte size from a bounded prefix and enables the cascade when
+    mean_bytes >= _CASCADE_AUTO_FACTOR x 8 x num_perm (factor 8 = 4 KB
+    at num_perm=64, comfortably past the measured losing point with the
+    fixed join overhead amortized)."""
     from .join import partitioned_join
 
     k = kwargs.get("k", 5)
     num_perm = kwargs.get("num_perm", 64)
+    if estimate_filter == "auto":
+        mean_b = _mean_doc_bytes(ds, text_col)
+        estimate_filter = mean_b >= _CASCADE_AUTO_FACTOR * 8 * num_perm
     sigs = minhash_signatures(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
         concurrency=kwargs.get("concurrency", 4),
@@ -457,6 +471,34 @@ def minhash_near_dups_distributed(
         return out[out["jaccard"] >= threshold]
 
     return with_ab.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+# auto-cascade crossover: enable estimate-then-verify when mean doc
+# bytes >= factor x signature bytes (8 x num_perm). Factor chosen from
+# the sf0.1 measurement (1 KB docs: cascade loses ~2x) plus the 32 KB
+# A/B in BASELINE.md: 8 x 512 B = 4 KB sits between the two with the
+# fixed two-extra-join overhead amortized.
+_CASCADE_AUTO_FACTOR = 8
+
+
+def _mean_doc_bytes(
+    ds: "ray.data.Dataset", text_col: str, sample_rows: int = 2048
+) -> float:
+    """Mean UTF-8 byte size of ``text_col`` over a bounded prefix sample
+    (only per-row byte counts reach the driver, never text)."""
+    import pyarrow.compute as pc
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"nb": pc.binary_length(t.column(text_col).cast(pa.binary()))}
+        )
+
+    s = (
+        ds.limit(sample_rows)
+        .map_batches(lens, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return float(s["nb"].mean()) if len(s) else 0.0
 
 
 def _estimate_filter_pairs(
