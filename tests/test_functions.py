@@ -318,6 +318,55 @@ def test_media_codecs_roundtrip():
     assert s.shape[0] == 2 and s[0].shape == frames[0].shape
 
 
+def test_avi_mjpeg_roundtrip():
+    """RIFF AVI/MJPG: a real container whose frames run through the
+    in-repo baseline JPEG codec. Smooth frames round-trip within JPEG's
+    lossy tolerance; structure (n, h, w, 3) is exact; a non-MJPG
+    handler raises at the documented seam."""
+    from tsfeatures_ray.functions.multimodal import (
+        decode_video,
+        encode_avi_mjpeg,
+    )
+
+    y, x = np.mgrid[0:21, 0:17]
+    frames = np.stack(
+        [
+            np.clip(
+                np.stack(
+                    [
+                        100 + 40 * np.sin(y / 5 + t),
+                        120 + 30 * np.cos(x / 6),
+                        90 + 20 * np.sin((x + y) / 7),
+                    ],
+                    axis=2,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for t in range(3)
+        ]
+    )
+    payload = encode_avi_mjpeg(frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    dec = decode_video(payload)
+    assert dec.shape == frames.shape
+    err = np.abs(dec.astype(float) - frames.astype(float))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+    # non-MJPG vids handler -> seam error, not a bogus decode
+    broken = bytearray(payload)
+    j = broken.find(b"vidsMJPG")
+    broken[j + 4 : j + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_video(bytes(broken))
+
+    # feature kernels accept the new container end-to-end
+    from tsfeatures_ray.functions.multimodal import FEATURE_DIM, extract_features
+
+    feats = extract_features(payload, "video")
+    assert feats.shape == (FEATURE_DIM,) and np.isfinite(feats).all()
+
+
 def test_media_features_discriminate():
     """Audio features must reflect actual signal content: a 200 Hz tone
     and a 3 kHz tone at the same rate get clearly different spectral

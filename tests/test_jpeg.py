@@ -105,12 +105,43 @@ def test_fill_bytes_before_markers():
     assert np.array_equal(dec, ref)
 
 
-def test_progressive_rejected():
+@pytest.mark.parametrize(
+    "img_fn",
+    [
+        lambda: _smooth(48, 64),
+        lambda: _smooth(45, 53, 1),
+        lambda: _smooth(8, 8, 2),
+        lambda: np.random.default_rng(3).integers(
+            0, 256, (24, 32, 3), dtype=np.uint8
+        ),
+        lambda: (
+            np.outer(np.arange(17), np.ones(13)) * 5 % 200 + 20
+        ).astype(np.uint8),
+    ],
+    ids=["smooth", "odd-dims", "tiny", "noise", "gray"],
+)
+def test_progressive_equals_baseline(img_fn):
+    """The progressive encoder quantizes identically to the baseline
+    encoder and only reorders coefficient transmission (spectral
+    selection + successive approximation), so decoding both streams
+    must give BIT-IDENTICAL pixels. Noise maximizes ZRL / correction-
+    bit / end-of-band coverage in the refinement scans."""
+    from tsfeatures_ray.functions.jpeg import encode_jpeg_progressive
+
+    img = img_fn()
+    prog = encode_jpeg_progressive(img)
+    assert prog.find(b"\xff\xc2") > 0 and prog.count(b"\xff\xda") >= 6
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(encode_jpeg(img))
+    )
+
+
+def test_arithmetic_coding_rejected():
     img = _smooth(8, 8)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(enc))
 
 

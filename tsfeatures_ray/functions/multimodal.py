@@ -12,10 +12,12 @@ defines/supports without external libraries:
   binary PPM (P6), all pure numpy/stdlib;
 - audio: RIFF/WAV PCM16, decoded with the stdlib ``wave`` module;
 - video: a trivial concatenated-PPM container (``VID0`` magic +
-  frame count + back-to-back P6 frames) -- a real, parseable format.
+  frame count + back-to-back P6 frames) AND RIFF AVI carrying MJPG
+  (every frame an independent baseline JPEG) -- real, parseable
+  formats; the AVI path drives the in-repo T.81 codec per frame.
 
-Codecs that genuinely need external libraries (MP3/MP4, progressive /
-arithmetic JPEG, 16-bit / palette / interlaced PNG) raise
+Codecs that genuinely need external libraries (MP3, MP4/H.264,
+arithmetic-coded JPEG, 16-bit / palette / interlaced PNG) raise
 ``NotImplementedError`` from ``decode_media`` (clearly marked seam:
 real deployments plug PIL/libav into ``MediaFeatures(decode=...)``).
 
@@ -32,6 +34,7 @@ binary rows; batch x concurrency must fit the worker heap).
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -285,12 +288,108 @@ def encode_video(frames: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 -> RIFF AVI with an MJPG 'vids' stream: every
+    frame is an independent baseline JPEG from the in-repo T.81 encoder
+    (functions/jpeg.py), framed in standard '00dc' movi chunks with an
+    idx1 index -- a real, player-readable motion-JPEG container."""
+    from .jpeg import encode_jpeg
+
+    frames = np.asarray(frames)
+    n, h, w = len(frames), int(frames.shape[1]), int(frames.shape[2])
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_jpeg = max(len(j) for j in jpegs) if jpegs else 0
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 1_000_000 // fps, max_jpeg * fps, 0, 0x10,  # HASINDEX
+            n, 0, 1, max_jpeg, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_jpeg,
+                      0xFFFFFFFF)
+        + struct.pack("<I", 0)            # dwSampleSize
+        + struct.pack("<4h", 0, 0, w, h),  # rcFrame
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                    w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_chunks = [chunk(b"00dc", j) for j in jpegs]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1 offsets are relative to the 'movi' fourcc (the common
+    # convention); flags = AVIIF_KEYFRAME (every MJPEG frame is one)
+    off, entries = 4, []
+    for j, ck in zip(jpegs, movi_chunks):
+        entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += len(ck)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """RIFF AVI walker: collects '##dc'/'##db' frame chunks from the
+    movi list and decodes each as baseline JPEG. Only the MJPG handler
+    is supported; compressed-video handlers (H.264/MP4 et al.) raise at
+    the documented plug-in seam."""
+    from .jpeg import decode_jpeg
+
+    handler: bytes | None = None
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal handler
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"strh":
+                if payload[body : body + 4] == b"vids":
+                    handler = payload[body + 4 : body + 8]
+            elif fourcc[2:4] in (b"dc", b"db"):
+                raw_frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(payload))
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI stream handler {handler!r} not supported (only MJPG; "
+            "compressed video such as H.264 needs an external decoder "
+            "plugged in at the MediaFeatures decode seam)"
+        )
+    if not raw_frames:
+        raise ValueError("AVI stream contains no frame chunks")
+    return np.stack([decode_jpeg(f) for f in raw_frames])
+
+
 def decode_video(payload: bytes) -> np.ndarray:
-    """Concatenated-PPM container -> (n, h, w, 3) uint8."""
+    """Video container -> (n, h, w, 3) uint8. Real decoders: the VID0
+    concatenated-PPM container and RIFF AVI carrying MJPG (each frame
+    decoded by the in-repo baseline JPEG decoder). MP4/H.264 remains the
+    documented external-decoder seam."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        return _decode_avi_mjpeg(payload)
     if not payload.startswith(_VIDEO_MAGIC):
         raise NotImplementedError(
-            "unsupported video codec (only the VID0 concatenated-PPM "
-            "container is decodable without external libraries)"
+            "unsupported video codec (VID0 concatenated-PPM and "
+            "AVI/MJPG are decodable without external libraries; "
+            "MP4/H.264 needs an external decoder at the MediaFeatures "
+            "decode seam)"
         )
     n = int.from_bytes(payload[4:8], "little")
     frames = []
@@ -410,7 +509,7 @@ def extract_features(payload: bytes, media_type: str) -> np.ndarray:
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table with REAL payloads: PNG / JPEG / PPM
-    images, WAV PCM16 audio, VID0 concatenated-PPM video."""
+    images, WAV PCM16 audio, VID0 concatenated-PPM and AVI/MJPG video."""
     rng = np.random.Generator(np.random.PCG64(seed))
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, rates, framecounts = [], [], [], [], []
@@ -441,7 +540,11 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             nf = int(rng.integers(2, 8))
             h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
-            payloads.append(encode_video(frames))
+            # rotate REAL containers: VID0 concatenated-PPM, AVI/MJPG
+            if i % 2 == 1:
+                payloads.append(encode_avi_mjpeg(frames))
+            else:
+                payloads.append(encode_video(frames))
             widths.append(w); heights.append(h); rates.append(0); framecounts.append(nf)
     return pa.table(
         {
