@@ -562,17 +562,34 @@ def _q_docs_simhash_dups(sf_dir: str):
     return simhash_near_dups(ds, max_hamming=6)
 
 
-def _q_embeddings_knn(sf_dir: str):
+def _knn_queries(path: str, n: int = 4):
+    """The n smallest-vec_id rows as the query matrix WITHOUT a driver
+    read of the embedding column for the whole table: one slim vec_id
+    column scan picks the ids, then a predicate-pushdown read fetches
+    only the matching row groups' embeddings (VERDICT r4 wrong #5)."""
     import pyarrow.parquet as pq
+
+    ids_only = pq.read_table(path, columns=["vec_id"])
+    qids = np.sort(ids_only.column("vec_id").to_numpy())[:n]
+    qt = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qids.tolist())],
+    )
+    qdf = qt.to_pandas().sort_values("vec_id")
+    queries = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
+    )
+    return queries, qdf["vec_id"].to_numpy()
+
+
+def _q_embeddings_knn(sf_dir: str):
     import ray.data as rd
 
     from tsfeatures_ray.functions import brute_knn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(4)
-    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-    qids = qdf["vec_id"].to_numpy()
+    queries, qids = _knn_queries(path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     out = brute_knn(ds, queries, k=10)
     out["query_id"] = qids[out["query_id"].to_numpy()]
@@ -583,16 +600,12 @@ def _q_embeddings_knn(sf_dir: str):
 
 
 def _q_embeddings_knn_lsh(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from tsfeatures_ray.functions import lsh_bucketed_knn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(4)
-    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-    qids = qdf["vec_id"].to_numpy()
+    queries, qids = _knn_queries(path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     out = lsh_bucketed_knn(ds, queries, k=10, bits=4)
     if len(out):
@@ -609,16 +622,12 @@ def _q_embeddings_knn_lsh_recall(sf_dir: str):
     exact brute-force top-k, per query -- the ANN quality harness.
     Seed-deterministic -> committed-fixture hash gate; pytest pins the
     recall floor independently."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from tsfeatures_ray.functions import ann_recall
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(4)
-    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-    qids = qdf["vec_id"].to_numpy()
+    queries, qids = _knn_queries(path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     out = ann_recall(ds, queries, k=10)
     out["query_id"] = qids[out["query_id"].to_numpy()]
@@ -630,16 +639,12 @@ def _q_embeddings_knn_ivf(sf_dir: str):
     centroids, nprobe nearest cells exact-scored) -- the second ANN
     scale path; seed-deterministic -> committed-fixture hash gate
     (pytest pins the recall floor via ann_recall(method='ivf'))."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from tsfeatures_ray.functions.similarity import ivf_knn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(4)
-    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-    qids = qdf["vec_id"].to_numpy()
+    queries, qids = _knn_queries(path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     out = ivf_knn(ds, queries, k=10, nlist=32, nprobe=16)
     if len(out):

@@ -180,9 +180,10 @@ def _make_packed(lengths: dict[str, int]):
 
 def test_giant_series_policy(ray_session):
     """Giant-series straggler policy: series >= giant_threshold run as
-    dedicated single-series tasks (their own pool, unioned with the main
-    pool) and the output is identical to the unrouted path. One 100x
-    series must not share a batch with -- and thereby delay -- the rest."""
+    dedicated singleton GROUPS inside one groupby exchange (round 5:
+    replaces big.union(small), whose branches Ray's streaming executor
+    ran serially) and the output is identical to the unrouted path. One
+    100x series must not share a batch with -- and delay -- the rest."""
     import pandas as pd
 
     from tsfeatures_ray.stages.features import features_over_packed
@@ -199,8 +200,10 @@ def test_giant_series_policy(ray_session):
         giant_threshold=10000,
     )
     routed = routed_ds.to_pandas()
-    # structural: the routed plan really is two pools unioned
-    assert "Union" in routed_ds.stats()
+    # structural: the routed plan is ONE keyed exchange (no union branch
+    # for the executor to serialize)
+    assert "per_group" in routed_ds.stats()
+    assert "Union" not in routed_ds.stats()
     key = ["unique_id", "tier", "metric"]
     base = base.sort_values(key).reset_index(drop=True)
     routed = routed.sort_values(key).reset_index(drop=True)
@@ -212,4 +215,4 @@ def test_giant_series_policy(ray_session):
         giant_threshold=1_000_000,
     )
     assert noop.count() == len(lengths)
-    assert "Union" not in noop.stats()
+    assert "per_group" not in noop.stats()

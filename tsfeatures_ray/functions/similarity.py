@@ -268,7 +268,18 @@ def ivf_knn(
     queries = np.asarray(queries, dtype=np.float64)
     n_total = ds.count()
     frac = min(1.0, train_sample / max(1, n_total))
-    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    # the k-means train set must be DETERMINISTIC in both membership and
+    # row order: ds.random_sample(...).to_pandas() returns blocks in
+    # task-COMPLETION order (preserve_order is off), which made the
+    # trained centroids -- and hence the IVF result -- flip run-to-run.
+    # Hash-keyed sampling pins membership; the id sort pins order.
+    if frac >= 1.0:
+        sample = ds.to_pandas()
+    else:
+        from .sampling import deterministic_sample
+
+        sample = deterministic_sample(ds, frac, id_col, salt=seed).to_pandas()
+    sample = sample.sort_values(id_col, kind="mergesort").reset_index(drop=True)
     train = _to_matrix(sample[vec_col].to_numpy())
     cent = _kmeans(train, nlist, seed=seed)
     qref = ray.put(queries)
