@@ -351,6 +351,8 @@ def run_ops() -> dict:
             _mean_doc_bytes(sdocs(), "text") >= 8 * 8 * 64
         )
         out[f"near_dups_auto_{label}"] = {
+            "sec": round(walls[auto_cascade], 2),  # what auto actually runs
+            "rows_per_sec": round((n + n // 10) / walls[auto_cascade]),
             "plain_sec": round(walls[False], 2),
             "cascade_sec": round(walls[True], 2),
             "auto_picks": "cascade" if auto_cascade else "plain",

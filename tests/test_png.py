@@ -102,13 +102,130 @@ def test_png_crc_tamper_detected():
         decode_png(bytes(payload))
 
 
-def test_png_unsupported_profile_raises():
-    # 16-bit depth header
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+def _png(w, h, depth, ctype, rows: bytes, interlace=0, plte=None, trns=None):
+    """Independent minimal PNG writer for full-profile decode tests."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b"")
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> bytes:
+    """(h, w, c) integer samples -> filter-0 scanlines at any legal bit
+    depth (MSB-first packing, rows zero-padded to byte boundaries)."""
+    h = samples.shape[0]
+    rows = []
+    for y in range(h):
+        flat = samples[y].reshape(-1)
+        if depth == 8:
+            b = flat.astype(np.uint8).tobytes()
+        elif depth == 16:
+            b = flat.astype(">u2").tobytes()
+        else:
+            bits = (
+                (flat[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            b = np.packbits(bits).tobytes()
+        rows.append(b"\x00" + b)
+    return b"".join(rows)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    rng = np.random.RandomState(7)
+    s = rng.randint(0, 65536, size=(9, 5, 3))
+    got = decode_png(_png(5, 9, 16, 2, _pack_rows(s, 16)))
+    assert np.array_equal(got, (s >> 8).astype(np.uint8))
+    g = rng.randint(0, 65536, size=(4, 6, 1))
+    got_g = decode_png(_png(6, 4, 16, 0, _pack_rows(g, 16)))
+    assert np.array_equal(got_g, (g >> 8).astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette(depth):
+    rng = np.random.RandomState(depth)
+    ncol = 1 << depth
+    plte = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncol, size=(7, 9, 1))
+    payload = _png(9, 7, depth, 3, _pack_rows(idx, depth),
+                   plte=plte.tobytes())
+    got = decode_png(payload)
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+    # tRNS adds a palette alpha channel (entries past tRNS are opaque)
+    trns = bytes([0, 255] + [128] * max(0, min(ncol, 4) - 2))
+    got_a = decode_png(_png(9, 7, depth, 3, _pack_rows(idx, depth),
+                            plte=plte.tobytes(), trns=trns))
+    assert got_a.shape == (7, 9, 4)
+    alpha = np.full(ncol, 255, np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+    assert np.array_equal(got_a[:, :, 3], alpha[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_scales_to_full_range(depth):
+    rng = np.random.RandomState(depth)
+    s = rng.randint(0, 1 << depth, size=(5, 11, 1))
+    got = decode_png(_png(11, 5, depth, 0, _pack_rows(s, depth)))
+    assert np.array_equal(got, (s * 255 // ((1 << depth) - 1)).astype(np.uint8))
+
+
+def test_png_gray_alpha():
+    rng = np.random.RandomState(3)
+    s = rng.randint(0, 256, size=(6, 4, 2))
+    got = decode_png(_png(4, 6, 8, 4, _pack_rows(s, 8)))
+    assert np.array_equal(got, s.astype(np.uint8))
+    assert decode_image(_png(4, 6, 8, 4, _pack_rows(s, 8))).shape == (6, 4, 3)
+
+
+def test_png_adam7_interlace():
+    """Adam7: seven independently-filtered sub-images scatter back to
+    the exact same pixels the sequential stream carries."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(13, 11, 3))
+    passes = []
+    for x0, dx, y0, dy in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        sub = img[y0::dy, x0::dx]
+        if sub.size:
+            passes.append(_pack_rows(sub, 8))
+    got = decode_png(_png(11, 13, 8, 2, b"".join(passes), interlace=1))
+    assert np.array_equal(got, img.astype(np.uint8))
+    # sub-byte interlaced palette: per-pass rows repack at byte bounds
+    plte = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(9, 10, 1))
+    passes = []
+    for x0, dx, y0, dy in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        sub = idx[y0::dy, x0::dx]
+        if sub.size:
+            passes.append(_pack_rows(sub, 2))
+    got_p = decode_png(_png(10, 9, 2, 3, b"".join(passes), interlace=1,
+                            plte=plte.tobytes()))
+    assert np.array_equal(got_p, plte[idx[:, :, 0]])
+
+
+def test_png_colorkey_transparency():
+    img = np.zeros((3, 3, 3), np.int64)
+    img[1, 1] = [10, 20, 30]
+    trns = struct.pack(">HHH", 10, 20, 30)
+    got = decode_png(_png(3, 3, 8, 2, _pack_rows(img, 8), trns=trns))
+    assert got.shape == (3, 3, 4)
+    assert got[1, 1, 3] == 0 and got[0, 0, 3] == 255
+
+
+def test_png_illegal_ihdr_rejected():
+    # 16-bit palette is not a legal depth/color combination
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
                + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
                + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="illegal IHDR"):
         decode_png(payload)
 
 

@@ -17,9 +17,11 @@ defines/supports without external libraries:
   formats; the AVI path drives the in-repo T.81 codec per frame.
 
 Codecs that genuinely need external libraries (MP3, MP4/H.264,
-arithmetic-coded JPEG, 16-bit / palette / interlaced PNG) raise
-``NotImplementedError`` from ``decode_media`` (clearly marked seam:
-real deployments plug PIL/libav into ``MediaFeatures(decode=...)``).
+arithmetic-coded JPEG) raise ``NotImplementedError`` from
+``decode_media`` (clearly marked seam: real deployments plug PIL/libav
+into ``MediaFeatures(decode=...)``). PNG decodes the FULL static
+profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7 interlace);
+JPEG decodes baseline and progressive Huffman.
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
@@ -142,54 +144,16 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> HxWxC uint8 (stdlib zlib + numpy; REAL decoder).
-
-    Supports the PNG core: bit depth 8, color types 0/2/6 (gray, RGB,
-    RGBA), all five scanline filters (None/Sub/Up/Average/Paeth --
-    spec RFC 2083 §6), CRC-validated chunks, multi-IDAT streams; no
-    interlace, no palette, no 16-bit (those raise NotImplementedError).
-    Sub/Up unfilter vectorized; Average/Paeth are row-sequential by
-    definition."""
-    import struct
-    import zlib
-
-    if not payload.startswith(_PNG_MAGIC):
-        raise ValueError("not a PNG payload")
-    i = 8
-    ihdr, idat = None, []
-    while i + 12 <= len(payload):
-        ln = int.from_bytes(payload[i:i + 4], "big")
-        typ = payload[i + 4:i + 8]
-        body = payload[i + 8:i + 8 + ln]
-        crc = int.from_bytes(payload[i + 8 + ln:i + 12 + ln], "big")
-        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-        i += 12 + ln
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
-        raise NotImplementedError(
-            "PNG variant outside the core profile (16-bit / palette / "
-            "interlaced); plug an external decoder into "
-            "MediaFeatures(decode=...)"
-        )
-    channels = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters (RFC 2083 §6) at BYTE level
+    over an (h x (1+stride)) filtered block; ``bpp`` is the filter's
+    bytes-per-pixel step (>= 1 even for sub-byte depths). Sub/Up are
+    vectorized; Average/Paeth are row-sequential by definition."""
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:]
-    bpp = channels
     out = np.zeros((h, stride), np.int64)
     prev = np.zeros(stride, np.int64)
     for y in range(h):
@@ -197,8 +161,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         line = data[y].astype(np.int64)
         if f == 0:
             rec = line
-        elif f == 1:  # Sub: per-channel cumulative sum mod 256
-            rec = (np.cumsum(line.reshape(w, bpp), axis=0) % 256).reshape(-1)
+        elif f == 1:  # Sub: per-byte-lane cumulative sum mod 256
+            rec = (np.cumsum(line.reshape(-1, bpp), axis=0) % 256).reshape(-1)
         elif f == 2:  # Up
             rec = (line + prev) % 256
         elif f == 3:  # Average (row-sequential: left is reconstructed)
@@ -221,7 +185,139 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG: unknown filter {f}")
         out[y] = rec
         prev = rec
-    return out.astype(np.uint8).reshape(h, w, channels)
+    return out.astype(np.uint8)
+
+
+def _png_samples(rec: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) reconstructed bytes -> (h, w, channels) integer
+    samples for any legal bit depth (1/2/4/8/16, MSB-first packing)."""
+    h = rec.shape[0]
+    if depth == 8:
+        return rec[:, : w * channels].reshape(h, w, channels).astype(np.int64)
+    if depth == 16:
+        hi = rec[:, 0 : 2 * w * channels : 2].astype(np.int64)
+        lo = rec[:, 1 : 2 * w * channels : 2].astype(np.int64)
+        return ((hi << 8) | lo).reshape(h, w, channels)
+    # sub-byte depths (gray or palette indices; channels == 1)
+    bits = np.unpackbits(rec, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (per * weights).sum(axis=2, dtype=np.int64)[:, :, None]
+
+
+# Adam7 pass grid: (x0, dx, y0, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8 (stdlib zlib + numpy; REAL decoder).
+
+    Full static-image profile (round 5; the former NotImplementedError
+    seam is closed): bit depths 1/2/4/8/16, color types 0/2/3/4/6
+    (gray, RGB, palette, gray+alpha, RGBA), PLTE + tRNS (palette alpha
+    AND type-0/2 transparent-color), Adam7 interlace, all five
+    scanline filters, CRC-validated chunks, multi-IDAT streams. 16-bit
+    samples are reduced to their high byte; sub-byte gray is scaled to
+    full 8-bit range."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    i = 8
+    ihdr, idat, plte, trns = None, [], None, None
+    while i + 12 <= len(payload):
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + ln]
+        crc = int.from_bytes(payload[i + 8 + ln:i + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = bytes(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if comp != 0 or filt != 0 or interlace not in (0, 1) \
+            or ctype not in legal or depth not in legal[ctype]:
+        raise ValueError(
+            f"PNG: illegal IHDR combination (depth={depth}, "
+            f"color={ctype}, comp={comp}, filter={filt}, "
+            f"interlace={interlace})"
+        )
+    if ctype == 3 and plte is None:
+        raise ValueError("PNG: palette image without PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, channels * depth // 8)  # filter step, bytes
+
+    def stride_of(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if interlace == 0:
+        samples = _png_samples(
+            _png_unfilter(raw, h, stride_of(w), bpp), w, channels, depth
+        )
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((h, w, channels), np.int64)
+        pos = 0
+        for x0, dx, y0, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = stride_of(wp)
+            block = raw[pos : pos + hp * (sp + 1)]
+            pos += hp * (sp + 1)
+            sub = _png_samples(
+                _png_unfilter(block, hp, sp, bpp), wp, channels, depth
+            )
+            samples[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+
+    if ctype == 3:  # palette lookup (+ optional tRNS alpha)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]]).astype(np.uint8)
+        return rgb.astype(np.uint8)
+    if depth == 16:
+        samples = samples >> 8
+    elif depth < 8:  # scale sub-byte gray to full range
+        samples = samples * 255 // ((1 << depth) - 1)
+    if trns is not None and ctype in (0, 2):
+        # transparent-color: matching pixels get alpha 0 (16-bit tRNS
+        # values compare against the pre-reduction high byte)
+        vals = np.frombuffer(trns, ">u2").astype(np.int64)
+        if ctype == 0:
+            key = vals[0] >> 8 if depth == 16 else (
+                vals[0] * 255 // ((1 << depth) - 1) if depth < 8 else vals[0])
+            mask = samples[:, :, 0] == key
+        else:
+            key = vals >> 8 if depth == 16 else vals
+            mask = (samples == key[None, None, :]).all(axis=2)
+        alpha = np.where(mask, 0, 255).astype(np.uint8)
+        return np.dstack([samples.astype(np.uint8), alpha])
+    return samples.astype(np.uint8)
 
 
 def _as_rgb(img: np.ndarray) -> np.ndarray:
@@ -230,6 +326,8 @@ def _as_rgb(img: np.ndarray) -> np.ndarray:
         img = img[:, :, None]
     if img.shape[2] == 1:
         return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 2:  # gray + alpha: replicate gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
     if img.shape[2] == 4:
         return img[:, :, :3]
     return img
