@@ -735,7 +735,12 @@ def _q_docs_mixture(sf_dir: str):
     path = os.path.join(sf_dir, "documents.parquet")
     a = rd.read_parquet(path, columns=["doc_id"])
     b = rd.read_parquet(path, columns=["doc_id"])
-    return weighted_mixture([("web", a, 0.5), ("code", b, 0.2)])
+    # canonical row order: the streaming union emits blocks in
+    # completion order, so pin (source, doc_id) for the strict
+    # row-order-sensitive digest (values were already run-stable)
+    return weighted_mixture(
+        [("web", a, 0.5), ("code", b, 0.2)]
+    ).sort(["source", "doc_id"])
 
 
 def _q_docs_packed(sf_dir: str):
@@ -1132,9 +1137,11 @@ def _q_embeddings_cosine_dups_lsh(sf_dir: str):
     # bits=4/tables=16 tuned for the synthetic near-orthogonal corpus
     # (threshold pairs at cos~0.4 -> 66deg -> per-bit collision 0.63:
     # union recall 1-(1-0.63^4)^16 ~ 0.94; measured 0.98)
+    # canonical (id_a, id_b) order: bucketed-pair emission follows task
+    # completion order; values were already run-stable
     return _round_floats(
         cosine_near_dups_lsh(ds, threshold=0.4, bits=4, tables=16)
-    )
+    ).sort(["id_a", "id_b"])
 
 
 def _q_media_features(sf_dir: str):
@@ -1162,6 +1169,22 @@ def _q_media_features(sf_dir: str):
         return pd.DataFrame(out)
 
     return media_features(ds).map_batches(flatten, batch_format="pandas")
+
+
+def _q_media_metadata(sf_dir: str):
+    """Header-only container-metadata scan over the deterministic
+    synthetic media table (probe_media: PNG/JPEG/PPM/WAV/VID0/AVI
+    parsed, MP4 via the ISO-BMFF walker) -- the cheap routing pass that
+    precedes any decode at corpus scale. Deterministic payloads ->
+    committed-fixture hash gate; tests/test_functions.py pins each
+    format's parsed fields independently."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.multimodal import (
+        media_metadata, synth_media_table,
+    )
+
+    return media_metadata(rd.from_arrow(synth_media_table(64)))
 
 
 def _q_rollup_compact_1h(sf_dir: str):
@@ -1715,6 +1738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_extras_1h": _q_series_extras_1h,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "events_props_rollup": _q_events_props_rollup,
+        # round-5 addition: header-only container metadata scan
+        "media_metadata": _q_media_metadata,
     }
 
 
@@ -2783,4 +2808,5 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "embeddings_cosine_dups_lsh": fixture("embeddings_cosine_dups_lsh"),
         "events_user_distinct_hll": fixture("events_user_distinct_hll"),
         "media_features": fixture("media_features"),
+        "media_metadata": fixture("media_metadata"),
     }

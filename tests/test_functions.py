@@ -367,6 +367,96 @@ def test_avi_mjpeg_roundtrip():
     assert feats.shape == (FEATURE_DIM,) and np.isfinite(feats).all()
 
 
+def _tiny_mp4(w=64, h=48, codec=b"avc1", n=30):
+    """Minimal spec-shaped ISO-BMFF: ftyp + moov(mvhd, trak(tkhd,
+    mdia(hdlr, minf(stbl(stsd, stsz))))) + mdat."""
+    import struct
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 600, 1800) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + struct.pack(">II", w << 16, h << 16))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+               + struct.pack(">I", 86) + codec + b"\x00" * 78)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n))
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"\x00" * 16)
+
+
+def test_probe_media_formats():
+    """probe_media: header-only metadata for every container the repo
+    writes, plus real ISO-BMFF parsing (seam narrowed: decode_video on
+    MP4 now names the actual codec)."""
+    from tsfeatures_ray.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from tsfeatures_ray.functions.multimodal import (
+        decode_video,
+        encode_avi_mjpeg,
+        encode_png,
+        encode_ppm,
+        encode_video,
+        encode_wav,
+        probe_media,
+    )
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, size=(12, 17, 3)).astype(np.uint8)
+    p = probe_media(encode_png(img))
+    assert p == {"format": "png", "width": 17, "height": 12, "depth": 8,
+                 "color_type": 2, "interlaced": False}
+    j = probe_media(encode_jpeg(img))
+    assert (j["format"], j["width"], j["height"], j["channels"],
+            j["mode"]) == ("jpeg", 17, 12, 3, "baseline")
+    assert probe_media(encode_jpeg_progressive(img))["mode"] == "progressive"
+    assert probe_media(encode_ppm(img)) == {"format": "ppm", "width": 17,
+                                            "height": 12}
+    wv = probe_media(encode_wav(np.zeros(800), 8000))
+    assert (wv["format"], wv["sample_rate"], wv["n_samples"]) == (
+        "wav", 8000, 800)
+    frames = np.zeros((3, 8, 9, 3), np.uint8)
+    v = probe_media(encode_video(frames))
+    assert (v["format"], v["n_frames"], v["width"], v["height"]) == (
+        "vid0", 3, 9, 8)
+    a = probe_media(encode_avi_mjpeg(frames))
+    assert (a["format"], a["codec"], a["n_frames"], a["width"],
+            a["height"]) == ("avi", "MJPG", 3, 9, 8)
+
+    mp4 = _tiny_mp4()
+    m = probe_media(mp4)
+    assert (m["format"], m["brand"], m["duration_s"], m["codec"],
+            m["width"], m["height"], m["n_frames"], m["n_tracks"]) == (
+        "mp4", "isom", 3.0, "avc1", 64, 48, 30, 1)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_video(mp4)
+    assert probe_media(b"\x00garbage")["format"] == "unknown"
+
+
+def test_media_metadata_stage(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.multimodal import (
+        media_metadata,
+        synth_media_table,
+    )
+
+    out = media_metadata(rd.from_arrow(synth_media_table(24))).to_pandas()
+    assert len(out) == 24
+    assert set(out["format"]) <= {"png", "jpeg", "ppm", "wav", "vid0", "avi"}
+    assert (out.loc[out["format"] == "wav", "sample_rate"] == 8000).all()
+    assert (out.loc[out["format"] == "avi", "codec"] == "MJPG").all()
+
+
 def test_media_features_discriminate():
     """Audio features must reflect actual signal content: a 200 Hz tone
     and a 3 kHz tone at the same rate get clearly different spectral

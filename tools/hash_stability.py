@@ -57,6 +57,8 @@ def main():
     from tools.check_contract import to_df
 
     qs = entrymod.queries()
+    if names == ["all"]:  # sweep the whole registry
+        names = list(qs)
     bad = 0
     for name in names:
         digests, sorted_digests = [], []

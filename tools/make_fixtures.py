@@ -47,6 +47,7 @@ RECORDED: dict[str, list[str] | None] = {
     "embeddings_cosine_dups_lsh": ["id_a", "id_b"],
     "events_user_distinct_hll": ["group"],
     "media_features": ["media_id"],
+    "media_metadata": ["media_id"],
 }
 
 

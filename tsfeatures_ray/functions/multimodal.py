@@ -478,10 +478,21 @@ def _decode_avi_mjpeg(payload: bytes) -> np.ndarray:
 def decode_video(payload: bytes) -> np.ndarray:
     """Video container -> (n, h, w, 3) uint8. Real decoders: the VID0
     concatenated-PPM container and RIFF AVI carrying MJPG (each frame
-    decoded by the in-repo baseline JPEG decoder). MP4/H.264 remains the
-    documented external-decoder seam."""
+    decoded by the in-repo baseline JPEG decoder). MP4 containers are
+    PARSED (probe_mp4) so the error names the actual codec; the codec
+    bitstream itself (H.264 et al.) remains the external-decoder seam."""
     if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
         return _decode_avi_mjpeg(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        meta = probe_mp4(payload)
+        codecs = ",".join(
+            sorted({t["codec"] for t in meta["tracks"] if t["codec"]})
+        ) or "unknown"
+        raise NotImplementedError(
+            f"MP4 container parsed (brand {meta['brand']}, "
+            f"{len(meta['tracks'])} track(s)) but codec(s) {codecs} need "
+            "an external decoder plugged in at MediaFeatures(decode=...)"
+        )
     if not payload.startswith(_VIDEO_MAGIC):
         raise NotImplementedError(
             "unsupported video codec (VID0 concatenated-PPM and "
@@ -501,6 +512,229 @@ def decode_video(payload: bytes) -> np.ndarray:
         frames.append(decode_ppm(payload[i:end]))
         i = end
     return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# container probing (header-only metadata, no pixel/sample decode)
+# ---------------------------------------------------------------------------
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for ISO-BMFF boxes in
+    [start, end): 32-bit sizes, 64-bit largesize (size==1), and
+    to-end-of-file (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield typ, body, pos + size
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Parse ISO-BMFF (MP4/MOV/M4A) container structure: major brand,
+    movie duration, and per-track handler / sample-entry codec /
+    dimensions / sample count. Header-only: the codec BITSTREAM is
+    never touched, so this runs on any MP4 even though compressed-video
+    decode stays behind the external-decoder seam."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream")
+    info: dict = {"format": "mp4", "brand": None, "duration_s": None,
+                  "tracks": []}
+    track: dict | None = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal track
+        for typ, body, nxt in _mp4_boxes(payload, start, end):
+            if typ == b"ftyp":
+                info["brand"] = payload[body : body + 4].decode(
+                    "ascii", "replace"
+                )
+            elif typ == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(payload[body + 16 : body + 20], "big")
+                info["duration_s"] = round(dur / max(1, ts), 3)
+            elif typ == b"trak":
+                track = {"handler": None, "codec": None, "width": None,
+                         "height": None, "n_samples": None}
+                walk(body, nxt)
+                info["tracks"].append(track)
+                track = None
+            elif typ == b"tkhd" and track is not None:
+                ver = payload[body]
+                woff = body + (88 if ver == 1 else 76)
+                track["width"] = int.from_bytes(
+                    payload[woff : woff + 4], "big") >> 16  # 16.16 fixed
+                track["height"] = int.from_bytes(
+                    payload[woff + 4 : woff + 8], "big") >> 16
+            elif typ == b"hdlr" and track is not None:
+                track["handler"] = payload[body + 8 : body + 12].decode(
+                    "ascii", "replace"
+                )
+            elif typ == b"stsd" and track is not None:
+                if int.from_bytes(payload[body + 4 : body + 8], "big") >= 1:
+                    track["codec"] = payload[body + 12 : body + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif typ == b"stsz" and track is not None:
+                track["n_samples"] = int.from_bytes(
+                    payload[body + 8 : body + 12], "big"
+                )
+            elif typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, nxt)
+
+    walk(0, len(payload))
+    return info
+
+
+def _probe_jpeg(payload: bytes) -> dict:
+    """JPEG header walk to the first SOFn: dimensions, component count,
+    coding mode. Shares the T.81 fill-byte tolerance of decode_jpeg."""
+    modes = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive",
+             0xC3: "lossless", 0xC9: "arithmetic", 0xCA: "arithmetic",
+             0xCB: "arithmetic"}
+    i = 2
+    out = {"format": "jpeg", "width": None, "height": None,
+           "channels": None, "mode": None}
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        m = payload[i + 1]
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m in (0xD9, 0xDA):
+            break
+        (ln,) = struct.unpack(">H", payload[i : i + 2])
+        if m in modes or m in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            _, h, w, nc = struct.unpack(">BHHB", payload[i + 2 : i + 8])
+            out.update(width=w, height=h, channels=nc,
+                       mode=modes.get(m, "differential"))
+            break
+        i += ln
+    return out
+
+
+def probe_media(payload: bytes) -> dict:
+    """Header-only container metadata for an opaque binary media
+    payload -- the cheap first-pass scan a large multimodal corpus runs
+    BEFORE deciding what to decode (route / filter / size-bucket by
+    format without paying pixel or sample decode). Returns a dict with
+    ``format`` plus per-format fields; unknown magic -> 'unknown'."""
+    import struct as _struct
+
+    if payload.startswith(_PNG_MAGIC):
+        w, h, depth, ctype, _c, _f, inter = _struct.unpack(
+            ">IIBBBBB", payload[16:29]
+        )
+        return {"format": "png", "width": w, "height": h, "depth": depth,
+                "color_type": ctype, "interlaced": bool(inter)}
+    if payload.startswith(b"\xff\xd8"):
+        return _probe_jpeg(payload)
+    if payload.startswith(b"P6"):
+        parts = payload[:64].split(maxsplit=3)
+        return {"format": "ppm", "width": int(parts[1]),
+                "height": int(parts[2])}
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            return {"format": "wav", "sample_rate": f.getframerate(),
+                    "n_samples": f.getnframes(),
+                    "channels": f.getnchannels(),
+                    "sample_width": f.getsampwidth()}
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        out = {"format": "avi", "codec": None, "width": None,
+               "height": None, "n_frames": None}
+        pos = 12
+        def walk_riff(start, end):
+            p = start
+            while p + 8 <= end:
+                fourcc = payload[p : p + 4]
+                (size,) = struct.unpack("<I", payload[p + 4 : p + 8])
+                body = p + 8
+                if fourcc == b"LIST":
+                    walk_riff(body + 4, body + size)
+                elif fourcc == b"avih":
+                    vals = struct.unpack("<14I", payload[body : body + 56])
+                    out["n_frames"] = vals[4]
+                    out["width"], out["height"] = vals[8], vals[9]
+                elif fourcc == b"strh":
+                    if payload[body : body + 4] == b"vids":
+                        out["codec"] = payload[body + 4 : body + 8].decode(
+                            "ascii", "replace"
+                        )
+                p = body + size + (size & 1)
+        walk_riff(pos, len(payload))
+        return out
+    if payload.startswith(_VIDEO_MAGIC):
+        n = int.from_bytes(payload[4:8], "little")
+        dims = payload[8:40].split(b"\n", 3)
+        w, h = (int(v) for v in dims[1].split()) if len(dims) > 2 else (None, None)
+        return {"format": "vid0", "n_frames": n, "width": w, "height": h}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        meta = probe_mp4(payload)
+        vid = next(
+            (t for t in meta["tracks"] if t["handler"] == "vide"),
+            meta["tracks"][0] if meta["tracks"] else None,
+        )
+        return {"format": "mp4", "brand": meta["brand"],
+                "duration_s": meta["duration_s"],
+                "n_tracks": len(meta["tracks"]),
+                "codec": vid["codec"] if vid else None,
+                "width": vid["width"] if vid else None,
+                "height": vid["height"] if vid else None,
+                "n_frames": vid["n_samples"] if vid else None}
+    return {"format": "unknown"}
+
+
+class MediaProbe:
+    """Actor-pool header-only metadata stage: one probe_media call per
+    row, flat int32/string output schema (no payload leaves the task)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [probe_media(p) for p in batch["payload"].to_pylist()]
+
+        def col(name, typ):
+            return pa.array([m.get(name) for m in metas], typ)
+
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "format": col("format", pa.string()),
+                "width": col("width", pa.int32()),
+                "height": col("height", pa.int32()),
+                "n_frames": col("n_frames", pa.int32()),
+                "sample_rate": col("sample_rate", pa.int32()),
+                "codec": col("codec", pa.string()),
+            }
+        )
+
+
+def media_metadata(
+    ds: "ray.data.Dataset", concurrency: int = 2, batch_size: int = 64
+) -> "ray.data.Dataset":
+    """Header-only metadata over a binary media column: the routing /
+    filtering scan that precedes any decode at corpus scale."""
+    return ds.map_batches(
+        MediaProbe,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
 
 
 def decode_media(payload: bytes, media_type: str):
