@@ -432,9 +432,15 @@ def _dispatch(packed, kernel_fn, features, scale, concurrency, batch_size,
     # tying blocks to concurrency would make per-row speed vary with
     # cluster size (it silently deflated the measured scaling
     # efficiency). A floor of 2 waves keeps every core busy when the
-    # input is small.
+    # input is small. FLOOR division (round 5): ceil made every block
+    # land just UNDER batch_size, so map_batches re-bundled block PAIRS
+    # into double-width tasks -- half as many tasks as intended, and at
+    # sf0.1 @32 the resulting 40-on-31-slot wave quantization idled 22
+    # cores for the whole second wave (interleaved A/B: 10.6/11.0 s ->
+    # 9.1/9.6 s). Floor keeps each block >= batch_size, so one block =
+    # one task at exactly the intended width.
     if n_rows is not None:
-        n_blocks = max(concurrency * 2, -(-n_rows // max(1, batch_size)))
+        n_blocks = max(concurrency * 2, n_rows // max(1, batch_size), 1)
     else:
         n_blocks = concurrency * 4
     packed = packed.repartition(n_blocks)
