@@ -1709,7 +1709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dups": _q_docs_near_dups,
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_dup_spans": _q_docs_dup_spans,
-        "docs_sample_64": _q_docs_sample_64,
+        # round-5 addition, placed in the driver window (the sampling
+        # family keeps docs_hash_split + docs_mixture in-window)
+        "media_metadata": _q_media_metadata,
         "embeddings_knn": _q_embeddings_knn,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
@@ -1738,8 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_extras_1h": _q_series_extras_1h,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "events_props_rollup": _q_events_props_rollup,
-        # round-5 addition: header-only container metadata scan
-        "media_metadata": _q_media_metadata,
+        "docs_sample_64": _q_docs_sample_64,
     }
 
 
