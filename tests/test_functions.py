@@ -367,6 +367,95 @@ def test_avi_mjpeg_roundtrip():
     assert feats.shape == (FEATURE_DIM,) and np.isfinite(feats).all()
 
 
+def test_mp4_mjpeg_roundtrip():
+    """ISO-BMFF/'jpeg' codec: a real MP4 whose samples run through the
+    in-repo baseline JPEG codec. Smooth frames round-trip within JPEG's
+    lossy tolerance; structure is exact; a compressed-codec sample
+    entry raises at the documented seam naming the codec; a hand-muxed
+    multi-chunk stsc/stco layout demuxes to the same samples (the
+    demuxer walks the general sample table, not just the one the
+    encoder writes)."""
+    import struct
+
+    from tsfeatures_ray.functions.multimodal import (
+        _mp4_video_samples,
+        decode_video,
+        encode_mp4_mjpeg,
+        probe_media,
+    )
+
+    y, x = np.mgrid[0:21, 0:17]
+    frames = np.stack(
+        [
+            np.clip(
+                np.stack(
+                    [
+                        100 + 40 * np.sin(y / 5 + t),
+                        120 + 30 * np.cos(x / 6),
+                        90 + 20 * np.sin((x + y) / 7),
+                    ],
+                    axis=2,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for t in range(5)
+        ]
+    )
+    payload = encode_mp4_mjpeg(frames, fps=5)
+    assert payload[4:8] == b"ftyp"
+    meta = probe_media(payload)
+    assert (meta["format"], meta["codec"], meta["n_frames"], meta["width"],
+            meta["height"], meta["duration_s"]) == (
+        "mp4", "jpeg", 5, 17, 21, 1.0)
+    dec = decode_video(payload)
+    assert dec.shape == frames.shape
+    err = np.abs(dec.astype(float) - frames.astype(float))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+    # compressed-codec sample entry -> seam error naming the codec
+    broken = bytearray(payload)
+    j = bytes(broken).find(b"jpeg", 40)  # stsd sample-entry fourcc
+    broken[j : j + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_video(bytes(broken))
+
+    # multi-chunk stsc/stco: re-mux samples 0-2 / 3-4 into two chunks
+    codec, samples = _mp4_video_samples(payload)
+    sizes = [len(s) for s in samples]
+
+    def full(t, b, fl=0):
+        return struct.pack(">I", 12 + len(b)) + t + struct.pack(">I", fl) + b
+
+    mdat_body = payload.find(b"mdat") + 4
+    new_stsc = full(b"stsc", struct.pack(">I", 2)
+                    + struct.pack(">III", 1, 3, 1)
+                    + struct.pack(">III", 2, 2, 1))
+    new_stco = full(b"stco", struct.pack(">I", 2)
+                    + struct.pack(">II", mdat_body,
+                                  mdat_body + sum(sizes[:3])))
+    out = payload
+    for four, new in ((b"stco", new_stco), (b"stsc", new_stsc)):
+        at = out.find(four) - 4
+        (old_len,) = struct.unpack(">I", out[at : at + 4])
+        out = out[:at] + new + out[at + old_len :]
+    delta = len(out) - len(payload)
+    buf = bytearray(out)
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(buf).find(name) - 4
+        (sz,) = struct.unpack(">I", bytes(buf[at : at + 4]))
+        buf[at : at + 4] = struct.pack(">I", sz + delta)
+    codec2, samples2 = _mp4_video_samples(bytes(buf))
+    assert codec2 == codec and samples2 == samples
+    assert decode_video(bytes(buf)).shape == frames.shape
+
+    # feature kernels accept the container end-to-end
+    from tsfeatures_ray.functions.multimodal import FEATURE_DIM, extract_features
+
+    feats = extract_features(payload, "video")
+    assert feats.shape == (FEATURE_DIM,) and np.isfinite(feats).all()
+
+
 def _tiny_mp4(w=64, h=48, codec=b"avc1", n=30):
     """Minimal spec-shaped ISO-BMFF: ftyp + moov(mvhd, trak(tkhd,
     mdia(hdlr, minf(stbl(stsd, stsz))))) + mdat."""
@@ -452,9 +541,11 @@ def test_media_metadata_stage(ray_session):
 
     out = media_metadata(rd.from_arrow(synth_media_table(24))).to_pandas()
     assert len(out) == 24
-    assert set(out["format"]) <= {"png", "jpeg", "ppm", "wav", "vid0", "avi"}
+    assert set(out["format"]) <= {"png", "jpeg", "ppm", "wav", "vid0",
+                                  "avi", "mp4"}
     assert (out.loc[out["format"] == "wav", "sample_rate"] == 8000).all()
     assert (out.loc[out["format"] == "avi", "codec"] == "MJPG").all()
+    assert (out.loc[out["format"] == "mp4", "codec"] == "jpeg").all()
 
 
 def test_media_features_discriminate():

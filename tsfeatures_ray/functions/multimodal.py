@@ -12,16 +12,19 @@ defines/supports without external libraries:
   binary PPM (P6), all pure numpy/stdlib;
 - audio: RIFF/WAV PCM16, decoded with the stdlib ``wave`` module;
 - video: a trivial concatenated-PPM container (``VID0`` magic +
-  frame count + back-to-back P6 frames) AND RIFF AVI carrying MJPG
-  (every frame an independent baseline JPEG) -- real, parseable
-  formats; the AVI path drives the in-repo T.81 codec per frame.
+  frame count + back-to-back P6 frames), RIFF AVI carrying MJPG, AND
+  ISO-BMFF (MP4) carrying the 'jpeg' codec (full sample-table mux +
+  demux: stsd/stts/stsc/stsz/stco + co64) -- real, player-readable
+  formats; the AVI and MP4 paths drive the in-repo T.81 codec per
+  frame.
 
-Codecs that genuinely need external libraries (MP3, MP4/H.264,
-arithmetic-coded JPEG) raise ``NotImplementedError`` from
+Codecs that genuinely need external libraries (MP3, H.264/H.265
+bitstreams, arithmetic-coded JPEG) raise ``NotImplementedError`` from
 ``decode_media`` (clearly marked seam: real deployments plug PIL/libav
-into ``MediaFeatures(decode=...)``). PNG decodes the FULL static
-profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7 interlace);
-JPEG decodes baseline and progressive Huffman.
+into ``MediaFeatures(decode=...)``); an MP4 with a compressed codec is
+still fully demuxed so the error names the codec. PNG decodes the FULL
+static profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7
+interlace); JPEG decodes baseline and progressive Huffman.
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
@@ -475,24 +478,209 @@ def _decode_avi_mjpeg(payload: bytes) -> np.ndarray:
     return np.stack([decode_jpeg(f) for f in raw_frames])
 
 
-def decode_video(payload: bytes) -> np.ndarray:
-    """Video container -> (n, h, w, 3) uint8. Real decoders: the VID0
-    concatenated-PPM container and RIFF AVI carrying MJPG (each frame
-    decoded by the in-repo baseline JPEG decoder). MP4 containers are
-    PARSED (probe_mp4) so the error names the actual codec; the codec
-    bitstream itself (H.264 et al.) remains the external-decoder seam."""
-    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
-        return _decode_avi_mjpeg(payload)
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        meta = probe_mp4(payload)
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 -> ISO-BMFF (MP4) with one ``vide`` track
+    whose sample entry is the ``jpeg`` codec (motion JPEG in MP4 per
+    ISO/IEC 14496-12 VisualSampleEntry + the QuickTime/MP4 'jpeg'
+    fourcc): each sample is an independent baseline JPEG from the
+    in-repo T.81 encoder. Writes the complete sample-table chain
+    (stsd/stts/stsc/stsz/stco) plus mvhd/tkhd/mdhd/hdlr/vmhd/dinf, so
+    the file is a real, player-readable MP4 — not a repo-private
+    framing."""
+    from .jpeg import encode_jpeg
+
+    frames = np.asarray(frames)
+    n, h, w = len(frames), int(frames.shape[1]), int(frames.shape[2])
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(typ, struct.pack(">I", (version << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = box(b"mdat", b"".join(jpegs))
+    # the single stco entry points at the mdat body (mdat follows ftyp)
+    mdat_body = len(ftyp) + 8
+
+    identity = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                           0x40000000)
+    mvhd = full(b"mvhd", struct.pack(">II", 0, 0)            # creation/mod
+                + struct.pack(">II", fps, n)                 # timescale/dur
+                + struct.pack(">i", 0x00010000)              # rate 1.0
+                + struct.pack(">h", 0x0100) + b"\x00" * 10   # volume+resv
+                + identity + b"\x00" * 24                    # pre_defined
+                + struct.pack(">I", 2))                      # next track id
+    tkhd = full(b"tkhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1, 0)                   # track id+resv
+                + struct.pack(">I", n) + b"\x00" * 8         # duration+resv
+                + struct.pack(">hhhh", 0, 0, 0, 0)           # layer/group/vol
+                + identity
+                + struct.pack(">II", w << 16, h << 16),      # 16.16 fixed
+                flags=0x7)                                   # enabled+in movie
+    mdhd = full(b"mdhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", fps, n)
+                + struct.pack(">Hh", 0x55C4, 0))             # lang 'und'
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"Motion JPEG\x00")
+    compressor = bytes([11]) + b"Motion JPEG" + b"\x00" * 20  # pascal, 32 B
+    entry = box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)  # data_ref_idx
+                + b"\x00" * 16                               # pre_defined/resv
+                + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x00480000, 0x00480000) # 72 dpi
+                + b"\x00" * 4 + struct.pack(">H", 1)         # frame_count
+                + compressor
+                + struct.pack(">Hh", 24, -1))                # depth/pre_def
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))   # one chunk
+    stsz = full(b"stsz", struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+    stco = full(b"stco", struct.pack(">II", 1, mdat_body))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1))
+    minf = box(b"minf", vmhd + box(b"dinf", dref) + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _mp4_video_samples(payload: bytes) -> tuple[str, list[bytes]]:
+    """General ISO-BMFF demux of the first ``vide`` track: walks the
+    full sample-table chain (stsd codec, stsz fixed-or-per-sample sizes,
+    stsc sample-to-chunk runs, stco/co64 chunk offsets) and returns
+    (codec_fourcc, raw sample byte strings). Container-level only —
+    the returned samples are still codec bitstreams."""
+    handler = codec = None
+    sizes: list[int] = []
+    chunk_offs: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    in_video = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal handler, codec, sizes, chunk_offs, stsc, in_video
+        for typ, body, nxt in _mp4_boxes(payload, start, end):
+            if typ == b"trak":
+                if codec is not None and in_video:
+                    return  # first video track already collected
+                handler = None
+                walk(body, nxt)
+                in_video = handler == b"vide"
+            elif typ == b"hdlr":
+                handler = payload[body + 8 : body + 12]
+            elif typ == b"stsd":
+                if int.from_bytes(payload[body + 4 : body + 8], "big") >= 1:
+                    codec = payload[body + 12 : body + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif typ == b"stsz":
+                fixed = int.from_bytes(payload[body + 4 : body + 8], "big")
+                cnt = int.from_bytes(payload[body + 8 : body + 12], "big")
+                if fixed:
+                    sizes = [fixed] * cnt
+                else:
+                    sizes = [
+                        int.from_bytes(
+                            payload[body + 12 + 4 * i : body + 16 + 4 * i],
+                            "big",
+                        )
+                        for i in range(cnt)
+                    ]
+            elif typ in (b"stco", b"co64"):
+                width = 4 if typ == b"stco" else 8
+                cnt = int.from_bytes(payload[body + 4 : body + 8], "big")
+                chunk_offs = [
+                    int.from_bytes(
+                        payload[body + 8 + width * i : body + 8 + width * (i + 1)],
+                        "big",
+                    )
+                    for i in range(cnt)
+                ]
+            elif typ == b"stsc":
+                cnt = int.from_bytes(payload[body + 4 : body + 8], "big")
+                stsc = [
+                    (
+                        int.from_bytes(
+                            payload[body + 8 + 12 * i : body + 12 + 12 * i],
+                            "big",
+                        ),
+                        int.from_bytes(
+                            payload[body + 12 + 12 * i : body + 16 + 12 * i],
+                            "big",
+                        ),
+                    )
+                    for i in range(cnt)
+                ]
+            elif typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, nxt)
+
+    walk(0, len(payload))
+    if not in_video or codec is None:
+        raise ValueError("MP4 contains no video track")
+    if not sizes or not chunk_offs or not stsc:
+        raise ValueError("MP4 video track has an incomplete sample table")
+    samples: list[bytes] = []
+    si = 0
+    for i, (first_chunk, spc) in enumerate(stsc):
+        last_chunk = (
+            stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunk_offs)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            off = chunk_offs[chunk - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                samples.append(payload[off : off + sizes[si]])
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"MP4 sample table mismatch: stsz has {len(sizes)} samples, "
+            f"stsc/stco place {si}"
+        )
+    return codec, samples
+
+
+def _decode_mp4_mjpeg(payload: bytes) -> np.ndarray:
+    """ISO-BMFF carrying the 'jpeg' codec: demux the video track's
+    samples and decode each as an independent baseline JPEG. The codec
+    check runs on the header probe FIRST so a compressed-codec MP4
+    (H.264 et al.) raises the seam error naming its codec even when its
+    sample table is elsewhere (fragmented/truncated files)."""
+    from .jpeg import decode_jpeg
+
+    meta = probe_mp4(payload)
+    vid = next((t for t in meta["tracks"] if t["handler"] == "vide"), None)
+    if vid is None or vid["codec"] not in ("jpeg", "mjpa"):
         codecs = ",".join(
             sorted({t["codec"] for t in meta["tracks"] if t["codec"]})
         ) or "unknown"
         raise NotImplementedError(
             f"MP4 container parsed (brand {meta['brand']}, "
             f"{len(meta['tracks'])} track(s)) but codec(s) {codecs} need "
-            "an external decoder plugged in at MediaFeatures(decode=...)"
+            "an external decoder plugged in at MediaFeatures(decode=...); "
+            "only the 'jpeg' (motion JPEG) codec is decodable in-repo"
         )
+    _codec, samples = _mp4_video_samples(payload)
+    if not samples:
+        raise ValueError("MP4 video track contains no samples")
+    return np.stack([decode_jpeg(s) for s in samples])
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Video container -> (n, h, w, 3) uint8. Real decoders: the VID0
+    concatenated-PPM container, RIFF AVI carrying MJPG, and ISO-BMFF
+    (MP4) carrying the 'jpeg' codec — all three drive the in-repo
+    baseline JPEG decoder per frame. MP4s with compressed codecs are
+    fully DEMUXED (sample table walked) so the error names the actual
+    codec; the compressed bitstream itself (H.264 et al.) remains the
+    external-decoder seam."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        return _decode_avi_mjpeg(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _decode_mp4_mjpeg(payload)
     if not payload.startswith(_VIDEO_MAGIC):
         raise NotImplementedError(
             "unsupported video codec (VID0 concatenated-PPM and "
@@ -872,9 +1060,12 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             nf = int(rng.integers(2, 8))
             h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
-            # rotate REAL containers: VID0 concatenated-PPM, AVI/MJPG
-            if i % 2 == 1:
+            # rotate REAL containers: VID0 concatenated-PPM, AVI/MJPG,
+            # MP4/'jpeg' (ISO-BMFF)
+            if i % 3 == 1:
                 payloads.append(encode_avi_mjpeg(frames))
+            elif i % 3 == 2:
+                payloads.append(encode_mp4_mjpeg(frames))
             else:
                 payloads.append(encode_video(frames))
             widths.append(w); heights.append(h); rates.append(0); framecounts.append(nf)
