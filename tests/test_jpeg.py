@@ -136,11 +136,65 @@ def test_progressive_equals_baseline(img_fn):
     )
 
 
-def test_arithmetic_coding_rejected():
+@pytest.mark.parametrize(
+    "img_fn",
+    [
+        lambda: _smooth(48, 64),
+        lambda: _smooth(45, 53, 1),
+        lambda: _smooth(8, 8, 2),
+        lambda: np.random.default_rng(3).integers(
+            0, 256, (24, 32, 3), dtype=np.uint8
+        ),
+        lambda: (
+            np.outer(np.arange(17), np.ones(13)) * 5 % 200 + 20
+        ).astype(np.uint8),
+    ],
+    ids=["smooth", "odd-dims", "tiny", "noise", "gray"],
+)
+def test_arithmetic_equals_baseline(img_fn):
+    """The SOF9 encoder quantizes identically to the baseline encoder
+    and only swaps the entropy coder (QM arithmetic for Huffman), so
+    decoding both streams must give BIT-IDENTICAL pixels; the
+    arithmetic stream must also be smaller than this encoder's
+    simple-Huffman baseline (a badly transcribed Table D.3 would
+    inflate it)."""
+    from tsfeatures_ray.functions.jpeg import encode_jpeg_arithmetic
+
+    img = img_fn()
+    base = encode_jpeg(img)
+    ar = encode_jpeg_arithmetic(img)
+    assert ar.find(b"\xff\xc9") > 0 and ar.find(b"\xff\xcc") > 0  # SOF9+DAC
+    np.testing.assert_array_equal(decode_jpeg(ar), decode_jpeg(base))
+    assert len(ar) < len(base)
+
+
+def test_arithmetic_420_and_byte_stuffing():
+    """4:2:0 arithmetic scan round-trips, and a large noise image
+    forces stuffed 0xFF bytes through the encoder's carry-stacking
+    path and the decoder's unstuffing path."""
+    from tsfeatures_ray.functions.jpeg import encode_jpeg_arithmetic
+
+    img = _smooth(37, 29)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_arithmetic(img, subsample="420")),
+        decode_jpeg(encode_jpeg(img, subsample="420")),
+    )
+    noise = np.random.default_rng(11).integers(
+        0, 256, (120, 160, 3), dtype=np.uint8
+    )
+    ar = encode_jpeg_arithmetic(noise)
+    scan = ar[ar.find(b"\xff\xda"):]
+    assert scan.count(b"\xff\x00") > 0  # stuffing exercised
+    np.testing.assert_array_equal(
+        decode_jpeg(ar), decode_jpeg(encode_jpeg(noise))
+    )
+
+
+def test_progressive_arithmetic_rejected():
     img = _smooth(8, 8)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    enc[i + 1] = 0xCA  # rewrite SOF0 -> SOF10 (arithmetic progressive)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(enc))
 

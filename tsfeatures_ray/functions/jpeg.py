@@ -6,13 +6,17 @@ Scope (ITU-T T.81, public specification):
 
 - ``decode_jpeg``: baseline sequential DCT (SOF0/1), 8-bit, any
   sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-  byte-stuffing, AND progressive DCT (SOF2, T.81 Annex G): multi-scan
+  byte-stuffing, progressive DCT (SOF2, T.81 Annex G): multi-scan
   spectral selection + successive approximation, interleaved DC scans,
   non-interleaved AC band scans, DC/AC refinement with end-of-band
-  runs and correction bits. Huffman and quantization tables are read
-  from the stream (DHT/DQT), so any compliant Huffman file decodes.
-  Arithmetic coding, 12-bit and lossless/hierarchical modes raise
-  NotImplementedError (the remaining seam).
+  runs and correction bits, AND arithmetic-coded sequential DCT
+  (SOF9): the full Annex D QM-coder (Table D.3 state machine, carry
+  stacking, byte stuffing) with the Annex F DC/AC conditioning model
+  (DAC markers honored, defaults DC L=0/U=1, AC Kx=5). Huffman and
+  quantization tables are read from the stream (DHT/DQT), so any
+  compliant Huffman file decodes. Progressive-arithmetic, 12-bit and
+  lossless/hierarchical modes raise NotImplementedError (the
+  remaining seam).
 - ``encode_jpeg``: baseline sequential, 4:4:4 (one 8x8 block per
   component per MCU), quantization via the spec's example luminance /
   chrominance tables (Annex K shape), and SIMPLE canonical Huffman
@@ -25,6 +29,11 @@ Scope (ITU-T T.81, public specification):
   transform 1 + their refinement scans); same quantization as the
   baseline encoder, so both streams decode to bit-identical pixels
   (the round-trip gate in tests/test_jpeg.py).
+- ``encode_jpeg_arithmetic``: SOF9 with default conditioning in a DAC
+  segment; entropy coding is lossless over the same quantized
+  coefficients, so its pixels are also bit-identical to the baseline
+  stream's (same gate), while the stream is substantially smaller
+  than this encoder's simple-Huffman baseline.
 
 The entropy coder is a straightforward sequential bit loop (this is the
 documented per-record decode seam -- MediaFeatures runs it inside an
@@ -39,9 +48,431 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
+__all__ = [
+    "decode_jpeg",
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "encode_jpeg_arithmetic",
+]
 
 JPEG_MAGIC = b"\xff\xd8"
+
+# T.81 Table D.3: the QM-coder probability estimation state machine.
+# (Qe, NMPS, NLPS, switch) per state; entry 113 is the conventional
+# non-adapting near-equiprobable state used for AC sign bits (its
+# transitions point at itself and switch is 0, so it never moves).
+_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 Annex D.2 QM-coder decoder over one restart segment whose
+    stuffed zero bytes were already stripped (0xFF 0x00 -> 0xFF, same
+    convention as the Huffman path); reads past the end feed zeros per
+    D.2.7. A statistics bin is one byte: low 7 bits = Table D.3 state
+    index, top bit = current MPS sense."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.bp = 0
+        # INITDEC, aligned to this encoder's geometry (A0 = 0x10000,
+        # CT0 = 11, bytes emitted from bit 19): the first two stream
+        # bytes are exactly the initial 16-bit window, so they preload
+        # Chigh whole and the next byte is due at the first shift
+        self.c = (self._byte() << 24) | (self._byte() << 16)
+        self.ct = 0
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        b = self.d[self.bp] if self.bp < len(self.d) else 0
+        self.bp += 1
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        qe, nmps, nlps, sw = _ARITH_TAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a >= 0x8000:
+                return mps
+            # MPS path with conditional exchange (D.2.4)
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+        else:
+            # LPS path with conditional exchange (D.2.3)
+            self.c -= self.a << 16
+            if self.a < qe:
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            self.a = qe
+        # RENORMD (D.2.6)
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            if ct == 0:
+                c += self._byte() << 8
+                ct = 8
+            a <<= 1
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+class _ArithEncoder:
+    """T.81 Annex D.1 QM-coder encoder. Emits raw entropy bytes with
+    carry resolution (the 0xFF stacking discipline); the caller applies
+    marker byte-stuffing (0xFF -> 0xFF 0x00) on the finished scan."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11  # 3 spacer bits + first byte
+        self.buffer = -1
+        self.sc = 0  # count of stacked (carry-pending) 0xFF bytes
+        self.out = bytearray()
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nmps, nlps, sw = _ARITH_TAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit == mps:
+            # CODEMPS (D.1.3)
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (mps << 7) | nmps
+        else:
+            # CODELPS (D.1.2)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            if sw:
+                mps = 1 - mps
+            st[i] = (mps << 7) | nlps
+        # RENORME (D.1.5) + BYTEOUT (D.1.6)
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: bump the buffered byte, stacked 0xFFs roll to 0x00
+            if self.buffer >= 0:
+                self.out.append(self.buffer + 1)
+            self.out.extend(b"\x00" * self.sc)
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # may still receive a carry; hold it back
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+            self.out.extend(b"\xff" * self.sc)
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        # D.1.8/D.1.9: CLEARBITS then the final byte writes
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # one final carry
+            if self.buffer >= 0:
+                self.out.append(self.buffer + 1)
+            self.out.extend(b"\x00" * self.sc)
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+            self.out.extend(b"\xff" * self.sc)
+        self.buffer = -1
+        self.sc = 0
+        self.out.append((self.c >> 19) & 0xFF)
+        self.out.append((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+# Statistics layout per T.81 F.1.4.4 (as in every interoperable
+# implementation): DC tables use 49 bins -- 5 conditioning classes x
+# 4 (zero/sign/pos-mag/neg-mag) at 0..19, shared magnitude-category
+# exponent bins X1..X15 at 20..34, shared magnitude low-bit bins at
+# +14 from the exponent position. AC tables use 245 bins -- 3 per
+# coefficient index k (EOB / zero / magnitude) at 3*(k-1), exponent
+# families at 189 (k <= Kx) and 217 (k > Kx), low-bit bins at +14.
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+
+
+def _arith_decode_dc(dec, st, ctx, L, U):
+    """Decode one DC difference (F.2.4.1). Returns (diff, next_ctx)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    pos = ctx + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = 20
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("DC magnitude overrun")
+            pos += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2)
+    if m < ((1 << L) >> 1):
+        nctx = 0
+    elif m > ((1 << U) >> 1):
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _arith_decode_ac(dec, st, fixed, blk, kx):
+    """Decode one block's AC coefficients (F.2.4.2) into blk."""
+    k = 1
+    while k <= 63:
+        pos = 3 * (k - 1)
+        if dec.decode(st, pos):  # EOB
+            return
+        while dec.decode(st, pos + 1) == 0:
+            pos += 3
+            k += 1
+            if k > 63:
+                raise ValueError("AC index overrun")
+        sign = dec.decode(fixed, 0)
+        pos += 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("AC magnitude overrun")
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, pos):
+                v |= mm
+            mm >>= 1
+        v += 1
+        blk[_ZZ[k]] = -v if sign else v
+        k += 1
+
+
+def _arith_encode_dc(enc, st, ctx, diff, L, U):
+    """Encode one DC difference (F.1.4.1). Returns the next context."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    v = (-diff if sign else diff) - 1
+    pos = ctx + 2 + sign
+    m = 0
+    if v:
+        enc.encode(st, pos, 1)
+        m = 1
+        pos = 20
+        v2 = v >> 1
+        while v2:
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+            v2 >>= 1
+    enc.encode(st, pos, 0)
+    if m < ((1 << L) >> 1):
+        nctx = 0
+    elif m > ((1 << U) >> 1):
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    pos += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, pos, 1 if v & mm else 0)
+        mm >>= 1
+    return nctx
+
+
+def _arith_encode_ac(enc, st, fixed, row, kx):
+    """Encode one block's AC coefficients (F.1.4.2) from a 64-long
+    zigzag-ordered row."""
+    ke = 63
+    while ke > 0 and row[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        pos = 3 * (k - 1)
+        enc.encode(st, pos, 0)  # not EOB yet
+        while row[k] == 0:
+            enc.encode(st, pos + 1, 0)
+            pos += 3
+            k += 1
+        enc.encode(st, pos + 1, 1)
+        val = int(row[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, 0, sign)
+        v = (-val if sign else val) - 1
+        pos += 2
+        m = 0
+        if v:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = v >> 1
+            if v2:
+                enc.encode(st, pos, 1)
+                m = 2
+                pos = 189 if k <= kx else 217
+                v2 >>= 1
+                while v2:
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+                    v2 >>= 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, pos, 1 if v & mm else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (ke + 1 - 1), 1)  # EOB
+
+
+def _decode_scan_arith(
+    segs, scan_comps, coef, dc_cond, ac_cond,
+    restart_interval, width, height, hmax, vmax, mcux, mcuy,
+):
+    """Decode one arithmetic-coded sequential scan (SOF9) into the
+    coefficient grids. Statistics, conditioning contexts and DC
+    predictors all reset at restart boundaries (F.2.4)."""
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+        ubx = uby = 0
+    else:
+        c0 = scan_comps[0]
+        cw = -(-width * c0["h"] // hmax)
+        ch = -(-height * c0["v"] // vmax)
+        ubx = -(-cw // 8)
+        uby = -(-ch // 8)
+        n_units = ubx * uby
+
+    def fresh():
+        return (
+            {sc["dc"]: bytearray(_DC_STAT_BINS) for sc in scan_comps},
+            {sc["ac"]: bytearray(_AC_STAT_BINS) for sc in scan_comps},
+            bytearray([113]),
+            [0] * len(scan_comps),
+            [0] * len(scan_comps),
+        )
+
+    seg_idx = 0
+    dec = _ArithDecoder(segs[0])
+    dc_st, ac_st, fixed, pred, ctx = fresh()
+
+    def decode_block(blk, sc, sci):
+        L, U = dc_cond.get(sc["dc"], (0, 1))
+        kx = ac_cond.get(sc["ac"], 5)
+        diff, ctx[sci] = _arith_decode_dc(
+            dec, dc_st[sc["dc"]], ctx[sci], L, U
+        )
+        pred[sci] += diff
+        blk[0] = pred[sci]
+        _arith_decode_ac(dec, ac_st[sc["ac"]], fixed, blk, kx)
+
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            dec = _ArithDecoder(segs[seg_idx])
+            dc_st, ac_st, fixed, pred, ctx = fresh()
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for sci, sc in enumerate(scan_comps):
+                for v in range(sc["v"]):
+                    for h in range(sc["h"]):
+                        decode_block(
+                            coef[sc["ci"]][my * sc["v"] + v, mx * sc["h"] + h],
+                            sc, sci,
+                        )
+        else:
+            by, bx = divmod(u, ubx)
+            decode_block(coef[scan_comps[0]["ci"]][by, bx], scan_comps[0], 0)
 
 
 def _zigzag_order() -> np.ndarray:
@@ -373,10 +804,11 @@ def _decode_scan(
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JFIF -> HxWx3 uint8 (grayscale replicates channels). Decodes
-    baseline sequential (SOF0/1) and progressive (SOF2: spectral
-    selection + successive approximation, T.81 Annex G) Huffman streams;
-    arithmetic-coded, lossless and hierarchical modes raise at the
-    documented seam."""
+    baseline sequential (SOF0/1), progressive (SOF2: spectral selection
+    + successive approximation, T.81 Annex G) and arithmetic-coded
+    sequential (SOF9, T.81 Annex D QM-coder + Annex F conditioning)
+    streams; progressive-arithmetic, lossless and hierarchical modes
+    raise at the documented seam."""
     if not payload.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG stream")
     qt: dict[int, np.ndarray] = {}
@@ -387,6 +819,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
     n_scans = 0
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -423,7 +858,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nsym])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive (Huffman);
+            # SOF9 sequential (arithmetic)
+            arith = marker == 0xC9
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -442,13 +880,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode: arithmetic-coded, lossless and "
-                "hierarchical frames (baseline and progressive Huffman "
-                "DCT are implemented)"
+                "unsupported JPEG mode: progressive-arithmetic, lossless "
+                "and hierarchical frames (baseline, progressive Huffman "
+                "and sequential arithmetic DCT are implemented)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            j = 0
+            while j + 2 <= len(body):
+                tc, tb = body[j] >> 4, body[j] & 15
+                cs = body[j + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                j += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -467,10 +915,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             i += seglen
             segs, i = _entropy_segments(payload, i)
-            _decode_scan(
-                segs, scan_comps, coef, huff, ss, se, ahal >> 4, ahal & 15,
-                restart_interval, width, height, hmax, vmax, mcux, mcuy,
-            )
+            if arith:
+                if (ss, se, ahal) != (0, 63, 0):
+                    raise ValueError(
+                        "SOF9 scans are full-band sequential"
+                    )
+                _decode_scan_arith(
+                    segs, scan_comps, coef, dc_cond, ac_cond,
+                    restart_interval, width, height, hmax, vmax,
+                    mcux, mcuy,
+                )
+            else:
+                _decode_scan(
+                    segs, scan_comps, coef, huff, ss, se,
+                    ahal >> 4, ahal & 15,
+                    restart_interval, width, height, hmax, vmax,
+                    mcux, mcuy,
+                )
             n_scans += 1
             continue
         i += seglen
@@ -628,6 +1089,106 @@ def encode_jpeg(img: np.ndarray, subsample: str = "444") -> bytes:
                     dc_codes, ac_codes, preds[ci],
                 )
     out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_arithmetic(img: np.ndarray, subsample: str = "444") -> bytes:
+    """HxWx3 (RGB) or HxW (grayscale) uint8 -> arithmetic-coded
+    sequential JPEG (SOF9, T.81 Annex D QM-coder): same color
+    transform, padding and quantization as ``encode_jpeg``, so the
+    stream decodes to pixels BIT-IDENTICAL to the baseline Huffman
+    stream of the same image (the round-trip gate). Conditioning
+    defaults (DC L=0/U=1, AC Kx=5) ride in a DAC segment."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sub420 = subsample == "420" and not gray
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    qts = [_QT_LUMA] + ([] if gray else [_QT_CHROMA, _QT_CHROMA])
+    nf = 1 if gray else 3
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tq, qtab in enumerate(qts[: 2 if not gray else 1]):
+        zz = qtab.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for c in range(nf):
+        hv = 0x22 if (sub420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof  # SOF9
+    # DAC: default conditioning, one DC + one AC entry per table id
+    dac = b""
+    for t in range(1 if gray else 2):
+        dac += bytes([t, 0x10])         # DC table t: U=1, L=0
+        dac += bytes([0x10 | t, 5])     # AC table t: Kx=5
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    sos = bytes([nf])
+    for c in range(nf):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    pads = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        if sub420 and ci > 0:
+            pp = pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        pads.append(pp)
+
+    def quant_rows(plane, by, bx, qtab):
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8][None]
+        coefs = np.einsum("ux,nxy,yv->nuv", _A.T, blk - 128.0, _A)
+        return np.rint(coefs / qtab).astype(np.int64).reshape(-1, 64)[:, _ZZ]
+
+    enc = _ArithEncoder()
+    dc_st = {t: bytearray(_DC_STAT_BINS) for t in range(1 if gray else 2)}
+    ac_st = {t: bytearray(_AC_STAT_BINS) for t in range(1 if gray else 2)}
+    fixed = bytearray([113])
+    preds = [0] * nf
+    ctxs = [0] * nf
+
+    def code_block(row, ci):
+        t = 0 if ci == 0 else 1
+        diff = int(row[0]) - preds[ci]
+        preds[ci] = int(row[0])
+        ctxs[ci] = _arith_encode_dc(enc, dc_st[t], ctxs[ci], diff, 0, 1)
+        _arith_encode_ac(enc, ac_st[t], fixed, row, 5)
+
+    mcux = pw // mcu
+    mcuy = ph // mcu
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nf):
+            qtab = qts[min(ci, len(qts) - 1)]
+            if sub420 and ci == 0:
+                for v in range(2):
+                    for hh in range(2):
+                        code_block(
+                            quant_rows(pads[0], my * 2 + v, mx * 2 + hh,
+                                       qtab)[0], ci,
+                        )
+            else:
+                code_block(quant_rows(pads[ci], my, mx, qtab)[0], ci)
+    # marker byte-stuffing on the finished scan (0xFF -> 0xFF 0x00)
+    out += enc.flush().replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -19,12 +19,13 @@ defines/supports without external libraries:
   frame.
 
 Codecs that genuinely need external libraries (MP3, H.264/H.265
-bitstreams, arithmetic-coded JPEG) raise ``NotImplementedError`` from
-``decode_media`` (clearly marked seam: real deployments plug PIL/libav
-into ``MediaFeatures(decode=...)``); an MP4 with a compressed codec is
+bitstreams) raise ``NotImplementedError`` from ``decode_media``
+(clearly marked seam: real deployments plug PIL/libav into
+``MediaFeatures(decode=...)``); an MP4 with a compressed codec is
 still fully demuxed so the error names the codec. PNG decodes the FULL
 static profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7
-interlace); JPEG decodes baseline and progressive Huffman.
+interlace); JPEG decodes baseline, progressive Huffman AND
+arithmetic-coded sequential (SOF9, QM-coder).
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
