@@ -190,12 +190,43 @@ def test_arithmetic_420_and_byte_stuffing():
     )
 
 
-def test_progressive_arithmetic_rejected():
+@pytest.mark.parametrize(
+    "img_fn",
+    [
+        lambda: _smooth(48, 64),
+        lambda: np.random.default_rng(3).integers(
+            0, 256, (24, 32, 3), dtype=np.uint8
+        ),
+        lambda: (
+            np.outer(np.arange(17), np.ones(13)) * 5 % 200 + 20
+        ).astype(np.uint8),
+    ],
+    ids=["smooth", "noise", "gray"],
+)
+def test_progressive_arithmetic_equals_baseline(img_fn):
+    """SOF10 combines the progressive scan script with the QM-coder:
+    quantization is identical to the baseline encoder and both entropy
+    layers are lossless, so decoding must give BIT-IDENTICAL pixels.
+    Noise maximizes newly-nonzero / correction-bit / EOB coverage in
+    the G.2 refinement models."""
+    from tsfeatures_ray.functions.jpeg import (
+        encode_jpeg_progressive_arithmetic,
+    )
+
+    img = img_fn()
+    pa = encode_jpeg_progressive_arithmetic(img)
+    assert pa.find(b"\xff\xca") > 0 and pa.count(b"\xff\xda") >= 6
+    np.testing.assert_array_equal(
+        decode_jpeg(pa), decode_jpeg(encode_jpeg(img))
+    )
+
+
+def test_lossless_arithmetic_rejected():
     img = _smooth(8, 8)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xCA  # rewrite SOF0 -> SOF10 (arithmetic progressive)
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    enc[i + 1] = 0xCB  # rewrite SOF0 -> SOF11 (arithmetic lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(enc))
 
 

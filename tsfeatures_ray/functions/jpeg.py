@@ -9,14 +9,14 @@ Scope (ITU-T T.81, public specification):
   byte-stuffing, progressive DCT (SOF2, T.81 Annex G): multi-scan
   spectral selection + successive approximation, interleaved DC scans,
   non-interleaved AC band scans, DC/AC refinement with end-of-band
-  runs and correction bits, AND arithmetic-coded sequential DCT
-  (SOF9): the full Annex D QM-coder (Table D.3 state machine, carry
-  stacking, byte stuffing) with the Annex F DC/AC conditioning model
-  (DAC markers honored, defaults DC L=0/U=1, AC Kx=5). Huffman and
+  runs and correction bits, AND arithmetic-coded DCT -- sequential
+  (SOF9) and progressive (SOF10, Annex G.2 band/refinement models):
+  the full Annex D QM-coder (Table D.3 state machine, carry stacking,
+  byte stuffing) with the Annex F DC/AC conditioning model (DAC
+  markers honored, defaults DC L=0/U=1, AC Kx=5). Huffman and
   quantization tables are read from the stream (DHT/DQT), so any
-  compliant Huffman file decodes. Progressive-arithmetic, 12-bit and
-  lossless/hierarchical modes raise NotImplementedError (the
-  remaining seam).
+  compliant Huffman file decodes. 12-bit and lossless/hierarchical
+  modes raise NotImplementedError (the remaining seam).
 - ``encode_jpeg``: baseline sequential, 4:4:4 (one 8x8 block per
   component per MCU), quantization via the spec's example luminance /
   chrominance tables (Annex K shape), and SIMPLE canonical Huffman
@@ -34,6 +34,9 @@ Scope (ITU-T T.81, public specification):
   coefficients, so its pixels are also bit-identical to the baseline
   stream's (same gate), while the stream is substantially smaller
   than this encoder's simple-Huffman baseline.
+- ``encode_jpeg_progressive_arithmetic``: SOF10 with the progressive
+  scan script re-entropy-coded through the QM-coder (G.2 band /
+  refinement statistical models); same bit-identical-pixels gate.
 
 The entropy coder is a straightforward sequential bit loop (this is the
 documented per-record decode seam -- MediaFeatures runs it inside an
@@ -53,6 +56,7 @@ __all__ = [
     "encode_jpeg",
     "encode_jpeg_progressive",
     "encode_jpeg_arithmetic",
+    "encode_jpeg_progressive_arithmetic",
 ]
 
 JPEG_MAGIC = b"\xff\xd8"
@@ -296,17 +300,18 @@ def _arith_decode_dc(dec, st, ctx, L, U):
     return (-v if sign else v), nctx
 
 
-def _arith_decode_ac(dec, st, fixed, blk, kx):
-    """Decode one block's AC coefficients (F.2.4.2) into blk."""
-    k = 1
-    while k <= 63:
+def _arith_decode_ac(dec, st, fixed, blk, kx, ss=1, se=63, al=0):
+    """Decode one block's AC coefficients (F.2.4.2 sequential /
+    G.2.2 progressive-first band [ss, se] at point transform al)."""
+    k = ss
+    while k <= se:
         pos = 3 * (k - 1)
         if dec.decode(st, pos):  # EOB
             return
         while dec.decode(st, pos + 1) == 0:
             pos += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("AC index overrun")
         sign = dec.decode(fixed, 0)
         pos += 2
@@ -328,7 +333,40 @@ def _arith_decode_ac(dec, st, fixed, blk, kx):
                 v |= mm
             mm >>= 1
         v += 1
-        blk[_ZZ[k]] = -v if sign else v
+        blk[_ZZ[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_refine_ac(dec, st, fixed, blk, ss, se, al):
+    """Decode one block's AC successive-approximation refinement scan
+    (T.81 G.2.2, figure G.10 decode side): per-coefficient correction
+    bits for already-nonzero history, newly-nonzero insertions at
+    +/-2^al, EOB decision only past the previous stage's end-of-band
+    index."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and blk[_ZZ[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        pos = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, pos):
+                return  # EOB
+        while True:
+            z = _ZZ[k]
+            if blk[z] != 0:  # previously nonzero: correction bit
+                if dec.decode(st, pos + 2):
+                    blk[z] += m1 if blk[z] < 0 else p1
+                break
+            if dec.decode(st, pos + 1):  # newly nonzero
+                blk[z] = m1 if dec.decode(fixed, 0) else p1
+                break
+            pos += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refine index overrun")
         k += 1
 
 
@@ -368,17 +406,18 @@ def _arith_encode_dc(enc, st, ctx, diff, L, U):
     return nctx
 
 
-def _arith_encode_ac(enc, st, fixed, row, kx):
-    """Encode one block's AC coefficients (F.1.4.2) from a 64-long
-    zigzag-ordered row."""
-    ke = 63
-    while ke > 0 and row[ke] == 0:
+def _arith_encode_ac(enc, st, fixed, row, kx, ss=1, se=63, al=0):
+    """Encode one block's AC coefficients (F.1.4.2 sequential /
+    G.1.2.2 progressive-first band [ss, se] at point transform al)
+    from a 64-long zigzag-ordered row."""
+    ke = se
+    while ke >= ss and (abs(int(row[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         pos = 3 * (k - 1)
         enc.encode(st, pos, 0)  # not EOB yet
-        while row[k] == 0:
+        while (abs(int(row[k])) >> al) == 0:
             enc.encode(st, pos + 1, 0)
             pos += 3
             k += 1
@@ -386,7 +425,7 @@ def _arith_encode_ac(enc, st, fixed, row, kx):
         val = int(row[k])
         sign = 1 if val < 0 else 0
         enc.encode(fixed, 0, sign)
-        v = (-val if sign else val) - 1
+        v = (abs(val) >> al) - 1
         pos += 2
         m = 0
         if v:
@@ -410,17 +449,52 @@ def _arith_encode_ac(enc, st, fixed, row, kx):
             enc.encode(st, pos, 1 if v & mm else 0)
             mm >>= 1
         k += 1
-    if ke < 63:
-        enc.encode(st, 3 * (ke + 1 - 1), 1)  # EOB
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_encode_ac_refine(enc, st, fixed, row, ss, se, al):
+    """Encode one block's AC successive-approximation refinement
+    (T.81 G.1.2.3): correction bits for history-nonzero coefficients,
+    newly-nonzero insertions, EOB decisions only past the previous
+    stage's end-of-band index."""
+    ke = se
+    while ke >= ss and (abs(int(row[ke])) >> al) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and (abs(int(row[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        pos = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, pos, 0)  # not EOB yet
+        while True:
+            val = int(row[k])
+            t = abs(val) >> al
+            if t:
+                if t >> 1:  # previously nonzero: correction bit
+                    enc.encode(st, pos + 2, t & 1)
+                else:  # newly nonzero at this precision
+                    enc.encode(st, pos + 1, 1)
+                    enc.encode(fixed, 0, 1 if val < 0 else 0)
+                break
+            enc.encode(st, pos + 1, 0)
+            pos += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
 def _decode_scan_arith(
-    segs, scan_comps, coef, dc_cond, ac_cond,
+    segs, scan_comps, coef, dc_cond, ac_cond, ss, se, ah, al,
     restart_interval, width, height, hmax, vmax, mcux, mcuy,
 ):
-    """Decode one arithmetic-coded sequential scan (SOF9) into the
+    """Decode one arithmetic-coded scan -- sequential full-band (SOF9)
+    or any progressive band/refinement (SOF10, T.81 G.2) -- into the
     coefficient grids. Statistics, conditioning contexts and DC
-    predictors all reset at restart boundaries (F.2.4)."""
+    predictors all reset at scan start and restart boundaries."""
     interleaved = len(scan_comps) > 1
     if interleaved:
         n_units = mcux * mcuy
@@ -447,14 +521,26 @@ def _decode_scan_arith(
     dc_st, ac_st, fixed, pred, ctx = fresh()
 
     def decode_block(blk, sc, sci):
-        L, U = dc_cond.get(sc["dc"], (0, 1))
-        kx = ac_cond.get(sc["ac"], 5)
-        diff, ctx[sci] = _arith_decode_dc(
-            dec, dc_st[sc["dc"]], ctx[sci], L, U
-        )
-        pred[sci] += diff
-        blk[0] = pred[sci]
-        _arith_decode_ac(dec, ac_st[sc["ac"]], fixed, blk, kx)
+        if ah == 0:  # first pass (sequential is ss=0, se=63, al=0)
+            if ss == 0:
+                L, U = dc_cond.get(sc["dc"], (0, 1))
+                diff, ctx[sci] = _arith_decode_dc(
+                    dec, dc_st[sc["dc"]], ctx[sci], L, U
+                )
+                pred[sci] += diff
+                blk[0] = pred[sci] << al
+            if se >= 1:
+                _arith_decode_ac(
+                    dec, ac_st[sc["ac"]], fixed, blk,
+                    ac_cond.get(sc["ac"], 5), max(ss, 1), se, al,
+                )
+        elif ss == 0:  # DC refinement: one fixed-bin bit per block
+            if dec.decode(fixed, 0):
+                blk[0] |= 1 << al
+        else:  # AC refinement
+            _arith_refine_ac(
+                dec, ac_st[sc["ac"]], fixed, blk, ss, se, al
+            )
 
     for u in range(n_units):
         if restart_interval and u and u % restart_interval == 0:
@@ -858,10 +944,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nsym])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive (Huffman);
-            # SOF9 sequential (arithmetic)
-            arith = marker == 0xC9
+            # SOF9 sequential, SOF10 progressive (arithmetic)
+            arith = marker in (0xC9, 0xCA)
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -880,12 +966,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode: progressive-arithmetic, lossless "
-                "and hierarchical frames (baseline, progressive Huffman "
-                "and sequential arithmetic DCT are implemented)"
+                "unsupported JPEG mode: lossless and hierarchical "
+                "frames (baseline/progressive/sequential-arithmetic/"
+                "progressive-arithmetic DCT are implemented)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             j = 0
@@ -916,12 +1002,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i += seglen
             segs, i = _entropy_segments(payload, i)
             if arith:
-                if (ss, se, ahal) != (0, 63, 0):
-                    raise ValueError(
-                        "SOF9 scans are full-band sequential"
-                    )
                 _decode_scan_arith(
                     segs, scan_comps, coef, dc_cond, ac_cond,
+                    ss, se, ahal >> 4, ahal & 15,
                     restart_interval, width, height, hmax, vmax,
                     mcux, mcuy,
                 )
@@ -1380,5 +1463,127 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
             for m in range(n_blocks):
                 _encode_ac_refine_block(bw, comp_q[ci][m], ss, se, 0, ac_codes)
             out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive_arithmetic(img: np.ndarray) -> bytes:
+    """HxWx3 (RGB) or HxW (grayscale) uint8 -> progressive
+    arithmetic-coded JFIF (SOF10, T.81 Annex G.2), 4:4:4 sampling,
+    with the SAME scan script as ``encode_jpeg_progressive`` (DC first
+    + refine, per-component AC bands 1-5 / 6-63 at point transform 1 +
+    refinement scans) and the SAME quantization as ``encode_jpeg``, so
+    all three streams decode to bit-identical pixels. Statistics reset
+    per scan; each scan's entropy segment is byte-stuffed."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nf = len(planes)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qts = [_QT_LUMA] + ([] if gray else [_QT_CHROMA, _QT_CHROMA])
+
+    comp_q: list[np.ndarray] = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = (
+            pp.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = np.einsum("ux,nxy,yv->nuv", _A.T, blocks - 128.0, _A)
+        q = (
+            np.rint(coefs / qts[min(ci, len(qts) - 1)])
+            .astype(np.int64)
+            .reshape(-1, 64)[:, _ZZ]
+        )
+        comp_q.append(q)
+    n_blocks = len(comp_q[0])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tq, qtab in enumerate(qts[: 2 if not gray else 1]):
+        zz = qtab.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for c in range(nf):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof  # SOF10
+    dac = b""
+    for t in range(1 if gray else 2):
+        dac += bytes([t, 0x10])       # DC table t: U=1, L=0
+        dac += bytes([0x10 | t, 5])   # AC table t: Kx=5
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+
+    def sos(comp_list: list[int], ss: int, se: int, ah: int, al: int):
+        body = bytes([len(comp_list)])
+        for ci in comp_list:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body)
+
+    def fresh_scan():
+        return (
+            _ArithEncoder(),
+            {t: bytearray(_DC_STAT_BINS) for t in range(1 if gray else 2)},
+            {t: bytearray(_AC_STAT_BINS) for t in range(1 if gray else 2)},
+            bytearray([113]),
+        )
+
+    all_comps = list(range(nf))
+    # scan 1: DC first, interleaved, point transform 1
+    sos(all_comps, 0, 0, 0, 1)
+    enc, dc_st, ac_st, fixed = fresh_scan()
+    preds = [0] * nf
+    ctxs = [0] * nf
+    for m in range(n_blocks):
+        for ci in range(nf):
+            t = 0 if ci == 0 else 1
+            vv = int(comp_q[ci][m, 0]) >> 1
+            ctxs[ci] = _arith_encode_dc(
+                enc, dc_st[t], ctxs[ci], vv - preds[ci], 0, 1
+            )
+            preds[ci] = vv
+    out += enc.flush().replace(b"\xff", b"\xff\x00")
+    # scan 2: DC refinement (one fixed-bin bit per block)
+    sos(all_comps, 0, 0, 1, 0)
+    enc, dc_st, ac_st, fixed = fresh_scan()
+    for m in range(n_blocks):
+        for ci in range(nf):
+            enc.encode(fixed, 0, int(comp_q[ci][m, 0]) & 1)
+    out += enc.flush().replace(b"\xff", b"\xff\x00")
+    # per component: spectral-selection AC bands, first then refine
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nf):
+            t = 0 if ci == 0 else 1
+            sos([ci], ss, se, 0, 1)
+            enc, dc_st, ac_st, fixed = fresh_scan()
+            for m in range(n_blocks):
+                _arith_encode_ac(
+                    enc, ac_st[t], fixed, comp_q[ci][m], 5, ss, se, 1
+                )
+            out += enc.flush().replace(b"\xff", b"\xff\x00")
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nf):
+            t = 0 if ci == 0 else 1
+            sos([ci], ss, se, 1, 0)
+            enc, dc_st, ac_st, fixed = fresh_scan()
+            for m in range(n_blocks):
+                _arith_encode_ac_refine(
+                    enc, ac_st[t], fixed, comp_q[ci][m], ss, se, 0
+                )
+            out += enc.flush().replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"  # EOI
     return bytes(out)

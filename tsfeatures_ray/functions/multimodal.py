@@ -25,7 +25,7 @@ bitstreams) raise ``NotImplementedError`` from ``decode_media``
 still fully demuxed so the error names the codec. PNG decodes the FULL
 static profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7
 interlace); JPEG decodes baseline, progressive Huffman AND
-arithmetic-coded sequential (SOF9, QM-coder).
+arithmetic-coded sequential + progressive (SOF9/SOF10, QM-coder).
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
