@@ -221,6 +221,24 @@ def test_progressive_arithmetic_equals_baseline(img_fn):
     )
 
 
+@pytest.mark.parametrize("pred", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_roundtrip_exact(pred):
+    """SOF3 lossless mode: every predictor selector must reconstruct
+    the EXACT input array -- not the baseline's lossy pixels. Noise
+    exercises the full diff-category range; the 1-pixel and 1-row
+    shapes exercise the forced first-line/first-column predictors."""
+    from tsfeatures_ray.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(pred)
+    for shape in ((21, 17, 3), (1, 9, 3), (7, 1, 3), (1, 1, 3), (13, 11)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ll = encode_jpeg_lossless(img, predictor=pred)
+        assert ll.find(b"\xff\xc3") > 0
+        dec = decode_jpeg(ll)
+        ref = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+        np.testing.assert_array_equal(dec, ref)
+
+
 def test_lossless_arithmetic_rejected():
     img = _smooth(8, 8)
     enc = bytearray(encode_jpeg(img))

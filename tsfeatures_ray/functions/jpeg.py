@@ -13,10 +13,13 @@ Scope (ITU-T T.81, public specification):
   (SOF9) and progressive (SOF10, Annex G.2 band/refinement models):
   the full Annex D QM-coder (Table D.3 state machine, carry stacking,
   byte stuffing) with the Annex F DC/AC conditioning model (DAC
-  markers honored, defaults DC L=0/U=1, AC Kx=5). Huffman and
-  quantization tables are read from the stream (DHT/DQT), so any
-  compliant Huffman file decodes. 12-bit and lossless/hierarchical
-  modes raise NotImplementedError (the remaining seam).
+  markers honored, defaults DC L=0/U=1, AC Kx=5), AND lossless
+  prediction (SOF3, Annex H: all 7 predictor selectors, point
+  transform, modulo-2^16 reconstruction; components returned
+  verbatim -- T.81 defines no color transform for lossless). Huffman
+  and quantization tables are read from the stream (DHT/DQT), so any
+  compliant Huffman file decodes. 12-bit and arithmetic-lossless/
+  hierarchical modes raise NotImplementedError (the remaining seam).
 - ``encode_jpeg``: baseline sequential, 4:4:4 (one 8x8 block per
   component per MCU), quantization via the spec's example luminance /
   chrominance tables (Annex K shape), and SIMPLE canonical Huffman
@@ -37,6 +40,9 @@ Scope (ITU-T T.81, public specification):
 - ``encode_jpeg_progressive_arithmetic``: SOF10 with the progressive
   scan script re-entropy-coded through the QM-coder (G.2 band /
   refinement statistical models); same bit-identical-pixels gate.
+- ``encode_jpeg_lossless``: SOF3 with a selectable predictor;
+  round-trips the input array EXACTLY (the strongest gate: decode
+  equals the original, not the baseline's lossy reconstruction).
 
 The entropy coder is a straightforward sequential bit loop (this is the
 documented per-record decode seam -- MediaFeatures runs it inside an
@@ -57,6 +63,7 @@ __all__ = [
     "encode_jpeg_progressive",
     "encode_jpeg_arithmetic",
     "encode_jpeg_progressive_arithmetic",
+    "encode_jpeg_lossless",
 ]
 
 JPEG_MAGIC = b"\xff\xd8"
@@ -888,6 +895,72 @@ def _decode_scan(
             decode_block(coef[scan_comps[0]["ci"]][by, bx], scan_comps[0], 0)
 
 
+def _lossless_predict(smp, y, x, sel, p1):
+    """T.81 H.1.2.1 sample prediction: the selected predictor in the
+    interior, forced cases on the first line / first column, and the
+    midpoint constant for the very first sample."""
+    if y == 0:
+        return int(smp[0, x - 1]) if x > 0 else p1
+    if x == 0:
+        return int(smp[y - 1, 0])
+    a = int(smp[y, x - 1])
+    b = int(smp[y - 1, x])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    c = int(smp[y - 1, x - 1])
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {sel} out of range")
+
+
+def _decode_scan_lossless(
+    segs, scan_comps, samples, huff, sel, pt,
+    restart_interval, width, height,
+):
+    """Decode one lossless scan (SOF3, T.81 Annex H): per-sample
+    predictor + DC-category Huffman differences, modulo-2^16
+    reconstruction, restart segments restarting prediction."""
+    if restart_interval and restart_interval % width:
+        raise NotImplementedError(
+            "lossless restart intervals must be row-aligned "
+            "(a multiple of the sample width)"
+        )
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    p1 = 1 << (7 - pt)  # 2^(P - Pt - 1) at 8-bit precision
+    origin = 0  # restart boundaries restart prediction at that row
+    u = 0
+    for y in range(height):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            br = _BitReader(segs[seg_idx])
+            origin = y
+        u += width
+        for x in range(width):
+            for sc in scan_comps:
+                s = huff[(0, sc["dc"])].decode(br)
+                if s == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                smp = samples[sc["ci"]]
+                px = _lossless_predict(smp[origin:], y - origin, x, sel, p1)
+                smp[y, x] = (px + diff) & 0xFFFF
+    for sc in scan_comps:
+        if pt:
+            samples[sc["ci"]] <<= pt
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JFIF -> HxWx3 uint8 (grayscale replicates channels). Decodes
     baseline sequential (SOF0/1), progressive (SOF2: spectral selection
@@ -906,6 +979,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     n_scans = 0
     arith = False
+    lossless = False
+    samples: list[np.ndarray] | None = None
     dc_cond: dict[int, tuple[int, int]] = {}
     ac_cond: dict[int, int] = {}
     i = 2
@@ -944,10 +1019,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nsym])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 sequential, SOF2 progressive (Huffman);
-            # SOF9 sequential, SOF10 progressive (arithmetic)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
+            # (Huffman); SOF9 sequential, SOF10 progressive (arithmetic)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -959,6 +1035,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            if lossless:
+                if hmax != 1 or vmax != 1:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components"
+                    )
+                samples = [
+                    np.zeros((height, width), dtype=np.int64) for _ in comps
+                ]
+                coef = []  # marks the frame as started
+                i += seglen
+                continue
             mcux = -(-width // (8 * hmax))
             mcuy = -(-height // (8 * vmax))
             # int64 grids: progressive refinement does bitwise updates
@@ -966,12 +1053,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode: lossless and hierarchical "
-                "frames (baseline/progressive/sequential-arithmetic/"
-                "progressive-arithmetic DCT are implemented)"
+                "unsupported JPEG mode: arithmetic-lossless and "
+                "hierarchical frames (baseline/progressive DCT in both "
+                "entropy codings plus Huffman lossless are implemented)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             j = 0
@@ -1001,7 +1087,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             i += seglen
             segs, i = _entropy_segments(payload, i)
-            if arith:
+            if lossless:
+                _decode_scan_lossless(
+                    segs, scan_comps, samples, huff, ss, ahal & 15,
+                    restart_interval, width, height,
+                )
+            elif arith:
                 _decode_scan_arith(
                     segs, scan_comps, coef, dc_cond, ac_cond,
                     ss, se, ahal >> 4, ahal & 15,
@@ -1020,6 +1111,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         i += seglen
     if coef is None or n_scans == 0:
         raise ValueError("no SOS/SOF in stream")
+
+    if lossless:
+        # no DCT and no defined color transform in lossless mode:
+        # components are returned verbatim (T.81 Annex H codes raw
+        # component samples; DNG-style files carry raw planes)
+        planes = [np.clip(s, 0, 255).astype(np.uint8) for s in samples]
+        if len(planes) == 1:
+            return np.repeat(planes[0][:, :, None], 3, axis=2)
+        return np.stack(planes[:3], axis=2)
 
     # dequantize + IDCT, vectorized per component
     planes = []
@@ -1585,5 +1685,53 @@ def encode_jpeg_progressive_arithmetic(img: np.ndarray) -> bytes:
                     enc, ac_st[t], fixed, comp_q[ci][m], ss, se, 0
                 )
             out += enc.flush().replace(b"\xff", b"\xff\x00")
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
+    """HxWx3 (RGB) or HxW (grayscale) uint8 -> LOSSLESS JPEG (SOF3,
+    T.81 Annex H): per-sample prediction (selector 1-7) + DC-category
+    Huffman-coded differences, components carried verbatim (no color
+    transform and no quantization -- T.81 defines none for lossless),
+    so ``decode_jpeg`` reconstructs the EXACT input array."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selector must be in 1..7")
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    planes = [img] if gray else [img[:, :, c] for c in range(3)]
+    nf = len(planes)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for c in range(nf):
+        sof += bytes([c + 1, 0x11, 0])  # h=v=1, no quantization table
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof  # SOF3
+    body = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([nf])
+    for c in range(nf):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=selector, Se=0, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    p1 = 1 << 7
+    smps = [p.astype(np.int64) for p in planes]
+    for y in range(h):
+        for x in range(w):
+            for smp in smps:
+                px = _lossless_predict(smp, y, x, predictor, p1)
+                diff = int(smp[y, x]) - px
+                s = abs(diff).bit_length()
+                code, length = dc_codes[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -24,8 +24,10 @@ bitstreams) raise ``NotImplementedError`` from ``decode_media``
 ``MediaFeatures(decode=...)``); an MP4 with a compressed codec is
 still fully demuxed so the error names the codec. PNG decodes the FULL
 static profile (1/2/4/8/16-bit, palette, gray+alpha, tRNS, Adam7
-interlace); JPEG decodes baseline, progressive Huffman AND
-arithmetic-coded sequential + progressive (SOF9/SOF10, QM-coder).
+interlace); JPEG decodes baseline, progressive Huffman,
+arithmetic-coded sequential + progressive (SOF9/SOF10, QM-coder) AND
+lossless prediction (SOF3), leaving only arithmetic-lossless and
+hierarchical modes at the seam.
 
 Feature extraction, resize, and frame sampling are real numpy kernels:
 images -> intensity stats + 4x4 luminance grid + channel histogram;
