@@ -656,6 +656,25 @@ def _q_embeddings_knn_ivf(sf_dir: str):
     return out
 
 
+def _q_docs_tfidf(sf_dir: str):
+    """Per-document TF-IDF corpus statistics (round-5 addition): smooth
+    IDF ln((1+N)/(1+df))+1, per-doc n_tokens/n_distinct/max_tf/
+    tfidf_sum. Two-pass corpus statistic: DF is a pure partial+merge
+    (a document lives in one row) through ONE bounded hash-part
+    exchange; the vocabulary-bounded IDF table broadcasts once via
+    ray.put into the scorer actors; text never shuffles. tfidf_sum is
+    rounded with the same boundary-safe ROUND(x+1e-7, 6) convention as
+    the cosine oracles on both sides."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import tfidf_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return tfidf_stats(ds)
+
+
 def _q_docs_top_tokens(sf_dir: str):
     """Exact corpus-wide top-50 token frequencies (distributed
     heavy-hitters: per-batch vectorized partials, one (token,count)
@@ -1701,9 +1720,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_quantiles": _q_events_hist_quantiles,
         "docs_chunks": _q_docs_chunks,
         # -- representatives for the remaining families ------------------
+        # (docs_exact_dedup, r04-green, moved out to make window room
+        # for the round-5 docs_tfidf addition; the dedup family keeps
+        # docs_near_dups + docs_simhash_dups in-window)
         "docs_text_metrics": _q_docs_text_metrics,
         "docs_quality": _q_docs_quality,
-        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_tfidf": _q_docs_tfidf,
         "docs_lang_id": _q_docs_lang_id,
         "docs_simhash_dups": _q_docs_simhash_dups,
         "docs_near_dups": _q_docs_near_dups,
@@ -1722,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 50 ends the driver window ----------
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
+        "docs_exact_dedup": _q_docs_exact_dedup,
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
         "events_in_session": _q_events_in_session,
@@ -2674,6 +2697,23 @@ FROM documents
             + _sampling_sql().sample_sql_predicate("doc_id", 0.2, 1)
         ),
         "docs_packed": _pack_sql_mod().pack_sql("documents", 2048),
+        "docs_tfidf": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(tf.tf) AS BIGINT) AS max_tf,
+       ROUND(SUM(tf.tf * (LN((1.0 + n.n) / (1.0 + df.df)) + 1.0))
+             + 0.0000001, 6) AS tfidf_sum
+FROM tf JOIN df USING (token) CROSS JOIN n
+GROUP BY 1 ORDER BY 1
+""",
         "docs_top_tokens": """
 SELECT token, cnt FROM (
     SELECT token, COUNT(*) AS cnt

@@ -449,6 +449,10 @@ def run_ops() -> dict:
     timed("approx_top_tokens", n_docs,
           lambda: approx_top_tokens(docs(), k=50).count())
 
+    from tsfeatures_ray.functions.text import tfidf_stats
+
+    timed("tfidf_stats", n_docs, lambda: tfidf_stats(docs()).count())
+
     from tsfeatures_ray.functions.sketches import exact_quantile
 
     timed("exact_p95_selection", n_ev,

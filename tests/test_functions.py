@@ -772,6 +772,61 @@ def test_top_tokens_exact(ray_session):
         assert list(zip(got["token"], got["cnt"])) == want
 
 
+def test_tfidf_stats_matches_brute(ray_session):
+    """tfidf_stats (2-pass: partial+merge DF, broadcast IDF, stateless
+    scoring) equals a pandas brute-force TF-IDF on the same tokenizer,
+    at any partition count; docs with no [a-z] tokens drop on both
+    sides; null text is empty."""
+    import math
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import tfidf_stats
+
+    texts = [
+        "The cat and the dog", "a A aa b é-cat", "", "zz zz zz cat",
+        "dog DOG dog!", "cat9dog", "42 77 --", None, "unique solo words",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    n = len(df)
+    docs = {
+        i: re.findall(r"[a-z]+", (t or "").lower())
+        for i, t in zip(df["doc_id"], df["text"])
+    }
+    dfreq: dict = {}
+    for toks in docs.values():
+        for w in set(toks):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = []
+    for i, toks in docs.items():
+        if not toks:
+            continue
+        tf = pd.Series(toks).value_counts()
+        w = sum(
+            c * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0)
+            for t, c in tf.items()
+        )
+        want.append((i, len(toks), len(tf), int(tf.max()),
+                     np.floor((w + 1e-7) * 1e6 + 0.5) / 1e6))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "n_tokens", "n_distinct", "max_tf",
+                       "tfidf_sum"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    for parts in (2, 7):
+        got = tfidf_stats(
+            rd.from_pandas(df), num_parts=parts
+        ).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64"}), want_df.astype(
+                {"doc_id": "int64", "n_tokens": "int64",
+                 "n_distinct": "int64", "max_tf": "int64"}
+            )
+        )
+
+
 def test_exact_distinct_matches_pandas(ray_session):
     import numpy as np
     import pandas as pd

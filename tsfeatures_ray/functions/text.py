@@ -634,3 +634,142 @@ def redact(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+def _tokenize_doc_counts(ids, text):
+    """Per-document token counts for one batch: (doc_id column, text
+    column) -> (doc_id idx array, token array, tf array) with one row
+    per distinct (doc, token). Same byte-level [a-z]+ tokenizer as
+    ``_tokenize_counts`` (== DuckDB ``regexp_extract_all(lower(text),
+    '[a-z]+')``), vectorized: blank table lookup + Arrow per-row split
+    + dictionary_encode + one np.unique over packed (row, code) keys."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    bufs = text.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        text.offset: text.offset + len(text) + 1
+    ].astype(np.int64)
+    b = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    arr = pa.Array.from_buffers(
+        pa.large_utf8(), len(text),
+        [None, pa.py_buffer((offs - offs[0]).tobytes()),
+         pa.py_buffer(_TOKEN_TBL[b].tobytes())],
+    )
+    words = pc.split_pattern(arr, " ")
+    lens = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+    row_of = np.repeat(np.arange(len(text), dtype=np.int64), lens)
+    enc = pc.dictionary_encode(words.values)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pandas().to_numpy()
+    keep = np.char.str_len(vocab.astype(str))[codes] > 0
+    if not keep.any():
+        return (np.array([], np.int64), np.array([], object),
+                np.array([], np.int64))
+    nv = len(vocab)
+    key = row_of[keep] * nv + codes[keep]
+    uniq, tf = np.unique(key, return_counts=True)
+    return uniq // nv, vocab[uniq % nv], tf.astype(np.int64)
+
+
+class _TfIdfScorer:
+    """Actor-pool pass 2 of tfidf_stats: the (vocabulary-bounded) IDF
+    table is broadcast ONCE via ray.put and materialized per actor in
+    __init__, never re-shipped per batch."""
+
+    def __init__(self, idf_ref, round6: bool):
+        self.idf = ray.get(idf_ref)  # pandas Series: token -> idf
+        self.round6 = round6
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pandas().to_numpy()
+        didx, tokens, tf = _tokenize_doc_counts(ids, batch.column("text"))
+        w = tf * pd.Series(tokens).map(self.idf).to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"doc_id": ids[didx], "tf": tf, "w": w})
+        out = g.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"),
+            n_distinct=("tf", "size"),
+            max_tf=("tf", "max"),
+            tfidf_sum=("w", "sum"),
+        ).reset_index()
+        if self.round6:
+            # mirror the oracle's ROUND(x + 0.0000001, 6) exactly (the
+            # +1e-7 nudge moves the half-up boundary away from where
+            # two float SUM orders can disagree at the last ulp)
+            v = out["tfidf_sum"].to_numpy()
+            out["tfidf_sum"] = np.floor((v + 1e-7) * 1e6 + 0.5) / 1e6
+        out[["n_tokens", "n_distinct", "max_tf"]] = out[
+            ["n_tokens", "n_distinct", "max_tf"]
+        ].astype("int64")
+        return out
+
+
+def tfidf_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+    concurrency: int = 4,
+    round6: bool = True,
+) -> "ray.data.Dataset":
+    """Per-document TF-IDF corpus statistics (smooth IDF
+    ``ln((1+N)/(1+df)) + 1``): ``n_tokens`` / ``n_distinct`` /
+    ``max_tf`` / ``tfidf_sum`` per document -- the corpus-statistics
+    quality signal (rare-vocabulary documents score high) a
+    training-data pipeline ranks or filters on.
+
+    Scale shape: a document lives in exactly one row, so document
+    frequency is a pure partial+merge -- pass 1 ships only (token,
+    df_partial) pairs through ONE bounded exchange (hash % num_parts
+    keys, never raw token groupby), the merged IDF table (vocabulary-
+    bounded, orders of magnitude below the corpus) is broadcast once
+    with ray.put, and pass 2 scores documents statelessly. The input
+    Dataset is executed twice (the classic 2-pass corpus statistic);
+    pass a materialized Dataset when upstream is expensive. Text never
+    shuffles."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        _, tokens, _ = _tokenize_doc_counts(None, batch.column(text_col))
+        tok, dfc = np.unique(tokens, return_counts=True)
+        return pd.DataFrame({
+            "part": stable_part(tok, num_parts),
+            "token": tok,
+            "df": dfc.astype(np.int64),
+        })
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("token", sort=False)["df"].sum().reset_index()
+        )
+
+    slim = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id":
+        slim = slim.rename_columns({id_col: "doc_id"})
+    n_docs = slim.count()
+    df_tbl = (
+        slim.select_columns([text_col])
+        .map_batches(df_partial, batch_format="pyarrow", batch_size=4096,
+                     concurrency=concurrency, num_cpus=1)
+        .groupby("part")
+        .map_groups(df_merge, batch_format="pandas")
+        .to_pandas()  # vocabulary-bounded
+    )
+    idf = pd.Series(
+        np.log((1.0 + n_docs) / (1.0 + df_tbl["df"].to_numpy())) + 1.0,
+        index=df_tbl["token"].to_numpy(),
+    )
+    idf_ref = ray.put(idf)
+    return slim.map_batches(
+        _TfIdfScorer,
+        fn_constructor_kwargs={"idf_ref": idf_ref, "round6": round6},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    ).sort("doc_id")
