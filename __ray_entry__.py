@@ -78,6 +78,26 @@ def _q_derived_turns(sf_dir: str):
     return ds.drop_columns(["part"])
 
 
+def _q_turns_corr(sf_dir: str):
+    """Per-conversation Pearson correlation between the two derived
+    per-turn metrics (token_len vs inter-turn latency) -- the
+    cross-metric dependence statistic (round-5 addition). Engine path:
+    the derived pipeline's existing co-location, then grouped_corr's
+    partial+merge centered co-moments (one bounded exchange of 6
+    doubles per (conv, batch)); oracle is live SQL CORR with the same
+    pairwise-complete + variance guards. corr is rounded with the
+    boundary-safe ROUND(x+1e-7, 6) convention on both sides (safe for
+    negatives: both sides nudge BEFORE the half-away-from-zero round)."""
+    from tsfeatures_ray.functions.grouped import grouped_corr
+    from tsfeatures_ray.pipelines import derived_pipeline
+
+    ds = derived_pipeline(sf_dir).select_columns(
+        ["conv_id", "token_len", "latency_us"]
+    )
+    out = grouped_corr(ds, "conv_id", "token_len", "latency_us")
+    return _round_floats(out.sort("conv_id"), 6)
+
+
 def _q_rollup(tier: str):
     def run(sf_dir: str):
         from tsfeatures_ray.pipelines import rollup_pipeline
@@ -1705,7 +1725,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d": _q_rollup("1d"),
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
         "rollup_incremental_1h": _q_rollup_incremental_1h,
-        "rollup_compact_1h": _q_rollup_compact_1h,
+        # round-5 addition, placed in the driver window (rollup_compact_1h
+        # rotated out to make room -- the rollup family keeps five other
+        # in-window rows and compact stays r03-driver-green/r04-judge-green)
+        "turns_token_latency_corr": _q_turns_corr,
         "series_stats_wide": _q_series_stats_wide,
         "events_rollup_1d": _q_events_rollup("1d"),
         "docs_fingerprint": _q_docs_fingerprint,
@@ -1745,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "rollup_compact_1h": _q_rollup_compact_1h,
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
         "events_in_session": _q_events_in_session,
@@ -2439,6 +2463,19 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
         "rollup_compact_1h": rollup_sql("hour"),
+        "turns_token_latency_corr": turns + """
+SELECT conv_id,
+       CAST(COUNT(latency_us) AS BIGINT) AS n_pairs,
+       CASE WHEN COUNT(latency_us) >= 2
+                 AND VAR_SAMP(CASE WHEN latency_us IS NOT NULL
+                                   THEN CAST(token_len AS DOUBLE) END) > 0
+                 AND VAR_SAMP(latency_us) > 0
+            THEN ROUND(CORR(latency_us, CAST(token_len AS DOUBLE))
+                       + 0.0000001, 6)
+            ELSE NULL END AS corr
+FROM turns
+GROUP BY conv_id
+""",
         # the decoded codec blocks must reproduce the rollup the encoder
         # consumed -- the oracle below never saw the codec, so a
         # hash-match here proves encode -> decode == identity end-to-end

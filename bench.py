@@ -467,6 +467,11 @@ def run_ops() -> dict:
                               {"value": ["sum", "min", "max", "count",
                                          "mean", "last"]},
                               order_col="event_id").count())
+    from tsfeatures_ray.functions.grouped import grouped_corr
+
+    timed("grouped_corr_user", n_ev,
+          lambda: grouped_corr(_ev(["event_id", "user_id", "value"]),
+                               "user_id", "event_id", "value").count())
     timed("grouped_top3", n_ev,
           lambda: grouped_top_k(_ev(["event_id", "user_id", "value"]),
                                 "user_id", "value", k=3,

@@ -1,0 +1,89 @@
+"""grouped_corr: the distributed Chan-merge Pearson correlation must
+equal a single-frame pandas re-derivation (pairwise-complete,
+sample moments), including NULL-gate edge cases and regardless of how
+rows split across batches/partitions."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from tsfeatures_ray.functions import grouped_corr
+
+
+def _panel(seed=0, n=2000, n_keys=23):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, n_keys, n)
+    x = rng.normal(50.0, 5.0, n)
+    # y correlated with x, large offset mean (the microsecond-latency
+    # conditioning case the centered-moment design exists for)
+    y = 3.6e9 + 40.0 * x + rng.normal(0.0, 100.0, n)
+    y[rng.random(n) < 0.08] = np.nan  # incomplete pairs
+    return pd.DataFrame({"g": g, "x": x, "y": y})
+
+
+def _oracle(df):
+    rows = []
+    for k, sub in df.groupby("g", sort=True):
+        m = sub.dropna(subset=["x", "y"])
+        n = len(m)
+        if n >= 2 and m["x"].var(ddof=1) > 0 and m["y"].var(ddof=1) > 0:
+            c = float(np.corrcoef(m["x"], m["y"])[0, 1])
+        else:
+            c = np.nan
+        rows.append({"g": k, "n_pairs": n, "corr": c})
+    return pd.DataFrame(rows)
+
+
+class TestGroupedCorr:
+    def test_matches_pandas(self, ray_session):
+        df = _panel(1)
+        got = (
+            grouped_corr(rd.from_pandas(df).repartition(7), "g", "x", "y")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        want = _oracle(df)
+        assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+        np.testing.assert_allclose(got["corr"], want["corr"], rtol=1e-9)
+        assert got["n_pairs"].dtype == np.int64
+
+    def test_batch_split_invariance(self, ray_session):
+        """Moment merges across many tiny batches must be exact: run
+        the same frame at 1 partition and at 16, compare bitwise-ish."""
+        df = _panel(2, n=800, n_keys=5)
+        a = (
+            grouped_corr(rd.from_pandas(df).repartition(1), "g", "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        b = (
+            grouped_corr(rd.from_pandas(df).repartition(16), "g", "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert a["n_pairs"].tolist() == b["n_pairs"].tolist()
+        np.testing.assert_allclose(a["corr"], b["corr"], rtol=1e-12)
+
+    def test_null_gates(self, ray_session):
+        """n<2, zero variance, and all-incomplete groups emit NaN corr
+        but still emit a row (SQL GROUP BY semantics)."""
+        df = pd.DataFrame(
+            {
+                "g": ["one", "one", "const", "const", "const",
+                      "solo", "allnan", "allnan", "anti", "anti", "anti"],
+                "x": [1.0, 2.0, 5.0, 5.0, 5.0, 9.0, 1.0, 2.0, 1.0, 2.0, 3.0],
+                "y": [10.0, np.nan, 1.0, 2.0, 3.0, 4.0,
+                      np.nan, np.nan, 3.0, 2.0, 1.0],
+            }
+        )
+        got = (
+            grouped_corr(rd.from_pandas(df).repartition(3), "g", "x", "y")
+            .to_pandas().set_index("g")
+        )
+        assert set(got.index) == {"one", "const", "solo", "allnan", "anti"}
+        assert got.loc["one", "n_pairs"] == 1 and np.isnan(got.loc["one", "corr"])
+        assert got.loc["const", "n_pairs"] == 3 and np.isnan(got.loc["const", "corr"])
+        assert got.loc["solo", "n_pairs"] == 1 and np.isnan(got.loc["solo", "corr"])
+        assert got.loc["allnan", "n_pairs"] == 0 and np.isnan(got.loc["allnan", "corr"])
+        np.testing.assert_allclose(got.loc["anti", "corr"], -1.0, rtol=1e-12)
+        assert got.loc["anti", "n_pairs"] == 3

@@ -254,3 +254,103 @@ def pivot_agg(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_corr(
+    ds,
+    keys: str | list[str],
+    x_col: str,
+    y_col: str,
+    num_parts: int | None = None,
+):
+    """Distributed per-group Pearson correlation (SQL ``CORR(x, y)``)
+    via mergeable centered co-moments -- the cross-metric dependence
+    statistic the reference's per-series kernels never compute
+    (tsfeatures.py treats each metric column as an independent series;
+    this operator correlates two metrics WITHIN each series).
+
+    Semantics mirror SQL ``CORR``: pairwise-complete (a row counts only
+    when BOTH x and y are non-null), sample-moment normalization, and
+    NaN (SQL NULL) when fewer than 2 complete pairs or either variance
+    is zero. Groups whose rows are ALL incomplete still emit a row
+    (``n_pairs`` = 0, ``corr`` NaN) -- same as SQL GROUP BY.
+
+    Scale shape (same partial+merge split as ``grouped_agg``): each
+    batch collapses to one (n, sum_x, sum_y, M2x, M2y, Cxy) moment row
+    per group -- centered co-moments, NOT raw power sums, so there is
+    no catastrophic cancellation when |mean| >> stddev (latencies in
+    microseconds are exactly that case). Partials merge with the Chan
+    et al. parallel-variance recentering update, fully vectorized
+    (two pandas groupby transforms, no per-group Python). The exchange
+    moves 6 doubles per (group, batch) through the bounded
+    ``hash % num_parts`` key; when upstream is already co-partitioned
+    by ``keys`` that is one moment row per group total.
+
+    Output: key columns + ``n_pairs:int64`` + ``corr:float64``.
+    """
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64, copy=True)
+        y = df[y_col].to_numpy(dtype=np.float64, copy=True)
+        m = ~(np.isnan(x) | np.isnan(y))
+        d = df[kcols].copy()
+        d["n"] = m.astype(np.float64)
+        d["sx"] = np.where(m, x, 0.0)
+        d["sy"] = np.where(m, y, 0.0)
+        g = d.groupby(kcols, sort=False)
+        # per-group masked means, broadcast back to rows (guard n=0)
+        nrow = g["n"].transform("sum").to_numpy()
+        safe = np.maximum(nrow, 1.0)
+        mxr = g["sx"].transform("sum").to_numpy() / safe
+        myr = g["sy"].transform("sum").to_numpy() / safe
+        dx = np.where(m, x - mxr, 0.0)
+        dy = np.where(m, y - myr, 0.0)
+        d["m2x"] = dx * dx
+        d["m2y"] = dy * dy
+        d["cxy"] = dx * dy
+        out = g.agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            m2x=("m2x", "sum"), m2y=("m2y", "sum"), cxy=("cxy", "sum"),
+        ).reset_index()
+        out["part"] = _part_of(out, kcols, num_parts)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="part")
+        gg = g.groupby(kcols, sort=False)
+        # global per-group totals, broadcast to partial rows
+        N = gg["n"].transform("sum").to_numpy()
+        safe_n = np.maximum(N, 1.0)
+        mx_g = gg["sx"].transform("sum").to_numpy() / safe_n
+        my_g = gg["sy"].transform("sum").to_numpy() / safe_n
+        n = g["n"].to_numpy()
+        safe = np.maximum(n, 1.0)
+        ex = g["sx"].to_numpy() / safe - mx_g
+        ey = g["sy"].to_numpy() / safe - my_g
+        # Chan recentering: shift each partial's moments to the global mean
+        g["m2x"] = g["m2x"].to_numpy() + n * ex * ex
+        g["m2y"] = g["m2y"].to_numpy() + n * ey * ey
+        g["cxy"] = g["cxy"].to_numpy() + n * ex * ey
+        out = g.groupby(kcols, sort=False).agg(
+            n_pairs=("n", "sum"), m2x=("m2x", "sum"),
+            m2y=("m2y", "sum"), cxy=("cxy", "sum"),
+        ).reset_index()
+        npair = out["n_pairs"].to_numpy()
+        m2x = out["m2x"].to_numpy()
+        m2y = out["m2y"].to_numpy()
+        den = np.sqrt(m2x * m2y)
+        ok = (npair >= 2.0) & (m2x > 0.0) & (m2y > 0.0)
+        out["corr"] = np.where(
+            ok, out["cxy"].to_numpy() / np.where(den > 0.0, den, 1.0), np.nan
+        )
+        out["n_pairs"] = npair.astype(np.int64)
+        return out[kcols + ["n_pairs", "corr"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
