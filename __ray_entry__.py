@@ -695,6 +695,27 @@ def _q_docs_tfidf(sf_dir: str):
     return tfidf_stats(ds)
 
 
+def _q_docs_jaccard_dups(sf_dir: str):
+    """EXACT all-pairs k-shingle Jaccard near-dups (round-5 addition):
+    the recall-1.0 dedup baseline with a live SQL oracle (true 5-gram
+    sets in DuckDB vs hashed-shingle sets in the engine -- identical
+    Jaccard values because shingling is injective on this corpus and
+    both sides divide the same integers in float64, so the hash gate is
+    bit-exact without rounding tolerance games; jaccard still rounds
+    6dp under the shared convention). Engine path: partition-pair
+    block-nested-loop (every unordered pair meets exactly once), per-
+    bucket sort-merge run expansion + bincount -- no per-pair Python."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import jaccard_near_dups
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = jaccard_near_dups(ds, threshold=0.8)
+    return _round_floats(out.sort(["id_a", "id_b"]), 6)
+
+
 def _q_docs_top_tokens(sf_dir: str):
     """Exact corpus-wide top-50 token frequencies (distributed
     heavy-hitters: per-batch vectorized partials, one (token,count)
@@ -1750,8 +1771,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_tfidf": _q_docs_tfidf,
         "docs_lang_id": _q_docs_lang_id,
-        "docs_simhash_dups": _q_docs_simhash_dups,
         "docs_near_dups": _q_docs_near_dups,
+        # round-5 addition, placed in the driver window (docs_simhash_dups
+        # rotated out to make room -- it is r04-driver-green and the dedup
+        # family keeps near_dups + jaccard + dup_spans in-window)
+        "docs_jaccard_dups": _q_docs_jaccard_dups,
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_dup_spans": _q_docs_dup_spans,
         # round-5 addition, placed in the driver window (the sampling
@@ -1768,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_simhash_dups": _q_docs_simhash_dups,
         "rollup_compact_1h": _q_rollup_compact_1h,
         "events_asof_order": _q_events_asof_order,
         "events_window_pairs_1h": _q_events_window_pairs_1h,
@@ -2750,6 +2775,28 @@ SELECT tf.doc_id,
              + 0.0000001, 6) AS tfidf_sum
 FROM tf JOIN df USING (token) CROSS JOIN n
 GROUP BY 1 ORDER BY 1
+""",
+        "docs_jaccard_dups": """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i)
+  WHERE length(text) >= 5
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM g a JOIN g b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c) + 0.0000001, 6) AS jaccard
+FROM inter
+JOIN s sa ON sa.doc_id = id_a
+JOIN s sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+ORDER BY 1, 2
 """,
         "docs_top_tokens": """
 SELECT token, cnt FROM (

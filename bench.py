@@ -467,6 +467,11 @@ def run_ops() -> dict:
                               {"value": ["sum", "min", "max", "count",
                                          "mean", "last"]},
                               order_col="event_id").count())
+    from tsfeatures_ray.functions.dedup import jaccard_near_dups
+
+    timed("jaccard_dups_exact", n_docs,
+          lambda: jaccard_near_dups(docs(), threshold=0.8).count())
+
     from tsfeatures_ray.functions.grouped import grouped_corr
 
     timed("grouped_corr_user", n_ev,

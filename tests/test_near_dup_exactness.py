@@ -294,3 +294,28 @@ def test_hamming64_matches_python_popcount():
          for x, y in zip(a, b)]
     )
     assert (got == ref).all()
+
+
+def test_jaccard_near_dups_exact_all_pairs(ray_session, corpus, truth):
+    """The distributed exact Jaccard operator must equal the brute
+    all-pairs ground truth EXACTLY (precision and recall both 1.0 --
+    it is the recall-1.0 baseline of the dedup family), both in the
+    pair set AND in the jaccard values, at two partition counts (the
+    run-expansion + bincount bucket math must be split-invariant)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import jaccard_near_dups, ngram_jaccard
+
+    ids, texts = corpus
+    by_id = dict(zip(ids, texts))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    for parts in (3, 8):
+        got = jaccard_near_dups(ds, threshold=THRESHOLD, num_parts=parts).to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        assert got_pairs == truth, (parts, got_pairs ^ truth)
+        # values must equal the per-pair reference formulation exactly
+        ref = np.array([
+            ngram_jaccard(by_id[a], by_id[b])
+            for a, b in zip(got["id_a"], got["id_b"])
+        ])
+        np.testing.assert_array_equal(got["jaccard"].to_numpy(), ref)

@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash_signatures,
     simhash_near_dups,
+    jaccard_near_dups,
     ngram_jaccard_pairs,
 )
 from .spans import duplicated_span_stats  # noqa: F401

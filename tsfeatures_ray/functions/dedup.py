@@ -788,3 +788,171 @@ def simhash_near_dups(
     return _dedup_pairs_global(
         matched, num_parts, extra_cols=["hamming"]
     )
+
+
+def jaccard_near_dups(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_parts: int = 8,
+) -> "ray.data.Dataset":
+    """EXACT k-shingle n-gram Jaccard near-duplicate pairs (id_a <
+    id_b, jaccard >= threshold) -- the recall-1.0 baseline of the
+    dedup family (MinHash-LSH is the scale path; this is the oracle
+    path, same positioning as ``cosine_near_dups`` for embeddings).
+
+    Same distributed block-nested-loop skeleton as ``cosine_near_dups``
+    (every unordered doc pair meets in exactly one partition-pair
+    bucket, no driver materialization). Inside a bucket, pairwise
+    intersection sizes come from a sort-merge RUN EXPANSION over the
+    docs' sorted-unique shingle-hash arrays -- a pandas hash join of
+    (hash, doc) occurrence lists, chunked so the expanded pair list
+    stays bounded -- followed by one ``bincount`` into the dense
+    na x nb intersection matrix. No per-pair Python, no per-pair set
+    construction; compute is output-sensitive (sum over shared hashes
+    of df_a*df_b), not the dense O(na*nb*vocab).
+
+    Bucket size is the scale knob exactly as in ``cosine_near_dups``:
+    raise ``num_parts`` so (docs/num_parts)^2 ints fit a worker; the
+    shuffle moves num_parts x the (id, text) data.
+    """
+    import pandas as pd
+
+    from ..stages.derive import stable_part
+
+    P = num_parts
+    CHUNK = 1 << 24  # max expanded (doc_a, doc_b) occurrence pairs per bincount
+    DENSE_COST = 4096  # df_a*df_b above this -> dense-matmul counting
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        p = stable_part(df[id_col].to_numpy(), P)
+        rep = df.iloc[np.repeat(np.arange(len(df)), P)].reset_index(drop=True)
+        p_rep = np.repeat(p, P)
+        kk = np.tile(np.arange(P, dtype=np.int64), len(df))
+        lo, hi = np.minimum(p_rep, kk), np.maximum(p_rep, kk)
+        rep["side"] = p_rep
+        rep["pairb"] = lo * P + hi
+        return rep
+
+    _EMPTY_J = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+
+    def _occurrences(texts):
+        """(sorted hash array, doc-index array, per-doc set sizes)."""
+        sh = [_shingle_hashes(t, k) for t in texts]
+        sizes = np.array([len(s) for s in sh], dtype=np.int64)
+        h = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
+        d = np.repeat(np.arange(len(sh), dtype=np.int64), sizes)
+        order = np.argsort(h, kind="stable")
+        return h[order], d[order], sizes
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(g["pairb"].iloc[0]), P)
+        g = g.drop_duplicates(subset=[id_col, "side"])
+        a = g[g["side"] == i]
+        if len(a) == 0 or (i == j and len(a) < 2):
+            return _EMPTY_J.copy()
+        b = a if i == j else g[g["side"] == j]
+        if len(b) == 0:
+            return _EMPTY_J.copy()
+        ids_a = a[id_col].to_numpy()
+        ha, da, sa = _occurrences(a[text_col].tolist())
+        if i == j:
+            ids_b, hb, db, sb = ids_a, ha, da, sa
+        else:
+            ids_b = b[id_col].to_numpy()
+            hb, db, sb = _occurrences(b[text_col].tolist())
+        na, nb = len(ids_a), len(ids_b)
+        # run boundaries per shared hash: shingle arrays are unique per
+        # doc, so each (hash, doc) occurs once and runs are df lists
+        ua, ca = np.unique(ha, return_counts=True)
+        ub, cb = np.unique(hb, return_counts=True)
+        common, ixa, ixb = np.intersect1d(ua, ub, return_indices=True)
+        if len(common) == 0:
+            return _EMPTY_J.copy()
+        starts_a = np.concatenate(([0], np.cumsum(ca)))[ixa]
+        starts_b = np.concatenate(([0], np.cumsum(cb)))[ixb]
+        la, lb = ca[ixa], cb[ixb]
+        costs = la * lb
+        inter = np.zeros(na * nb, dtype=np.int64)
+        # hybrid EXACT counting: ultra-common shingles (stopword-grade
+        # 5-grams live in most docs, so their run cross-products
+        # dominate Sum(df_a*df_b) while carrying almost no Jaccard
+        # information per pair) go through ONE dense 0/1 matmul over
+        # the common-hash indicator matrices -- O(na*nb*n_dense) BLAS,
+        # exact integer counts in float64; everything rare keeps the
+        # output-sensitive run expansion. Measured 8x on the 5k-doc
+        # corpus (BASELINE.md).
+        dense = costs > DENSE_COST
+        if dense.any():
+            di_all = np.flatnonzero(dense)
+            step = max(1, (1 << 24) // max(na, nb))  # cap indicator RAM
+            for s in range(0, len(di_all), step):
+                di = di_all[s:s + step]
+                nd = len(di)
+                ind_a = np.zeros((na, nd), dtype=np.float64)
+                rows_a = da[_run_concat(starts_a[di], la[di])]
+                ind_a[rows_a, np.repeat(np.arange(nd), la[di])] = 1.0
+                if i == j:
+                    ind_b = ind_a
+                else:
+                    ind_b = np.zeros((nb, nd), dtype=np.float64)
+                    rows_b = db[_run_concat(starts_b[di], lb[di])]
+                    ind_b[rows_b, np.repeat(np.arange(nd), lb[di])] = 1.0
+                inter += np.rint(ind_a @ ind_b.T).astype(np.int64).ravel()
+        ri = np.flatnonzero(~dense)
+        bounds = np.concatenate(([0], np.cumsum(costs[ri])))
+        lo = 0
+        while lo < len(ri):
+            hi = int(np.searchsorted(bounds, bounds[lo] + CHUNK, side="left"))
+            hi = max(hi, lo + 1)
+            # expand A runs: element t of run h repeated lb[h] times
+            sel = ri[lo:hi]
+            a_idx = _run_concat(starts_a[sel], la[sel])
+            docs_a = np.repeat(da[a_idx], np.repeat(lb[sel], la[sel]))
+            # expand B runs: run h tiled la[h] times
+            b_rep_starts = np.repeat(starts_b[sel], la[sel])
+            b_rep_lens = np.repeat(lb[sel], la[sel])
+            docs_b = db[_run_concat(b_rep_starts, b_rep_lens)]
+            inter += np.bincount(docs_a * nb + docs_b, minlength=na * nb)
+            lo = hi
+        m = inter.reshape(na, nb)
+        union = sa[:, None] + sb[None, :] - m
+        jac = m / np.maximum(union, 1)
+        mask = jac >= threshold
+        if i == j:
+            mask &= np.triu(np.ones((na, nb), dtype=bool), k=1)
+        ia, ib = np.nonzero(mask)
+        if len(ia) == 0:
+            return _EMPTY_J.copy()
+        id_a, id_b = ids_a[ia], ids_b[ib]
+        jv = jac[ia, ib]
+        swap = id_a > id_b
+        return pd.DataFrame(
+            {"id_a": np.where(swap, id_b, id_a).astype("int64"),
+             "id_b": np.where(swap, id_a, id_b).astype("int64"),
+             "jaccard": jv.astype("float64")}
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pairb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def _run_concat(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate ranges [starts[i], starts[i]+lens[i]) -- the cumsum
+    pair-expansion trick (same as temporal_join's range expansion)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    step = np.ones(tot, dtype=np.int64)
+    heads = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    step[heads] = starts + 1 - np.concatenate(([1], (starts + lens)[:-1]))
+    return np.cumsum(step)
