@@ -319,7 +319,15 @@ def grouped_corr(
         return out
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="part")
+        # partial rows arrive in shuffle-completion order; float sums are
+        # order-sensitive at the ULP, so pin a canonical order first
+        # (bit-stable digests run-to-run -- the strict-determinism rule
+        # every float-emitting query here follows)
+        g = (
+            g.drop(columns="part")
+            .sort_values(kcols + ["n", "sx", "sy", "m2x", "m2y", "cxy"],
+                         kind="mergesort")
+        )
         gg = g.groupby(kcols, sort=False)
         # global per-group totals, broadcast to partial rows
         N = gg["n"].transform("sum").to_numpy()
