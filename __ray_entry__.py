@@ -695,6 +695,22 @@ def _q_docs_tfidf(sf_dir: str):
     return tfidf_stats(ds)
 
 
+def _q_docs_trigram_ppl(sf_dir: str):
+    """CCNet-style corpus-LM quality score (round-5 addition): fit a
+    character-trigram MLE model on the corpus, score each doc by mean
+    -ln P(trigram). Two-pass partial+merge + broadcast, text never
+    shuffles; trigram ids are a perfect 24-bit byte hash. Live SQL
+    oracle under the shared boundary-safe ROUND convention."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import trigram_logppl
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return trigram_logppl(ds)
+
+
 def _q_docs_jaccard_dups(sf_dir: str):
     """EXACT all-pairs k-shingle Jaccard near-dups (round-5 addition):
     the recall-1.0 dedup baseline with a live SQL oracle (true 5-gram
@@ -1767,9 +1783,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (docs_exact_dedup, r04-green, moved out to make window room
         # for the round-5 docs_tfidf addition; the dedup family keeps
         # docs_near_dups + docs_simhash_dups in-window)
-        "docs_text_metrics": _q_docs_text_metrics,
         "docs_quality": _q_docs_quality,
         "docs_tfidf": _q_docs_tfidf,
+        # round-5 addition, placed in the driver window (docs_text_metrics
+        # rotated out to make room -- it is r04-driver-green and the text-
+        # quality family keeps quality + tfidf + lang_id + ppl in-window)
+        "docs_trigram_ppl": _q_docs_trigram_ppl,
         "docs_lang_id": _q_docs_lang_id,
         "docs_near_dups": _q_docs_near_dups,
         # round-5 addition, placed in the driver window (docs_simhash_dups
@@ -1792,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_text_metrics": _q_docs_text_metrics,
         "docs_simhash_dups": _q_docs_simhash_dups,
         "rollup_compact_1h": _q_rollup_compact_1h,
         "events_asof_order": _q_events_asof_order,
@@ -2775,6 +2795,22 @@ SELECT tf.doc_id,
              + 0.0000001, 6) AS tfidf_sum
 FROM tf JOIN df USING (token) CROSS JOIN n
 GROUP BY 1 ORDER BY 1
+""",
+        "docs_trigram_ppl": """
+WITH pos AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 3
+),
+c AS (SELECT tri, COUNT(*) AS cnt FROM pos GROUP BY 1),
+t AS (SELECT COUNT(*) AS total FROM pos)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(-(LN(c.cnt) - LN(t.total))) + 0.0000001, 6) AS neg_logp_avg
+FROM pos JOIN c USING (tri) CROSS JOIN t
+GROUP BY 1
+ORDER BY 1
 """,
         "docs_jaccard_dups": """
 WITH g AS (

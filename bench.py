@@ -467,6 +467,11 @@ def run_ops() -> dict:
                               {"value": ["sum", "min", "max", "count",
                                          "mean", "last"]},
                               order_col="event_id").count())
+    from tsfeatures_ray.functions.text import trigram_logppl
+
+    timed("trigram_logppl", n_docs,
+          lambda: trigram_logppl(docs()).count())
+
     from tsfeatures_ray.functions.dedup import jaccard_near_dups
 
     timed("jaccard_dups_exact", n_docs,

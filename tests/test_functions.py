@@ -963,3 +963,59 @@ def test_histogram_quantiles_global(ray_session):
     for q, col in ((0.5, "q5"), (0.99, "q99")):
         exact = x[int(np.ceil(q * len(x))) - 1]
         assert abs(got[col].iloc[0] - exact) <= 0.1 + 1e-9
+
+
+def test_trigram_logppl_matches_brute(ray_session):
+    """trigram_logppl (2-pass: partial+merge counts, broadcast log-prob
+    table, stateless scoring) equals a pure-Python corpus-LM
+    re-derivation, at two partition/concurrency shapes; byte-level
+    semantics on multi-byte utf-8; docs under 3 bytes emit 0/NaN."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import trigram_logppl
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "zzzzzz",
+        "ab",            # < 3 bytes: no trigrams
+        "héllo héllo",   # multi-byte utf-8: trigrams are BYTE windows
+        "the the the the",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    # brute corpus model over byte trigrams
+    enc = [t.encode("utf-8") for t in texts]
+    all_tris: dict = {}
+    per_doc = []
+    for e in enc:
+        tris = [e[i:i + 3] for i in range(len(e) - 2)]
+        per_doc.append(tris)
+        for tr in tris:
+            all_tris[tr] = all_tris.get(tr, 0) + 1
+    total = sum(all_tris.values())
+    want = {}
+    for i, tris in enumerate(per_doc):
+        if not tris:
+            want[i] = (0, float("nan"))
+        else:
+            s = sum(-(math.log(all_tris[tr]) - math.log(total)) for tr in tris)
+            want[i] = (len(tris), s / len(tris))
+
+    for parts in (1, 5):
+        got = (
+            trigram_logppl(rd.from_pandas(df).repartition(parts),
+                           round6=False, num_parts=3)
+            .to_pandas().set_index("doc_id")
+        )
+        for i, (n, avg) in want.items():
+            assert got.loc[i, "n_trigrams"] == n, (parts, i)
+            if math.isnan(avg):
+                assert math.isnan(got.loc[i, "neg_logp_avg"])
+            else:
+                np.testing.assert_allclose(
+                    got.loc[i, "neg_logp_avg"], avg, rtol=1e-12
+                )

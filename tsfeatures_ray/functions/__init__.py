@@ -4,6 +4,8 @@ from .text import (  # noqa: F401
     language_id,
     redact,
     text_metrics,
+    tfidf_stats,
+    trigram_logppl,
 )
 from .sampling import (  # noqa: F401
     deterministic_sample,

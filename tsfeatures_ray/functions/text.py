@@ -773,3 +773,127 @@ def tfidf_stats(
         concurrency=(1, concurrency),
         num_cpus=1,
     ).sort("doc_id")
+
+
+def _doc_trigram_positions(texts: list) -> tuple:
+    """(trigram-id array over every position, doc-index array): byte-
+    level trigrams encoded as exact 24-bit ints (b0<<16|b1<<8|b2 -- a
+    PERFECT hash, no collisions). Vectorized over the whole batch: one
+    buffer, one sliding expression, boundary windows masked out."""
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    if lens.sum() == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                lens)
+    b = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    if len(b) < 3:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), lens
+    tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[: len(tri)]
+    # a window starting within the last 2 bytes of a doc spans into the
+    # next doc: mask those positions out
+    ends = np.cumsum(lens)
+    ok = np.ones(len(tri), dtype=bool)
+    for off in (1, 2):
+        pos = ends - off
+        pos = pos[(pos >= 0) & (pos < len(tri))]
+        ok[pos] = False
+    return tri[ok], doc[ok], lens
+
+
+class _TrigramScorer:
+    """Actor-pool pass 2 of trigram_logppl: the (vocabulary-bounded,
+    <=2^24) corpus log-prob table broadcasts ONCE via ray.put."""
+
+    def __init__(self, lp_ref, round6: bool):
+        self.tri_ids, self.lp = ray.get(lp_ref)  # sorted ids, logprobs
+        self.round6 = round6
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pandas().to_numpy()
+        texts = batch.column("text").to_pylist()
+        tri, doc, _ = _doc_trigram_positions(texts)
+        n_tri = np.bincount(doc, minlength=len(ids)).astype(np.int64)
+        # every trigram exists in the corpus table (pass 1 saw the same
+        # corpus), so the searchsorted lookup is total
+        lp = self.lp[np.searchsorted(self.tri_ids, tri)]
+        sums = np.bincount(doc, weights=-lp, minlength=len(ids))
+        with np.errstate(invalid="ignore"):
+            avg = sums / n_tri  # 0 trigrams -> NaN (SQL NULL)
+        if self.round6:
+            avg = np.floor((avg + 1e-7) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_trigrams": n_tri,
+            "neg_logp_avg": avg,
+        })
+
+
+def trigram_logppl(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+    concurrency: int = 4,
+    round6: bool = True,
+) -> "ray.data.Dataset":
+    """Per-document corpus-LM negative log-probability (CCNet-style
+    perplexity quality filtering, the standard LLM training-data
+    signal): a character-trigram MLE language model is fit on the whole
+    corpus (pass 1), then every document is scored by the mean
+    ``-ln P(trigram)`` of its positions (pass 2). Atypical documents
+    (rare byte patterns: boilerplate, mojibake, spam) score HIGH and
+    get filtered or down-weighted.
+
+    Scale shape (same 2-pass skeleton as ``tfidf_stats``): pass 1 ships
+    only (trigram-id, count) partials through ONE bounded exchange --
+    the id space is a PERFECT 24-bit byte hash, so the merged model is
+    exact and at most 2^24 entries (practically ~10-100k); the log-prob
+    table broadcasts once via ``ray.put`` and pass 2 is stateless
+    per-batch scoring. Text never shuffles. The input Dataset executes
+    twice (classic 2-pass corpus statistic).
+
+    Trigram semantics are BYTE-level (utf-8); on ASCII corpora this
+    equals character trigrams, which is what the live SQL oracle
+    (`docs_trigram_ppl`) checks."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        tri, _, _ = _doc_trigram_positions(batch.column(text_col).to_pylist())
+        u, c = np.unique(tri, return_counts=True)
+        return pd.DataFrame({
+            "part": stable_part(u, num_parts),
+            "tri": u,
+            "cnt": c.astype(np.int64),
+        })
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tri", sort=True)["cnt"].sum().reset_index()
+
+    slim = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id":
+        slim = slim.rename_columns({id_col: "doc_id"})
+    counts = (
+        slim.select_columns([text_col])
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=4096,
+                     concurrency=concurrency, num_cpus=1)
+        .groupby("part")
+        .map_groups(count_merge, batch_format="pandas")
+        .to_pandas()  # vocabulary-bounded (<= 2^24, practically ~1e4-1e5)
+        .sort_values("tri")
+    )
+    tri_ids = counts["tri"].to_numpy()
+    cnt = counts["cnt"].to_numpy(dtype=np.float64)
+    lp = np.log(cnt) - np.log(cnt.sum())
+    lp_ref = ray.put((tri_ids, lp))
+    return slim.map_batches(
+        _TrigramScorer,
+        fn_constructor_kwargs={"lp_ref": lp_ref, "round6": round6},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    ).sort("doc_id")
