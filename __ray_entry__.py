@@ -695,6 +695,24 @@ def _q_docs_tfidf(sf_dir: str):
     return tfidf_stats(ds)
 
 
+def _q_embeddings_kmeans(sf_dir: str):
+    """Distributed spherical k-means (round-5 addition): SemDeDup-style
+    semantic clustering -- deterministic sample init, 2 full Lloyd
+    refinement passes (canonical-order partial merge + centroid
+    quantization => bit-stable at any CPU count), broadcast-centroid
+    assignment. Iterative => no SQL oracle; gated by a committed golden
+    fixture + a blob-recovery pytest."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import kmeans_cluster
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return _round_floats(kmeans_cluster(ds, k=16, refine_iters=2), 6)
+
+
 def _q_docs_trigram_ppl(sf_dir: str):
     """CCNet-style corpus-LM quality score (round-5 addition): fit a
     character-trigram MLE model on the corpus, score each doc by mean
@@ -1774,8 +1792,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_mixture": _q_docs_mixture,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
-        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "embeddings_knn_ivf": _q_embeddings_knn_ivf,
+        # round-5 addition, placed in the driver window (the recall
+        # harness embeddings_knn_lsh_recall rotated out to make room --
+        # the similarity family keeps six other in-window rows)
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "docs_chunks": _q_docs_chunks,
@@ -1811,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "docs_text_metrics": _q_docs_text_metrics,
         "docs_simhash_dups": _q_docs_simhash_dups,
         "rollup_compact_1h": _q_rollup_compact_1h,
@@ -2966,6 +2988,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "embeddings_knn_lsh": fixture("embeddings_knn_lsh"),
         "embeddings_knn_lsh_recall": fixture("embeddings_knn_lsh_recall"),
         "embeddings_knn_ivf": fixture("embeddings_knn_ivf"),
+        "embeddings_kmeans": fixture("embeddings_kmeans"),
         "embeddings_cosine_dups_lsh": fixture("embeddings_cosine_dups_lsh"),
         "events_user_distinct_hll": fixture("events_user_distinct_hll"),
         "media_features": fixture("media_features"),

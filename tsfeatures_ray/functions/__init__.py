@@ -36,5 +36,6 @@ from .similarity import (  # noqa: F401
     ann_recall,
     brute_knn,
     ivf_knn,
+    kmeans_cluster,
     lsh_bucketed_knn,
 )

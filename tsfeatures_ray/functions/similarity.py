@@ -193,12 +193,29 @@ def lsh_bucketed_knn(
     return pd.concat(out, ignore_index=True)
 
 
-def _kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 11) -> np.ndarray:
+def _kmeans(
+    x: np.ndarray, k: int, iters: int = 12, seed: int = 11,
+    init: str = "random",
+) -> np.ndarray:
     """Small numpy k-means (cosine/normalized-L2) for the IVF coarse
-    quantizer -- trained on a driver-side SAMPLE, never the corpus."""
-    rng = np.random.Generator(np.random.PCG64(seed))
+    quantizer -- trained on a driver-side SAMPLE, never the corpus.
+    ``init="farthest"`` uses the deterministic greedy k-center seeding
+    (first row, then repeatedly the point least similar to any chosen
+    seed) -- RNG-free and immune to the two-seeds-in-one-blob collapse
+    random init suffers on well-separated clusters."""
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    cent = xn[rng.choice(len(xn), size=min(k, len(xn)), replace=False)]
+    kk = min(k, len(xn))
+    if init == "farthest":
+        idx = [0]
+        best = xn @ xn[0]
+        for _ in range(1, kk):
+            nxt = int(np.argmin(best))
+            idx.append(nxt)
+            best = np.maximum(best, xn @ xn[nxt])
+        cent = xn[idx].copy()
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        cent = xn[rng.choice(len(xn), size=kk, replace=False)]
     for _ in range(iters):
         assign = np.argmax(xn @ cent.T, axis=1)
         for j in range(len(cent)):
@@ -545,3 +562,137 @@ def ann_recall(
     return pd.DataFrame(
         rows, columns=["query_id", "recall_at_k", "n_exact", "n_approx"]
     )
+
+
+class _KmeansAssigner:
+    """Assignment pass: centroids broadcast once via ray.put; emits
+    (id, cluster, cosine-to-centroid) per vector."""
+
+    def __init__(self, cent_ref, id_col, vec_col):
+        self.cent = ray.get(cent_ref)  # (k, dim), unit-normalized
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ self.cent.T
+        assign = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "cluster": assign.astype(np.int64),
+            "sim": sims[np.arange(len(m)), assign].astype(np.float64),
+        })
+
+
+def kmeans_cluster(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    refine_iters: int = 2,
+    train_sample: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int | None = None,
+    concurrency: int = 4,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Distributed spherical k-means clustering over an embedding
+    column -- the semantic-clustering stage of SemDeDup-style training
+    -data pipelines (cluster, then dedup/curate WITHIN clusters so the
+    expensive pairwise work never crosses cluster boundaries).
+
+    Three stages, all deterministic (bit-stable run-to-run):
+    1. INIT -- driver k-means on a deterministic bounded sample
+       (hash-keyed membership + id-sorted order, the ivf_knn posture);
+    2. REFINE -- ``refine_iters`` full Lloyd passes over the corpus:
+       each batch emits per-cluster (count, sum-vector) partials, ONE
+       bounded exchange merges them per cluster with the partials in
+       CANONICAL sorted order (float sums are order-sensitive at the
+       ULP; sorting pins the bits), and the driver only normalizes the
+       k merged rows. Each pass streams the source again (iterative
+       algorithms re-scan; O(refine_iters) passes). Empty clusters
+       keep their previous centroid.
+    3. ASSIGN -- stateless broadcast-centroid pass emitting
+       ``(id, cluster:int64, sim:float64)``.
+
+    The exchange carries k x dim doubles per batch -- never vectors of
+    the corpus; the driver holds only (k, dim)."""
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    n_total = ds.count()
+    frac = min(1.0, train_sample / max(1, n_total))
+    if frac >= 1.0:
+        sample = ds.to_pandas()
+    else:
+        from .sampling import deterministic_sample
+
+        sample = deterministic_sample(ds, frac, id_col, salt=seed).to_pandas()
+    sample = sample.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    cent = _kmeans(
+        _to_matrix(sample[vec_col].to_numpy()), k, seed=seed, init="farthest"
+    )
+
+    for _ in range(max(0, refine_iters)):
+        cref = ray.put(cent)
+        kk = len(cent)
+
+        def partial(batch: pd.DataFrame, _cref=cref, _k=kk) -> pd.DataFrame:
+            c = ray.get(_cref)
+            m = _to_matrix(batch[vec_col].to_numpy())
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(m @ c.T, axis=1)
+            cl = np.unique(assign)
+            rows = []
+            for j in cl:
+                sel = m[assign == j]
+                rows.append({"cluster": int(j), "n": int(len(sel)),
+                             "vsum": sel.sum(axis=0).tolist()})
+            out = pd.DataFrame(rows)
+            out["part"] = out["cluster"].to_numpy() % num_parts
+            return out
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for j, sub in g.groupby("cluster", sort=True):
+                # canonical partial order -> bit-stable float sums
+                items = sorted(
+                    (int(n), tuple(v)) for n, v in zip(sub["n"], sub["vsum"])
+                )
+                tot = sum(n for n, _ in items)
+                s = np.zeros(len(items[0][1]), dtype=np.float64)
+                for _, v in items:
+                    s += np.asarray(v, dtype=np.float64)
+                rows.append({"cluster": int(j), "n": tot, "vsum": s.tolist()})
+            return pd.DataFrame(rows)
+
+        parts = (
+            ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()  # k rows of (cluster, n, dim doubles)
+            .sort_values("cluster")
+        )
+        new = cent.copy()
+        for j, n, v in zip(parts["cluster"], parts["n"], parts["vsum"]):
+            if n > 0:
+                vv = np.asarray(v, dtype=np.float64) / n
+                new[int(j)] = vv / max(np.linalg.norm(vv), 1e-12)
+        # batch COMPOSITION (read-block boundaries) changes with the CPU
+        # count, so the partial sums can differ at the last ulp across
+        # parallelism levels even with the canonical merge order above;
+        # quantizing the centroids far above ulp but far below any real
+        # separation makes the refinement (and hence every assignment)
+        # identical at any CPU count
+        cent = np.round(new, 12)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _KmeansAssigner,
+        fn_constructor_kwargs={
+            "cent_ref": ray.put(cent), "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    ).sort(id_col)
