@@ -251,3 +251,85 @@ def test_lossless_arithmetic_rejected():
 def test_non_jpeg_rejected():
     with pytest.raises(ValueError):
         decode_jpeg(b"P6\n1 1\n255\nabc")
+
+
+class TestHierarchical:
+    """Annex J pyramid gates: DHP/EXP framing, differential SOF5/SOF7
+    zero-prediction decoding, J.1.1.2 reference expansion."""
+
+    def _gray(self, h, w, seed=0):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = 128 + 60 * np.sin(x / 5 + seed) + 50 * np.cos(y / 7)
+        img = img + rng.normal(0, 8, (h, w))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    @pytest.mark.parametrize("shape", [(29, 37), (16, 16), (33, 8)])
+    def test_lossless_pyramid_exact(self, shape):
+        """Lossy base + differential-lossless refinement reconstructs
+        the EXACT input (the whole point of Annex J pyramids), at odd
+        and block-aligned shapes."""
+        from tsfeatures_ray.functions.jpeg import encode_jpeg_hierarchical
+
+        img = self._gray(*shape, seed=shape[0])
+        out = decode_jpeg(encode_jpeg_hierarchical(img, refine="lossless"))
+        assert np.array_equal(out[:, :, 0], img)
+        assert np.array_equal(out[:, :, 1], img)  # gray replicates
+
+    def test_dct_pyramid_near_exact_and_better_than_base(self):
+        """SOF5 differential DCT refinement (unit quantization): the
+        reconstruction may differ from the input only by DCT rounding
+        (|err| <= 1) and must strictly improve on the expanded base
+        frame alone."""
+        from tsfeatures_ray.functions.jpeg import (
+            _expand2x,
+            encode_jpeg,
+            encode_jpeg_hierarchical,
+        )
+
+        img = self._gray(40, 56, seed=2)
+        out = decode_jpeg(encode_jpeg_hierarchical(img, refine="dct"))
+        err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 1
+        # base-only reconstruction (what a resolution-limited reader sees)
+        pi = img.astype(np.int64)
+        half = ((pi[0::2, 0::2] + pi[0::2, 1::2] + pi[1::2, 0::2]
+                 + pi[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+        ref = decode_jpeg(encode_jpeg(half))[:, :, 0].astype(np.int64)
+        ref = _expand2x(_expand2x(ref, axis=1), axis=0)[:40, :56]
+        base_err = np.abs(ref - img.astype(np.int64))
+        assert err.mean() < base_err.mean() / 10
+
+    def test_expand_filter_spec_values(self):
+        """J.1.1.2: even outputs copy, odd outputs are the rounded mean
+        of neighbours, edges replicate."""
+        from tsfeatures_ray.functions.jpeg import _expand2x
+
+        r = np.array([[0, 10, 255]], dtype=np.int64)
+        got = _expand2x(r, axis=1)
+        assert got.tolist() == [[0, 5, 10, 133, 255, 255]]
+        got_v = _expand2x(r.T, axis=0)
+        assert got_v.T.tolist() == [[0, 5, 10, 133, 255, 255]]
+
+    def test_differential_outside_pyramid_rejected(self):
+        from tsfeatures_ray.functions.jpeg import encode_jpeg_hierarchical
+
+        img = self._gray(16, 16)
+        b = bytearray(encode_jpeg_hierarchical(img))
+        # strip the DHP segment (4 bytes header + payload): differential
+        # frames must then be rejected
+        i = b.index(b"\xff\xde")
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        del b[i : i + 2 + seglen]
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(b))
+
+    def test_unsupported_modes_still_raise(self):
+        from tsfeatures_ray.functions.jpeg import encode_jpeg_hierarchical
+
+        img = self._gray(16, 16)
+        b = bytearray(encode_jpeg_hierarchical(img))
+        i = b.index(b"\xff\xc7")
+        b[i + 1] = 0xCF  # arithmetic differential lossless
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(b))

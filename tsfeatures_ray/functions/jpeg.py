@@ -16,10 +16,15 @@ Scope (ITU-T T.81, public specification):
   markers honored, defaults DC L=0/U=1, AC Kx=5), AND lossless
   prediction (SOF3, Annex H: all 7 predictor selectors, point
   transform, modulo-2^16 reconstruction; components returned
-  verbatim -- T.81 defines no color transform for lossless). Huffman
+  verbatim -- T.81 defines no color transform for lossless), AND
+  Huffman HIERARCHICAL pyramids (Annex J: DHP/EXP markers,
+  non-differential base frames, differential sequential SOF5 and
+  differential lossless SOF7 refinement frames with zero-prediction
+  coding and the J.1.1.2 reference expansion filter). Huffman
   and quantization tables are read from the stream (DHT/DQT), so any
-  compliant Huffman file decodes. 12-bit and arithmetic-lossless/
-  hierarchical modes raise NotImplementedError (the remaining seam).
+  compliant Huffman file decodes. 12-bit precision, differential
+  progressive (SOF6) and the arithmetic lossless/differential modes
+  raise NotImplementedError (the remaining seam).
 - ``encode_jpeg``: baseline sequential, 4:4:4 (one 8x8 block per
   component per MCU), quantization via the spec's example luminance /
   chrominance tables (Annex K shape), and SIMPLE canonical Huffman
@@ -816,6 +821,7 @@ def _refine_ac(br, blk, act, ss: int, se: int, al: int, eobrun: int) -> int:
 def _decode_scan(
     segs, scan_comps, coef, huff, ss, se, ah, al,
     restart_interval, width, height, hmax, vmax, mcux, mcuy,
+    differential=False,
 ):
     """Decode ONE scan (baseline full-band or any progressive band) into
     the per-component coefficient grids. Interleaved scans walk MCUs;
@@ -844,8 +850,13 @@ def _decode_scan(
             if ss == 0:
                 s = huff[(0, sc["dc"])].decode(br)
                 diff = _extend(br.read_bits(s), s) if s else 0
-                pred[sci] += diff
-                blk[0] = pred[sci] << al
+                if differential:
+                    # T.81 differential frames: DC prediction is zero,
+                    # the decoded value IS the coefficient
+                    blk[0] = diff << al
+                else:
+                    pred[sci] += diff
+                    blk[0] = pred[sci] << al
                 k = 1
             if k > se:
                 return
@@ -895,6 +906,20 @@ def _decode_scan(
             decode_block(coef[scan_comps[0]["ci"]][by, bx], scan_comps[0], 0)
 
 
+def _expand2x(r: np.ndarray, axis: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference upsampling: even outputs copy the input,
+    odd outputs are the rounded mean of the two neighbours (last one
+    replicates the edge)."""
+    if axis == 0:
+        return _expand2x(r.T, axis=1).T
+    h, w = r.shape
+    out = np.empty((h, 2 * w), dtype=np.int64)
+    out[:, 0::2] = r
+    nxt = np.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+    out[:, 1::2] = (r + nxt + 1) >> 1
+    return out
+
+
 def _lossless_predict(smp, y, x, sel, p1):
     """T.81 H.1.2.1 sample prediction: the selected predictor in the
     interior, forced cases on the first line / first column, and the
@@ -925,7 +950,7 @@ def _lossless_predict(smp, y, x, sel, p1):
 
 def _decode_scan_lossless(
     segs, scan_comps, samples, huff, sel, pt,
-    restart_interval, width, height,
+    restart_interval, width, height, differential=False,
 ):
     """Decode one lossless scan (SOF3, T.81 Annex H): per-sample
     predictor + DC-category Huffman differences, modulo-2^16
@@ -954,7 +979,14 @@ def _decode_scan_lossless(
                 else:
                     diff = _extend(br.read_bits(s), s) if s else 0
                 smp = samples[sc["ci"]]
-                px = _lossless_predict(smp[origin:], y - origin, x, sel, p1)
+                if differential:
+                    # differential frames code the correction directly:
+                    # prediction is zero (T.81 Annex J / H)
+                    px = 0
+                else:
+                    px = _lossless_predict(
+                        smp[origin:], y - origin, x, sel, p1
+                    )
                 smp[y, x] = (px + diff) & 0xFFFF
     for sc in scan_comps:
         if pt:
@@ -964,9 +996,13 @@ def _decode_scan_lossless(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JFIF -> HxWx3 uint8 (grayscale replicates channels). Decodes
     baseline sequential (SOF0/1), progressive (SOF2: spectral selection
-    + successive approximation, T.81 Annex G) and arithmetic-coded
-    sequential (SOF9, T.81 Annex D QM-coder + Annex F conditioning)
-    streams; progressive-arithmetic, lossless and hierarchical modes
+    + successive approximation, T.81 Annex G), arithmetic-coded
+    sequential/progressive (SOF9/10, Annex D QM-coder + Annex F
+    conditioning), lossless (SOF3, Annex H) and Huffman HIERARCHICAL
+    pyramids (Annex J: DHP/EXP + non-differential frames + differential
+    sequential SOF5 / differential lossless SOF7, zero-prediction
+    differential coding, J.1.1.2 reference expansion); differential
+    progressive (SOF6) and the arithmetic lossless/differential modes
     raise at the documented seam."""
     if not payload.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG stream")
@@ -983,6 +1019,46 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     samples: list[np.ndarray] | None = None
     dc_cond: dict[int, tuple[int, int]] = {}
     ac_cond: dict[int, int] = {}
+    hier = False            # DHP seen: multi-frame pyramid (Annex J)
+    differential = False    # current frame codes corrections to ref
+    ref: list[np.ndarray] | None = None  # hierarchical reference planes
+    pending_exp = (0, 0)    # EXP marker: (Eh, Ev) upsample request
+    frame_scans = 0
+
+    def _finalize_frame():
+        """Fold the just-decoded frame into the hierarchical reference:
+        non-differential frames BECOME the reference (component space);
+        differential frames add their corrections (mod 2^16 for
+        lossless per Annex H, clamped [0,255] for DCT)."""
+        nonlocal ref
+        if lossless:
+            planes = [s.copy() for s in samples]
+        else:
+            planes = []
+            for ci, c in enumerate(comps):
+                by, bx, _ = coef[ci].shape
+                coefs = coef[ci].reshape(by, bx, 8, 8) * qt[c["tq"]]
+                shift = 0.0 if differential else 128.0
+                spatial = np.einsum("xu,ncuv,yv->ncxy", _A, coefs, _A) + shift
+                plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+                plane = np.repeat(
+                    np.repeat(plane, vmax // c["v"], axis=0),
+                    hmax // c["h"], axis=1,
+                )
+                plane = np.rint(plane[:height, :width]).astype(np.int64)
+                if not differential:
+                    plane = np.clip(plane, 0, 255)
+                planes.append(plane)
+        if differential:
+            if ref is None:
+                raise ValueError("differential frame without a reference")
+            if lossless:
+                ref = [(r + p) & 0xFFFF for r, p in zip(ref, planes)]
+            else:
+                ref = [np.clip(r + p, 0, 255) for r, p in zip(ref, planes)]
+        else:
+            ref = planes
+
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -1019,12 +1095,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nsym])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
+            hier = True
+            i += seglen
+            continue
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            pending_exp = (body[0] >> 4, body[0] & 15)
+            i += seglen
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
-            # (Huffman); SOF9 sequential, SOF10 progressive (arithmetic)
+            # (Huffman); SOF5 differential sequential, SOF7 differential
+            # lossless (hierarchical, Annex J); SOF9 sequential, SOF10
+            # progressive (arithmetic)
+            if hier and frame_scans:
+                _finalize_frame()  # previous pyramid frame -> reference
+                frame_scans = 0
             arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            lossless = marker in (0xC3, 0xC7)
+            differential = marker in (0xC5, 0xC7)
+            if differential and not hier:
+                raise ValueError("differential frame outside DHP pyramid")
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
+            if differential:
+                eh, ev = pending_exp
+                pending_exp = (0, 0)
+                for _ in range(eh):
+                    ref = [_expand2x(r, axis=1) for r in ref]
+                for _ in range(ev):
+                    ref = [_expand2x(r, axis=0) for r in ref]
+                ref = [r[:height, :width] for r in ref]
+                if any(r.shape != (height, width) for r in ref):
+                    raise ValueError("reference smaller than frame")
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
             comps = []
@@ -1053,11 +1155,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode: arithmetic-lossless and "
-                "hierarchical frames (baseline/progressive DCT in both "
-                "entropy codings plus Huffman lossless are implemented)"
+                "unsupported JPEG mode: differential progressive (SOF6),"
+                " arithmetic lossless (SOF11) and arithmetic differential"
+                " frames (SOF13-15) -- baseline/progressive DCT in both"
+                " entropy codings, Huffman lossless, and Huffman"
+                " hierarchical pyramids (DHP/EXP + SOF5/SOF7) are"
+                " implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             j = 0
@@ -1091,6 +1196,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 _decode_scan_lossless(
                     segs, scan_comps, samples, huff, ss, ahal & 15,
                     restart_interval, width, height,
+                    differential=differential,
                 )
             elif arith:
                 _decode_scan_arith(
@@ -1104,13 +1210,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     segs, scan_comps, coef, huff, ss, se,
                     ahal >> 4, ahal & 15,
                     restart_interval, width, height, hmax, vmax,
-                    mcux, mcuy,
+                    mcux, mcuy, differential=differential,
                 )
             n_scans += 1
+            frame_scans += 1
             continue
         i += seglen
     if coef is None or n_scans == 0:
         raise ValueError("no SOS/SOF in stream")
+
+    if hier:
+        # pyramid output: fold the last frame, return the reference in
+        # component space (like lossless mode: T.81 defines the color
+        # transform outside the hierarchical reconstruction; our
+        # encoder emits grayscale pyramids)
+        if frame_scans:
+            _finalize_frame()
+        planes = [np.clip(r, 0, 255).astype(np.uint8) for r in ref]
+        if len(planes) == 1:
+            return np.repeat(planes[0][:, :, None], 3, axis=2)
+        return np.stack(planes[:3], axis=2)
 
     if lossless:
         # no DCT and no defined color transform in lossless mode:
@@ -1733,5 +1852,120 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
                 if s:
                     bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical(img: np.ndarray, refine: str = "lossless") -> bytes:
+    """HxW (grayscale) uint8 -> hierarchical JPEG (T.81 Annex J): DHP,
+    a half-resolution baseline (SOF0) frame, EXP, then ONE full-
+    resolution differential refinement frame.
+
+    ``refine="lossless"`` emits a differential LOSSLESS frame (SOF7) --
+    the classic lossy-base + lossless-refinement pyramid, so
+    ``decode_jpeg`` reconstructs the EXACT input array (the round-trip
+    gate in tests/test_jpeg.py) while a resolution-limited consumer can
+    stop after the embedded half-res frame. ``refine="dct"`` emits a
+    differential sequential DCT frame (SOF5, unit quantization): the
+    reconstruction is near-exact (DCT rounding only) and the stream
+    exercises the zero-DC-prediction differential Huffman path.
+
+    The encoder computes the reference EXACTLY as the decoder will --
+    by decoding its own base frame and applying the J.1.1.2 expansion
+    -- so the coded corrections are bit-consistent with reconstruction."""
+    if refine not in ("lossless", "dct"):
+        raise ValueError("refine must be 'lossless' or 'dct'")
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("hierarchical encoder takes a 2-D grayscale array")
+    h, w = img.shape
+    hh, hw = -(-h // 2), -(-w // 2)
+    pad = np.pad(img, ((0, 2 * hh - h), (0, 2 * hw - w)), mode="edge")
+    pi = pad.astype(np.int64)
+    half = ((pi[0::2, 0::2] + pi[0::2, 1::2] + pi[1::2, 0::2]
+             + pi[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+    base = encode_jpeg(half)  # SOI..EOI, gray baseline, tables in-stream
+    # reference = decoder's view of the base frame, EXP-expanded, cropped
+    ref = decode_jpeg(base)[:, :, 0].astype(np.int64)
+    ref = _expand2x(ref, axis=1)
+    ref = _expand2x(ref, axis=0)
+    ref = ref[:h, :w]
+    diff = img.astype(np.int64) - ref  # in [-255, 255]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dhp = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp  # DHP
+    out += base[2:-2]  # base frame: strip its SOI/EOI, keep tables+scan
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP h+v
+
+    if refine == "lossless":
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc7" + struct.pack(">H", 2 + len(sof)) + sof  # SOF7
+        body = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytes([1, 1, 0x00, 0, 0, 0])  # 1 comp; Ss=0 (differential)
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+        bw = _BitWriter()
+        for d in diff.ravel():
+            d = int(d)
+            s = abs(d).bit_length()
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+        out += bw.flush()
+    else:  # differential sequential DCT, unit quantization
+        bh, bwid = -(-h // 8) * 8, -(-w // 8) * 8
+        dpad = np.zeros((bh, bwid), dtype=np.float64)
+        dpad[:h, :w] = diff
+        blocks = (
+            dpad.reshape(bh // 8, 8, bwid // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        ones = np.ones((8, 8), dtype=np.int64)
+        qseg = bytes([1]) + bytes(np.asarray(ones, dtype=np.uint8)[
+            np.unravel_index(_ZZ, (8, 8))].tolist())
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(qseg)) + qseg
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 1])
+        out += b"\xff\xc5" + struct.pack(">H", 2 + len(sof)) + sof  # SOF5
+        for tc, th, bits, vals in (
+            (0, 0, _DC_BITS, _DC_VALS), (1, 0, _AC_BITS, _AC_VALS),
+        ):
+            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+        ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+        bw = _BitWriter()
+        # differential frames: no level shift, DC prediction fixed at 0
+        coefs = np.einsum("ux,nxy,yv->nuv", _A.T, blocks, _A)
+        q = np.rint(coefs).astype(np.int64).reshape(-1, 64)[:, _ZZ]
+        for row in q:
+            d = int(row[0])
+            s = abs(d).bit_length()
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+            nz = np.flatnonzero(row[1:]) + 1
+            k = 1
+            for idx in nz:
+                run = int(idx) - k
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                v = int(row[idx])
+                s = abs(v).bit_length()
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                k = int(idx) + 1
+            if k < 64:
+                c, ln = ac_codes[0x00]
+                bw.write(c, ln)
+        out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
