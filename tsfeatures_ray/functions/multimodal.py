@@ -811,6 +811,13 @@ def _probe_jpeg(payload: bytes) -> dict:
         if m in (0xD9, 0xDA):
             break
         (ln,) = struct.unpack(">H", payload[i : i + 2])
+        if m == 0xDE:
+            # DHP (hierarchical pyramid): frame-header syntax carrying
+            # the authoritative FULL dimensions -- the first SOF after
+            # it is only the reduced-resolution base frame
+            _, h, w, nc = struct.unpack(">BHHB", payload[i + 2 : i + 8])
+            out.update(width=w, height=h, channels=nc, mode="hierarchical")
+            break
         if m in modes or m in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             _, h, w, nc = struct.unpack(">BHHB", payload[i + 2 : i + 8])
             out.update(width=w, height=h, channels=nc,
@@ -1041,12 +1048,17 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if t == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            # rotate REAL container formats: PPM, PNG, baseline JPEG
-            if i % 3 == 2:
+            # rotate REAL container formats: PPM, PNG, baseline JPEG,
+            # hierarchical-pyramid JPEG (Annex J, grayscale)
+            if i % 4 == 2:
                 from .jpeg import encode_jpeg
 
                 payloads.append(encode_jpeg(img))
-            elif i % 3 == 1:
+            elif i % 4 == 3:
+                from .jpeg import encode_jpeg_hierarchical
+
+                payloads.append(encode_jpeg_hierarchical(img[:, :, 0]))
+            elif i % 4 == 1:
                 payloads.append(encode_png(img))
             else:
                 payloads.append(encode_ppm(img))
