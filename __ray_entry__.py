@@ -713,6 +713,25 @@ def _q_embeddings_kmeans(sf_dir: str):
     return _round_floats(kmeans_cluster(ds, k=16, refine_iters=2), 6)
 
 
+def _q_embeddings_semantic_dedup(sf_dir: str):
+    """SemDeDup composite (round-5 addition): k-means cluster the
+    embedding space, exact cosine pairs >= 0.4 WITHIN clusters only --
+    the cluster-then-curate pipeline that bounds pairwise dedup at
+    corpus scale. Pytest pins equality with cosine_near_dups restricted
+    to co-clustered pairs; driver gate is a committed fixture
+    (iterative k-means => no SQL oracle)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import semantic_dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = semantic_dedup(ds, threshold=0.4, k=16, refine_iters=2)
+    return _round_floats(out.sort(["id_a", "id_b"]), 6)
+
+
 def _q_docs_trigram_ppl(sf_dir: str):
     """CCNet-style corpus-LM quality score (round-5 addition): fit a
     character-trigram MLE model on the corpus, score each doc by mean
@@ -1797,6 +1816,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harness embeddings_knn_lsh_recall rotated out to make room --
         # the similarity family keeps six other in-window rows)
         "embeddings_kmeans": _q_embeddings_kmeans,
+        # round-5 addition, placed in the driver window
+        # (embeddings_cosine_dups rotated out to make room: r04-driver-
+        # green, and semantic_dedup's pytest pins equality against it)
+        "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "docs_chunks": _q_docs_chunks,
@@ -1822,7 +1845,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family keeps docs_hash_split + docs_mixture in-window)
         "media_metadata": _q_media_metadata,
         "embeddings_knn": _q_embeddings_knn,
-        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -1832,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "docs_text_metrics": _q_docs_text_metrics,
         "docs_simhash_dups": _q_docs_simhash_dups,
@@ -2989,6 +3012,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "embeddings_knn_lsh_recall": fixture("embeddings_knn_lsh_recall"),
         "embeddings_knn_ivf": fixture("embeddings_knn_ivf"),
         "embeddings_kmeans": fixture("embeddings_kmeans"),
+        "embeddings_semantic_dedup": fixture("embeddings_semantic_dedup"),
         "embeddings_cosine_dups_lsh": fixture("embeddings_cosine_dups_lsh"),
         "events_user_distinct_hll": fixture("events_user_distinct_hll"),
         "media_features": fixture("media_features"),

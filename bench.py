@@ -474,6 +474,13 @@ def run_ops() -> dict:
               rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
               k=16, refine_iters=2).count())
 
+    from tsfeatures_ray.functions.similarity import semantic_dedup
+
+    timed("semantic_dedup_k16", n_emb,
+          lambda: semantic_dedup(
+              rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+              threshold=0.4, k=16, refine_iters=2).count())
+
     from tsfeatures_ray.functions.text import trigram_logppl
 
     timed("trigram_logppl", n_docs,

@@ -319,3 +319,38 @@ def test_jaccard_near_dups_exact_all_pairs(ray_session, corpus, truth):
             for a, b in zip(got["id_a"], got["id_b"])
         ])
         np.testing.assert_array_equal(got["jaccard"].to_numpy(), ref)
+
+
+def test_semantic_dedup_equals_coclustered_exact(ray_session):
+    """SemDeDup composite: semantic_dedup's pairs must EQUAL the global
+    exact cosine_near_dups pairs restricted to co-clustered endpoints
+    (same cosine values bit-for-bit) -- cluster boundaries are the only
+    recall cost, never precision."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import (
+        cosine_near_dups,
+        kmeans_cluster,
+        semantic_dedup,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    sd = (
+        semantic_dedup(ds, threshold=0.4, k=16, refine_iters=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    full = cosine_near_dups(ds, threshold=0.4).to_pandas()
+    cl = kmeans_cluster(ds, k=16, refine_iters=2).to_pandas() \
+        .set_index("vec_id")["cluster"]
+    co = (
+        full[full["id_a"].map(cl).values == full["id_b"].map(cl).values]
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(sd) > 0  # corpus has co-clustered near-dups to find
+    assert sd[["id_a", "id_b"]].equals(co[["id_a", "id_b"]])
+    np.testing.assert_array_equal(
+        sd["cosine"].to_numpy(), co["cosine"].to_numpy()
+    )

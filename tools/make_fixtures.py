@@ -45,6 +45,7 @@ RECORDED: dict[str, list[str] | None] = {
     "embeddings_knn_lsh_recall": ["query_id"],
     "embeddings_knn_ivf": ["query_id", "rank"],
     "embeddings_kmeans": ["vec_id"],
+    "embeddings_semantic_dedup": ["id_a", "id_b"],
     "embeddings_cosine_dups_lsh": ["id_a", "id_b"],
     "events_user_distinct_hll": ["group"],
     "media_features": ["media_id"],

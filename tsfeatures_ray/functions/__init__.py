@@ -37,5 +37,7 @@ from .similarity import (  # noqa: F401
     brute_knn,
     ivf_knn,
     kmeans_cluster,
+    kmeans_fit,
     lsh_bucketed_knn,
+    semantic_dedup,
 )

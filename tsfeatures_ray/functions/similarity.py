@@ -616,6 +616,34 @@ def kmeans_cluster(
 
     The exchange carries k x dim doubles per batch -- never vectors of
     the corpus; the driver holds only (k, dim)."""
+    cent = kmeans_fit(
+        ds, k, refine_iters=refine_iters, train_sample=train_sample,
+        id_col=id_col, vec_col=vec_col, num_parts=num_parts, seed=seed,
+    )
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _KmeansAssigner,
+        fn_constructor_kwargs={
+            "cent_ref": ray.put(cent), "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    ).sort(id_col)
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    k: int,
+    refine_iters: int = 2,
+    train_sample: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int | None = None,
+    seed: int = 11,
+) -> np.ndarray:
+    """Stages 1-2 of ``kmeans_cluster`` (init + distributed Lloyd
+    refinement); returns the (k, dim) unit-norm centroid matrix."""
     from ..stages.derive import default_num_parts
 
     if num_parts is None:
@@ -686,13 +714,84 @@ def kmeans_cluster(
         # identical at any CPU count
         cent = np.round(new, 12)
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        _KmeansAssigner,
-        fn_constructor_kwargs={
-            "cent_ref": ray.put(cent), "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pandas",
-        batch_size=8192,
-        concurrency=(1, concurrency),
-        num_cpus=1,
-    ).sort(id_col)
+    return cent
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.4,
+    k: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int | None = None,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic near-duplicate pairs: k-means cluster the
+    embedding space, then find exact cosine pairs >= threshold WITHIN
+    each cluster only -- the cluster-then-curate composite that makes
+    pairwise dedup payable at corpus scale (the O(n^2) work shrinks to
+    sum over clusters of |cluster|^2, and the exchange co-locates each
+    cluster once instead of replicating rows to partition-pairs).
+
+    By construction the output equals ``cosine_near_dups`` RESTRICTED
+    to co-clustered pairs (the pytest gate); cross-cluster near-dups
+    are the recall cost of the cluster boundary -- raise k for smaller
+    clusters (cheaper) or use ``cosine_near_dups`` for the exact
+    all-pairs answer. Output: (id_a, id_b, cluster, cosine), id_a <
+    id_b, canonically sortable."""
+    import pandas as pd
+
+    cent = kmeans_fit(
+        ds, k, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col,
+        num_parts=num_parts, seed=seed,
+    )
+    cref = ray.put(cent)
+
+    def assign_keep(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _to_matrix(batch[vec_col].to_numpy())
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
+        })
+        # plain lists -> Arrow list<double> (numpy cells become the
+        # tensor extension type, which breaks cross-block concatenation)
+        out["nvec"] = m.tolist()
+        return out
+
+    _EMPTY_S = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cluster": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+
+    def within_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            return _EMPTY_S.copy()
+        ids = g[id_col].to_numpy()
+        m = np.asarray(g["nvec"].tolist(), dtype=np.float64)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cvals = sims[ia, ib]
+        keep = cvals >= threshold
+        ia, ib, cvals = ia[keep], ib[keep], cvals[keep]
+        id_a, id_b = ids[ia], ids[ib]
+        swap = id_a > id_b
+        return pd.DataFrame(
+            {"id_a": np.where(swap, id_b, id_a).astype("int64"),
+             "id_b": np.where(swap, id_a, id_b).astype("int64"),
+             "cluster": np.full(len(cvals), int(g["cluster"].iloc[0]),
+                                dtype=np.int64),
+             "cosine": cvals.astype("float64")}
+        )
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign_keep, batch_format="pandas", batch_size=8192)
+        .groupby("cluster")
+        .map_groups(within_cluster, batch_format="pandas")
+    )
