@@ -1468,6 +1468,26 @@ def _q_rollup_rolling3_1h(sf_dir: str):
     )
 
 
+def _q_rollup_rollcorr3_1h(sf_dir: str):
+    """Per-series trailing 3-bucket rolling CORRELATION between the two
+    rollup metrics (round-5 addition): SQL `CORR(y,x) OVER (... ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW)` with its native NULL gates
+    (frame < 2 rows, constant column). Both inputs are integer-valued,
+    so every co-moment sum is exact and the live window-CORR oracle
+    hash-matches under the shared 6dp ROUND convention."""
+    from tsfeatures_ray.functions import rolling_corr
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count", "token_len_sum"]
+    )
+    out = rolling_corr(
+        ds, key="conv_id", order="bucket",
+        x_col="token_len_count", y_col="token_len_sum", window=3,
+    )
+    return _round_floats(out.sort(["conv_id", "bucket"]), 6)
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1846,7 +1866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": _q_media_metadata,
         "embeddings_knn": _q_embeddings_knn,
         "events_distinct_users_1d": _q_events_distinct_users_1d,
-        "events_pivot_by_type": _q_events_pivot_by_type,
+        # round-5 addition, placed in the driver window
+        # (events_pivot_by_type rotated out: r04-driver-green, the
+        # aggregation family keeps four other in-window rows)
+        "rollup_rollcorr3_1h": _q_rollup_rollcorr3_1h,
         "events_value_p95_exact": _q_events_value_p95_exact,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
@@ -1854,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "events_pivot_by_type": _q_events_pivot_by_type,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "docs_text_metrics": _q_docs_text_metrics,
@@ -2544,6 +2568,18 @@ SELECT conv_id, bucket, token_len_count,
            AS token_len_count_roll_min,
        CAST(MAX(token_len_count) OVER w AS BIGINT)
            AS token_len_count_roll_max
+FROM base
+WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+        ),
+        "rollup_rollcorr3_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """)
+SELECT conv_id, bucket, token_len_count,
+       ROUND(token_len_sum + 0.0000001, 6) AS token_len_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+       ROUND(CORR(token_len_sum, token_len_count) OVER w
+             + 0.0000001, 6) AS corr
 FROM base
 WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -504,6 +504,14 @@ def run_ops() -> dict:
           lambda: rolling_agg(_ev(["event_id", "user_id", "value"]),
                               key="user_id", order="event_id",
                               cols=["value"], window=4).count())
+
+    from tsfeatures_ray.functions import rolling_corr
+
+    timed("rolling_corr_w4", n_ev,
+          lambda: rolling_corr(_ev(["event_id", "user_id", "value"]),
+                               key="user_id", order="event_id",
+                               x_col="event_id", y_col="value",
+                               window=4).count())
     result = {
         "metric": "per-op wall seconds / rows per second (training-data ops)",
         "value": round(sum(v["sec"] for v in out.values()), 2),

@@ -307,3 +307,43 @@ class TestAggProperties:
                 got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
                 equal_nan=True, err_msg=c,
             )
+
+
+class TestRollingCorr:
+    def test_matches_per_window_brute(self, ray_session):
+        """rolling_corr equals a brute per-window np.corrcoef with SQL's
+        NULL gates (frame < 2 rows, constant column), at any partition
+        count."""
+        rng = np.random.default_rng(9)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 9, n),
+                "i": np.arange(n),
+                "x": rng.integers(0, 6, n).astype(np.int64),  # ties/consts
+                "y": rng.integers(0, 50, n).astype(np.float64),
+            }
+        )
+        from tsfeatures_ray.functions import rolling_corr
+
+        w = 4
+        for parts in (1, 5):
+            got = (
+                rolling_corr(rd.from_pandas(df).repartition(parts),
+                             key="g", order="i", x_col="x", y_col="y",
+                             window=w)
+                .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+            )
+            want_c, want_n = [], []
+            for _, sub in df.sort_values(["g", "i"]).groupby("g", sort=True):
+                xv, yv = sub["x"].to_numpy(float), sub["y"].to_numpy(float)
+                for j in range(len(sub)):
+                    lo = max(0, j - w + 1)
+                    xs, ys = xv[lo:j + 1], yv[lo:j + 1]
+                    want_n.append(len(xs))
+                    if len(xs) < 2 or xs.std() == 0 or ys.std() == 0:
+                        want_c.append(np.nan)
+                    else:
+                        want_c.append(float(np.corrcoef(xs, ys)[0, 1]))
+            assert got["n_w"].tolist() == want_n
+            np.testing.assert_allclose(got["corr"], want_c, rtol=1e-9)

@@ -193,3 +193,71 @@ def rolling_agg(
         .groupby("part")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def rolling_corr(
+    ds,
+    key: str,
+    order: str,
+    x_col: str,
+    y_col: str,
+    window: int,
+    num_parts: int | None = None,
+):
+    """Per-key rolling Pearson correlation over the trailing ``window``
+    rows (SQL ``CORR(y, x) OVER (PARTITION BY key ORDER BY order ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``), with SQL's NULL
+    gates: NaN when the frame has < 2 rows or either column is
+    constant within it.
+
+    Same scale shape as ``rolling_agg`` (ONE bounded exchange, cumsum-
+    difference window sums -- no per-window recompute). The five
+    co-moment sums come from cumsum differences, so INTEGER-VALUED
+    columns stay EXACT (every moment is an integer below 2^53) and the
+    only float steps are the final fused products + sqrt -- which is
+    why the live SQL oracle can hash-match under the shared 6dp ROUND
+    convention."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(columns="part")
+        n = len(g)
+        keys = g[key].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        idx = np.arange(n)
+        lo = np.maximum(gstart, idx - window + 1)
+        nw = (idx - lo + 1).astype(np.float64)
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+
+        def wsum(v):
+            cs = np.concatenate(([0.0], np.cumsum(v)))
+            return cs[idx + 1] - cs[lo]
+
+        sx, sy = wsum(x), wsum(y)
+        sxx, syy, sxy = wsum(x * x), wsum(y * y), wsum(x * y)
+        m2x = nw * sxx - sx * sx
+        m2y = nw * syy - sy * sy
+        cxy = nw * sxy - sx * sy
+        den = np.sqrt(m2x * m2y)
+        ok = (nw >= 2.0) & (m2x > 0.0) & (m2y > 0.0)
+        out = g.reset_index(drop=True)
+        out["n_w"] = nw.astype(np.int64)
+        out["corr"] = np.where(ok, cxy / np.where(den > 0.0, den, 1.0), np.nan)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+    )
