@@ -1488,6 +1488,29 @@ def _q_rollup_rollcorr3_1h(sf_dir: str):
     return _round_floats(out.sort(["conv_id", "bucket"]), 6)
 
 
+def _q_rollup_laggedcorr_1h(sf_dir: str):
+    """Per-series cross-correlation function (round-5 addition): the
+    Pearson correlation of (count_t, sum_{t+k}) at lags k in {0,1,2}
+    over each series' hour buckets -- the two-metric CCF extension of
+    the reference's ACF (tsfeatures acf_features correlates ONE series
+    with its own past; this correlates metric pairs across series of a
+    panel). Pairwise-complete with SQL NULL gates (NaN when < 2
+    complete pairs or a constant side); every (series, lag) emits a
+    row. Oracle: per-lag LEAD() blocks UNION ALL'd, gated like the
+    engine."""
+    from tsfeatures_ray.functions import lagged_corr
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count", "token_len_sum"]
+    )
+    out = lagged_corr(
+        ds, key="conv_id", order="bucket",
+        x_col="token_len_count", y_col="token_len_sum", lags=(0, 1, 2),
+    )
+    return _round_floats(out.sort(["conv_id", "lag"]), 6)
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1870,12 +1893,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (events_pivot_by_type rotated out: r04-driver-green, the
         # aggregation family keeps four other in-window rows)
         "rollup_rollcorr3_1h": _q_rollup_rollcorr3_1h,
-        "events_value_p95_exact": _q_events_value_p95_exact,
+        # round-5 addition, placed in the driver window
+        # (events_value_p95_exact rotated out: r04-driver-green, and
+        # the quantile family keeps events_hist_quantiles in-window)
+        "rollup_laggedcorr_1h": _q_rollup_laggedcorr_1h,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         # ---------------- position 50 ends the driver window ----------
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
+        "events_value_p95_exact": _q_events_value_p95_exact,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
@@ -2584,6 +2611,26 @@ FROM base
 WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+        ),
+        "rollup_laggedcorr_1h": (
+            "WITH base AS (" + rollup_sql("hour") + ")\n"
+            + "\nUNION ALL\n".join(
+                f"""
+SELECT conv_id, CAST({k} AS BIGINT) AS lag,
+       CAST(COUNT(*) FILTER (x IS NOT NULL AND y IS NOT NULL)
+            AS BIGINT) AS n_pairs,
+       CASE WHEN COUNT(*) FILTER (x IS NOT NULL AND y IS NOT NULL) >= 2
+                 AND VAR_SAMP(CASE WHEN y IS NOT NULL THEN x END) > 0
+                 AND VAR_SAMP(CASE WHEN x IS NOT NULL THEN y END) > 0
+            THEN ROUND(CORR(y, x) + 0.0000001, 6)
+            ELSE NULL END AS corr
+FROM (SELECT conv_id, CAST(token_len_count AS DOUBLE) AS x,
+             LEAD(CAST(token_len_sum AS DOUBLE), {k}) OVER
+                 (PARTITION BY conv_id ORDER BY bucket) AS y
+      FROM base)
+GROUP BY conv_id"""
+                for k in (0, 1, 2)
+            )
         ),
         "rollup_incremental_1h": rollup_sql("hour"),
         "rollup_1d": rollup_sql("day"),

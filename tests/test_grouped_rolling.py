@@ -347,3 +347,86 @@ class TestRollingCorr:
                         want_c.append(float(np.corrcoef(xs, ys)[0, 1]))
             assert got["n_w"].tolist() == want_n
             np.testing.assert_allclose(got["corr"], want_c, rtol=1e-9)
+
+
+class TestLaggedCorr:
+    def test_matches_per_key_brute(self, ray_session):
+        """lagged_corr equals a brute per-key pairwise-complete CCF
+        (NaN/None rows skipped per position, SQL constant/n<2 gates),
+        at any partition count; every (key, lag) emits a row."""
+        rng = np.random.default_rng(11)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 11, n),
+                "i": np.arange(n),
+                "x": rng.integers(0, 6, n).astype(np.float64),
+                "y": rng.integers(0, 50, n).astype(np.float64),
+            }
+        )
+        # nulls on both sides (pairwise-complete semantics)
+        df.loc[rng.choice(n, 40, replace=False), "x"] = np.nan
+        df.loc[rng.choice(n, 40, replace=False), "y"] = np.nan
+        # a constant-x key and a length-1 key
+        df.loc[df["g"] == 3, "x"] = 7.0
+        df = df[(df["g"] != 5) | (df["i"] == df.loc[df["g"] == 5, "i"].min())]
+        from tsfeatures_ray.functions import lagged_corr
+
+        lags = (0, 1, 3)
+        for parts in (1, 6):
+            got = (
+                lagged_corr(rd.from_pandas(df).repartition(parts),
+                            key="g", order="i", x_col="x", y_col="y",
+                            lags=lags)
+                .to_pandas().sort_values(["g", "lag"]).reset_index(drop=True)
+            )
+            rows = []
+            for gk, sub in df.sort_values(["g", "i"]).groupby("g", sort=True):
+                xv = sub["x"].to_numpy()
+                yv = sub["y"].to_numpy()
+                for k in sorted(lags):
+                    xs = xv[: len(xv) - k] if k else xv
+                    ys = yv[k:]
+                    m = ~(np.isnan(xs) | np.isnan(ys))
+                    xs, ys = xs[m], ys[m]
+                    if len(xs) < 2 or xs.std() == 0 or ys.std() == 0:
+                        c = np.nan
+                    else:
+                        c = float(np.corrcoef(xs, ys)[0, 1])
+                    rows.append((gk, k, len(xs), c))
+            want = pd.DataFrame(rows, columns=["g", "lag", "n_pairs", "corr"])
+            assert got["g"].tolist() == want["g"].tolist()
+            assert got["lag"].tolist() == want["lag"].tolist()
+            assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+            np.testing.assert_allclose(got["corr"], want["corr"], rtol=1e-9)
+
+    def test_lag0_equals_grouped_corr_semantics(self, ray_session):
+        """lag 0 is plain per-key Pearson correlation."""
+        rng = np.random.default_rng(12)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 5, 200),
+                "i": np.arange(200),
+                "x": rng.normal(size=200),
+                "y": rng.normal(size=200),
+            }
+        )
+        from tsfeatures_ray.functions import lagged_corr
+
+        got = (
+            lagged_corr(rd.from_pandas(df).repartition(3), key="g",
+                        order="i", x_col="x", y_col="y", lags=[0])
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        want = (
+            df.groupby("g")[["x", "y"]]
+            .corr().iloc[0::2, -1].to_numpy()
+        )
+        np.testing.assert_allclose(got["corr"], want, rtol=1e-9)
+
+    def test_rejects_negative_lag(self, ray_session):
+        from tsfeatures_ray.functions import lagged_corr
+
+        with pytest.raises(ValueError):
+            lagged_corr(rd.from_items([{"g": 1, "i": 1, "x": 1.0, "y": 1.0}]),
+                        key="g", order="i", x_col="x", y_col="y", lags=[-1])

@@ -261,3 +261,104 @@ def rolling_corr(
         .groupby("part")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def lagged_corr(
+    ds,
+    key: str,
+    order,
+    x_col: str,
+    y_col: str,
+    lags,
+    num_parts: int | None = None,
+):
+    """Per-key cross-correlation function (CCF): for each lag k emits
+    the Pearson correlation of ``(x_t, y_{t+k})`` over the key's rows
+    in ``order`` -- the two-metric extension of the reference's ACF
+    (which correlates ONE series with its own past). SQL semantics:
+    pairwise-complete (a position counts only when both x_t and
+    y_{t+k} are non-null), NaN when fewer than 2 complete pairs or
+    either side is constant; every (key, lag) emits a row even with
+    zero complete pairs (SQL GROUP BY).
+
+    Scale shape: ONE bounded exchange co-locates each key; lag pairing
+    is a pure index shift inside the sorted partition; per-key moments
+    are two-pass centered (no power-sum cancellation) via vectorized
+    groupby transforms. Output: key, lag:int64, n_pairs:int64,
+    corr:float64."""
+    import pandas as pd
+
+    ocols = [order] if isinstance(order, str) else list(order)
+    lags = sorted(set(int(k) for k in lags))
+    if any(k < 0 for k in lags):
+        raise ValueError("lags must be >= 0")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + ocols, kind="mergesort")
+        keys = g[key].to_numpy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        n = len(g)
+        uniq = pd.unique(keys)
+        outs = []
+        for k in lags:
+            if k == 0:
+                ki, xv, yv = keys, x, y
+            elif n > k:
+                m = keys[: n - k] == keys[k:]
+                ki, xv, yv = keys[: n - k][m], x[: n - k][m], y[k:][m]
+            else:
+                ki = keys[:0]
+                xv = yv = x[:0]
+            ok = ~(np.isnan(xv) | np.isnan(yv))
+            d = pd.DataFrame({"key": ki[ok], "x": xv[ok], "y": yv[ok]})
+            if len(d):
+                gg = d.groupby("key", sort=False)
+                mx = gg["x"].transform("mean").to_numpy()
+                my = gg["y"].transform("mean").to_numpy()
+                dx = d["x"].to_numpy() - mx
+                dy = d["y"].to_numpy() - my
+                d["m2x"] = dx * dx
+                d["m2y"] = dy * dy
+                d["cxy"] = dx * dy
+                agg = d.groupby("key", sort=False).agg(
+                    n_pairs=("x", "size"), m2x=("m2x", "sum"),
+                    m2y=("m2y", "sum"), cxy=("cxy", "sum"),
+                ).reset_index()
+            else:
+                agg = pd.DataFrame(
+                    {"key": pd.Series([], dtype=keys.dtype),
+                     "n_pairs": pd.Series([], dtype="int64"),
+                     "m2x": [], "m2y": [], "cxy": []}
+                )
+            base = pd.DataFrame({"key": uniq}).merge(agg, on="key", how="left")
+            npair = base["n_pairs"].fillna(0).to_numpy(dtype=np.int64)
+            m2x = base["m2x"].to_numpy(dtype=np.float64)
+            m2y = base["m2y"].to_numpy(dtype=np.float64)
+            cxy = base["cxy"].to_numpy(dtype=np.float64)
+            den = np.sqrt(m2x * m2y)
+            good = (npair >= 2) & (m2x > 0.0) & (m2y > 0.0)
+            with np.errstate(invalid="ignore"):
+                corr = np.where(
+                    good, cxy / np.where(den > 0.0, den, 1.0), np.nan
+                )
+            outs.append(pd.DataFrame({
+                key: base["key"],
+                "lag": np.full(len(base), k, dtype=np.int64),
+                "n_pairs": npair,
+                "corr": corr,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
