@@ -430,3 +430,74 @@ class TestLaggedCorr:
         with pytest.raises(ValueError):
             lagged_corr(rd.from_items([{"g": 1, "i": 1, "x": 1.0, "y": 1.0}]),
                         key="g", order="i", x_col="x", y_col="y", lags=[-1])
+
+
+class TestRollingZscore:
+    def test_matches_per_row_brute(self, ray_session):
+        """rolling_zscore equals a brute per-row prior-window
+        mean/std_samp recompute with SQL's NULL gates (prior n<2,
+        constant frame, null current value), at any partition count."""
+        rng = np.random.default_rng(21)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 9, n),
+                "i": np.arange(n),
+                "x": rng.integers(0, 20, n).astype(np.float64),
+            }
+        )
+        df.loc[rng.choice(n, 50, replace=False), "x"] = np.nan
+        df.loc[df["g"] == 2, "x"] = 5.0  # constant key -> all-NaN z
+        from tsfeatures_ray.functions import rolling_zscore
+
+        w = 6
+        for parts in (1, 5):
+            got = (
+                rolling_zscore(rd.from_pandas(df).repartition(parts),
+                               key="g", order="i", col="x", window=w,
+                               threshold=1.5)
+                .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+            )
+            want_z, want_n, want_f = [], [], []
+            for _, sub in df.sort_values(["g", "i"]).groupby("g", sort=True):
+                xv = sub["x"].to_numpy()
+                for j in range(len(sub)):
+                    prior = xv[max(0, j - w):j]
+                    prior = prior[~np.isnan(prior)]
+                    want_n.append(len(prior))
+                    if (len(prior) < 2 or prior.std(ddof=1) == 0
+                            or np.isnan(xv[j])):
+                        want_z.append(np.nan)
+                        want_f.append(np.nan)
+                    else:
+                        z = (xv[j] - prior.mean()) / prior.std(ddof=1)
+                        want_z.append(z)
+                        want_f.append(float(abs(z) > 1.5))
+            assert got["n_w"].tolist() == want_n
+            np.testing.assert_allclose(got["z"], want_z, rtol=1e-9)
+            np.testing.assert_allclose(got["is_anomaly"], want_f)
+
+    def test_spike_detected_and_excluded_from_own_frame(self, ray_session):
+        """A single large spike is flagged; because the frame is PRIOR
+        rows only, the spike does not inflate the std used to judge
+        itself (self-masking)."""
+        x = np.full(30, 10.0)
+        x += np.tile([0.0, 1.0, -1.0], 10)  # benign jitter
+        x[20] = 100.0
+        df = pd.DataFrame({"g": 0, "i": np.arange(30), "x": x})
+        from tsfeatures_ray.functions import rolling_zscore
+
+        got = (
+            rolling_zscore(rd.from_pandas(df), key="g", order="i",
+                           col="x", window=8, threshold=3.0)
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        assert got.loc[20, "is_anomaly"] == 1.0
+        assert (got.loc[5:19, "is_anomaly"] == 0.0).all()
+
+    def test_rejects_bad_window(self, ray_session):
+        from tsfeatures_ray.functions import rolling_zscore
+
+        with pytest.raises(ValueError):
+            rolling_zscore(rd.from_items([{"g": 1, "i": 1, "x": 1.0}]),
+                           key="g", order="i", col="x", window=0)

@@ -31,7 +31,12 @@ from .spans import duplicated_span_stats  # noqa: F401
 from .temporal_join import asof_join, interval_join, range_join  # noqa: F401
 from .grouped import grouped_agg, grouped_corr, grouped_top_k  # noqa: F401
 from .sketches import approx_top_tokens  # noqa: F401
-from .windows import lagged_corr, rolling_agg, rolling_corr  # noqa: F401
+from .windows import (  # noqa: F401
+    lagged_corr,
+    rolling_agg,
+    rolling_corr,
+    rolling_zscore,
+)
 from .similarity import (  # noqa: F401
     ann_recall,
     brute_knn,

@@ -362,3 +362,78 @@ def lagged_corr(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def rolling_zscore(
+    ds,
+    key: str,
+    order: str,
+    col: str,
+    window: int,
+    threshold: float | None = None,
+    num_parts: int | None = None,
+):
+    """Per-key PRIOR-window z-score anomaly detection: for each row,
+    ``z = (x_t - mean(prior)) / stddev_samp(prior)`` over the SQL frame
+    ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING`` -- the classic
+    online detector (the score never sees the value it judges, so a
+    spike cannot mask itself). SQL NULL gates: z is NaN when the prior
+    frame has < 2 non-null values, is constant, or x_t itself is null.
+    With ``threshold`` set, adds ``is_anomaly`` (1.0 / 0.0 / NaN from
+    the raw z).
+
+    Same scale shape as ``rolling_agg``: ONE bounded exchange on
+    ``stable_part(key)``, then cumsum-difference window sums inside the
+    sorted partition (null-aware: nulls contribute 0 to sums and 0 to
+    the count) -- no per-window recompute, no per-key Python loop.
+    Integer-valued columns keep exact moment sums below 2^53."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(columns="part")
+        n = len(g)
+        keys = g[key].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        idx = np.arange(n)
+        # prior frame [lo, idx): current row excluded
+        lo = np.maximum(gstart, idx - window)
+        x = g[col].to_numpy(dtype=np.float64)
+        miss = np.isnan(x)
+        xz = np.where(miss, 0.0, x)
+
+        def wsum(v):
+            cs = np.concatenate(([0.0], np.cumsum(v)))
+            return cs[idx] - cs[lo]
+
+        nw = wsum((~miss).astype(np.float64))
+        sx = wsum(xz)
+        sxx = wsum(xz * xz)
+        m2 = sxx - np.where(nw > 0.0, sx * sx / np.where(nw > 0.0, nw, 1.0), 0.0)
+        ok = (nw >= 2.0) & (m2 > 0.0) & ~miss
+        mean = sx / np.where(nw > 0.0, nw, 1.0)
+        sd = np.sqrt(np.maximum(m2, 0.0) / np.maximum(nw - 1.0, 1.0))
+        out = g.reset_index(drop=True)
+        out["n_w"] = nw.astype(np.int64)
+        out["z"] = np.where(ok, (x - mean) / np.where(sd > 0.0, sd, 1.0), np.nan)
+        if threshold is not None:
+            z = out["z"].to_numpy()
+            out["is_anomaly"] = np.where(
+                np.isnan(z), np.nan, (np.abs(z) > threshold).astype(np.float64)
+            )
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+    )
