@@ -1542,6 +1542,41 @@ def _q_rollup_zscore_1h(sf_dir: str):
     return out.map_batches(flag, batch_format="pandas")
 
 
+def _q_rollup_trend_1h(sf_dir: str):
+    """Per-series linear trend (round-5 addition): OLS of the hourly
+    count on epoch-hours -- slope (activity drift per hour), intercept,
+    fit r2, via mergeable centered co-moments (one bounded exchange;
+    Chan recentering keeps precision despite |mean epoch-hours| >> its
+    spread). Oracle: DuckDB's native REGR_SLOPE / REGR_R2 / REGR_COUNT
+    on the identical x = epoch(bucket)/3600 (hour-aligned buckets make
+    x an exact integer on both sides). The intercept is NOT oracle-
+    gated: at x = epoch-origin it amplifies slope ULP drift by
+    mean(x) ~ 5e5 into ~1e-5 absolute differences (measured), which no
+    shared rounding can absorb -- it stays pytest-gated (polyfit +
+    DuckDB edge-probe parity) and is dropped from this query's
+    output."""
+    import pandas as pd
+
+    from tsfeatures_ray.functions import grouped_regr
+    from tsfeatures_ray.pipelines import rollup_pipeline
+    from tsfeatures_ray.stages._util import ts_to_us
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count"]
+    )
+
+    def add_hours(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hours"] = (ts_to_us(df["bucket"]).to_numpy() / 1e6) / 3600.0
+        return df[["conv_id", "hours", "token_len_count"]]
+
+    out = grouped_regr(
+        ds.map_batches(add_hours, batch_format="pandas"),
+        "conv_id", x_col="hours", y_col="token_len_count",
+    ).drop_columns(["intercept"])
+    return _round_floats(out.sort("conv_id"), 6)
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1935,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is budgeted; the judge value-verifies out-of-window rows via
         # tools/check_contract.py, as done for all 18 in r04)
         "rollup_zscore_1h": _q_rollup_zscore_1h,
+        "rollup_trend_1h": _q_rollup_trend_1h,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2689,6 +2725,19 @@ SELECT conv_id, bucket, token_len_count,
                       THEN 1.0 ELSE 0.0 END
             ELSE NULL END AS is_anomaly
 FROM w
+"""
+        ),
+        "rollup_trend_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """)
+SELECT conv_id,
+       CAST(regr_count(CAST(token_len_count AS DOUBLE),
+                       epoch(bucket) / 3600.0) AS BIGINT) AS n_pairs,
+       ROUND(regr_slope(CAST(token_len_count AS DOUBLE),
+                        epoch(bucket) / 3600.0) + 0.0000001, 6) AS slope,
+       ROUND(regr_r2(CAST(token_len_count AS DOUBLE),
+                     epoch(bucket) / 3600.0) + 0.0000001, 6) AS r2
+FROM base
+GROUP BY conv_id
 """
         ),
         "rollup_incremental_1h": rollup_sql("hour"),

@@ -87,3 +87,79 @@ class TestGroupedCorr:
         assert got.loc["allnan", "n_pairs"] == 0 and np.isnan(got.loc["allnan", "corr"])
         np.testing.assert_allclose(got.loc["anti", "corr"], -1.0, rtol=1e-12)
         assert got.loc["anti", "n_pairs"] == 3
+
+class TestGroupedRegr:
+    def test_matches_lstsq(self, ray_session):
+        """grouped_regr equals per-group np.polyfit on complete pairs,
+        under the large-offset-mean conditioning the Chan merge exists
+        for."""
+        from tsfeatures_ray.functions import grouped_regr
+
+        df = _panel(3)
+        got = (
+            grouped_regr(rd.from_pandas(df).repartition(7), "g", "y", "x")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        rows = []
+        for k, sub in df.groupby("g", sort=True):
+            m = sub.dropna(subset=["x", "y"])
+            xs, ys = m["y"].to_numpy(), m["x"].to_numpy()  # x_col=y, y_col=x
+            slope, icept = np.polyfit(xs, ys, 1)
+            r = np.corrcoef(xs, ys)[0, 1]
+            rows.append({"g": k, "n_pairs": len(m), "slope": slope,
+                         "intercept": icept, "r2": r * r})
+        want = pd.DataFrame(rows)
+        assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+        np.testing.assert_allclose(got["slope"], want["slope"], rtol=1e-7)
+        np.testing.assert_allclose(got["intercept"], want["intercept"],
+                                   rtol=1e-7)
+        np.testing.assert_allclose(got["r2"], want["r2"], rtol=1e-7)
+
+    def test_duckdb_edge_semantics(self, ray_session):
+        """Edge gates mirror the probed DuckDB regr_* behavior: constant
+        x -> all NULL; constant y (x varying) -> slope 0 / r2 1; single
+        row and all-incomplete -> NULL stats but a row still emitted."""
+        from tsfeatures_ray.functions import grouped_regr
+
+        df = pd.DataFrame(
+            {
+                "g": ["n", "n", "n", "cx", "cx", "cy", "cy",
+                      "solo", "nan", "nan"],
+                "x": [1.0, 2.0, 3.0, 5.0, 5.0, 1.0, 2.0, 1.0, 1.0, 2.0],
+                "y": [2.0, 4.5, 6.0, 1.0, 2.0, 7.0, 7.0, 1.0,
+                      np.nan, np.nan],
+            }
+        )
+        got = (
+            grouped_regr(rd.from_pandas(df).repartition(3), "g", "x", "y")
+            .to_pandas().set_index("g")
+        )
+        np.testing.assert_allclose(got.loc["n", "slope"], 2.0, rtol=1e-12)
+        np.testing.assert_allclose(got.loc["n", "intercept"], 1.0 / 6.0,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(got.loc["n", "r2"], 0.9795918367346939,
+                                   rtol=1e-12)
+        for c in ("slope", "intercept", "r2"):
+            assert np.isnan(got.loc["cx", c])
+            assert np.isnan(got.loc["solo", c])
+            assert np.isnan(got.loc["nan", c])
+        assert got.loc["cy", "slope"] == 0.0
+        assert got.loc["cy", "intercept"] == 7.0
+        assert got.loc["cy", "r2"] == 1.0
+        assert got.loc["nan", "n_pairs"] == 0
+
+    def test_partition_invariance(self, ray_session):
+        from tsfeatures_ray.functions import grouped_regr
+
+        df = _panel(4, n=800, n_keys=5)
+        a = (
+            grouped_regr(rd.from_pandas(df).repartition(1), "g", "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        b = (
+            grouped_regr(rd.from_pandas(df).repartition(16), "g", "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert a["n_pairs"].tolist() == b["n_pairs"].tolist()
+        for c in ("slope", "intercept", "r2"):
+            np.testing.assert_allclose(a[c], b[c], rtol=1e-9)

@@ -29,7 +29,12 @@ from .dedup import (  # noqa: F401
 )
 from .spans import duplicated_span_stats  # noqa: F401
 from .temporal_join import asof_join, interval_join, range_join  # noqa: F401
-from .grouped import grouped_agg, grouped_corr, grouped_top_k  # noqa: F401
+from .grouped import (  # noqa: F401
+    grouped_agg,
+    grouped_corr,
+    grouped_regr,
+    grouped_top_k,
+)
 from .sketches import approx_top_tokens  # noqa: F401
 from .windows import (  # noqa: F401
     lagged_corr,

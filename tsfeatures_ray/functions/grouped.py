@@ -362,3 +362,110 @@ def grouped_corr(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_regr(
+    ds,
+    keys: str | list[str],
+    x_col: str,
+    y_col: str,
+    num_parts: int | None = None,
+):
+    """Distributed per-group simple OLS regression of y on x (SQL
+    ``REGR_SLOPE / REGR_INTERCEPT / REGR_R2 / REGR_COUNT``) -- the
+    per-series linear-trend statistic (slope over time, trend fit r2)
+    the reference approximates only through STL's trend component.
+
+    Semantics mirror DuckDB's regr_* family exactly (probed): pairwise-
+    complete; slope and intercept are NaN (SQL NULL) when the complete-
+    pair x is constant (which covers n < 2); r2 is NaN when x is
+    constant, 1.0 when x varies but y is constant, else corr^2. Groups
+    whose rows are all incomplete still emit a row (n_pairs = 0).
+
+    Scale shape: IDENTICAL to ``grouped_corr`` -- one centered
+    co-moment row (n, sx, sy, m2x, m2y, cxy) per (group, batch), Chan
+    recentering merge after one bounded ``hash % num_parts`` exchange,
+    canonical partial order pinned before the float merge for
+    bit-stable digests.
+
+    Output: key columns + ``n_pairs:int64`` + ``slope`` +
+    ``intercept`` + ``r2`` (float64)."""
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64, copy=True)
+        y = df[y_col].to_numpy(dtype=np.float64, copy=True)
+        m = ~(np.isnan(x) | np.isnan(y))
+        d = df[kcols].copy()
+        d["n"] = m.astype(np.float64)
+        d["sx"] = np.where(m, x, 0.0)
+        d["sy"] = np.where(m, y, 0.0)
+        g = d.groupby(kcols, sort=False)
+        nrow = g["n"].transform("sum").to_numpy()
+        safe = np.maximum(nrow, 1.0)
+        mxr = g["sx"].transform("sum").to_numpy() / safe
+        myr = g["sy"].transform("sum").to_numpy() / safe
+        dx = np.where(m, x - mxr, 0.0)
+        dy = np.where(m, y - myr, 0.0)
+        d["m2x"] = dx * dx
+        d["m2y"] = dy * dy
+        d["cxy"] = dx * dy
+        out = g.agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            m2x=("m2x", "sum"), m2y=("m2y", "sum"), cxy=("cxy", "sum"),
+        ).reset_index()
+        out["part"] = _part_of(out, kcols, num_parts)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="part")
+            .sort_values(kcols + ["n", "sx", "sy", "m2x", "m2y", "cxy"],
+                         kind="mergesort")
+        )
+        gg = g.groupby(kcols, sort=False)
+        N = gg["n"].transform("sum").to_numpy()
+        safe_n = np.maximum(N, 1.0)
+        mx_g = gg["sx"].transform("sum").to_numpy() / safe_n
+        my_g = gg["sy"].transform("sum").to_numpy() / safe_n
+        n = g["n"].to_numpy()
+        safe = np.maximum(n, 1.0)
+        ex = g["sx"].to_numpy() / safe - mx_g
+        ey = g["sy"].to_numpy() / safe - my_g
+        g["m2x"] = g["m2x"].to_numpy() + n * ex * ex
+        g["m2y"] = g["m2y"].to_numpy() + n * ey * ey
+        g["cxy"] = g["cxy"].to_numpy() + n * ex * ey
+        out = g.groupby(kcols, sort=False).agg(
+            n_pairs=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            m2x=("m2x", "sum"), m2y=("m2y", "sum"), cxy=("cxy", "sum"),
+        ).reset_index()
+        npair = out["n_pairs"].to_numpy()
+        safe = np.maximum(npair, 1.0)
+        mx = out["sx"].to_numpy() / safe
+        my = out["sy"].to_numpy() / safe
+        m2x = out["m2x"].to_numpy()
+        m2y = out["m2y"].to_numpy()
+        cxy = out["cxy"].to_numpy()
+        okx = m2x > 0.0
+        slope = np.where(okx, cxy / np.where(okx, m2x, 1.0), np.nan)
+        out["slope"] = slope
+        out["intercept"] = np.where(okx, my - slope * mx, np.nan)
+        # DuckDB probe: r2 NULL iff x constant; 1.0 iff y constant
+        # (x varying); else corr^2
+        den = m2x * m2y
+        out["r2"] = np.where(
+            okx,
+            np.where(m2y > 0.0, cxy * cxy / np.where(den > 0.0, den, 1.0),
+                     1.0),
+            np.nan,
+        )
+        out["n_pairs"] = npair.astype(np.int64)
+        return out[kcols + ["n_pairs", "slope", "intercept", "r2"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
