@@ -1577,6 +1577,27 @@ def _q_rollup_trend_1h(sf_dir: str):
     return _round_floats(out.sort("conv_id"), 6)
 
 
+def _q_rollup_cusum_1h(sf_dir: str):
+    """Per-series CUSUM changepoint (round-5 addition): the max-|S|
+    mean-shift scan over each series' hourly counts, emitting the
+    standardized statistic AND the earliest changepoint bucket. The
+    location is oracle-gated bit-exactly: both engines scan the
+    n-SCALED integer cumulative sum (n*x - sum), which is exact in any
+    accumulation order, so DuckDB's window-sum association cannot
+    diverge from the engine's per-key cumsum (see
+    functions/changepoint.py docstring)."""
+    from tsfeatures_ray.functions import cusum_changepoint
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count"]
+    )
+    out = cusum_changepoint(
+        ds, key="conv_id", order="bucket", col="token_len_count"
+    )
+    return _round_floats(out.sort("conv_id"), 6)
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1971,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/check_contract.py, as done for all 18 in r04)
         "rollup_zscore_1h": _q_rollup_zscore_1h,
         "rollup_trend_1h": _q_rollup_trend_1h,
+        "rollup_cusum_1h": _q_rollup_cusum_1h,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2738,6 +2760,46 @@ SELECT conv_id,
                      epoch(bucket) / 3600.0) + 0.0000001, 6) AS r2
 FROM base
 GROUP BY conv_id
+"""
+        ),
+        # the changepoint LOCATION is gated bit-exactly: both sides
+        # scan the n-scaled INTEGER cumulative sum (exact in any
+        # association order -- BIGINT/HUGEINT here, sub-2^53 integers
+        # in the engine's float64), so window-sum association cannot
+        # flip a tie; ROW_NUMBER's (|S'| DESC, bucket ASC) matches the
+        # engine's earliest-argmax lexsort
+        "rollup_cusum_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """),
+w1 AS (
+    SELECT conv_id, bucket, CAST(token_len_count AS BIGINT) AS x,
+           COUNT(token_len_count) OVER (PARTITION BY conv_id) AS nk,
+           SUM(CAST(token_len_count AS BIGINT))
+               OVER (PARTITION BY conv_id) AS sx,
+           STDDEV_SAMP(CAST(token_len_count AS DOUBLE))
+               OVER (PARTITION BY conv_id) AS sd
+    FROM base
+    WHERE token_len_count IS NOT NULL
+),
+w2 AS (
+    SELECT conv_id, bucket, nk, sd,
+           SUM(nk * x - sx) OVER (PARTITION BY conv_id ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS s
+    FROM w1
+),
+r AS (
+    SELECT conv_id, bucket, nk, sd, ABS(s) AS a,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY ABS(s) DESC, bucket ASC) AS rn
+    FROM w2
+)
+SELECT conv_id, CAST(nk AS BIGINT) AS n, bucket AS cp_bucket,
+       CASE WHEN nk >= 2 AND sd > 0
+            THEN ROUND(CAST(a AS DOUBLE)
+                       / (CAST(nk AS DOUBLE) * sd
+                          * SQRT(CAST(nk AS DOUBLE)))
+                       + 0.0000001, 6)
+            ELSE NULL END AS cusum_stat
+FROM r WHERE rn = 1
 """
         ),
         "rollup_incremental_1h": rollup_sql("hour"),

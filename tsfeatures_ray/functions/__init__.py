@@ -36,6 +36,7 @@ from .grouped import (  # noqa: F401
     grouped_top_k,
 )
 from .sketches import approx_top_tokens  # noqa: F401
+from .changepoint import cusum_changepoint  # noqa: F401
 from .windows import (  # noqa: F401
     lagged_corr,
     rolling_agg,
