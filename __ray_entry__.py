@@ -1598,6 +1598,26 @@ def _q_rollup_cusum_1h(sf_dir: str):
     return _round_floats(out.sort("conv_id"), 6)
 
 
+def _q_rollup_snaive_1h(sf_dir: str):
+    """Per-series seasonal-naive backtest (round-5 addition): forecast
+    each hourly count by the value 24 buckets earlier (daily season),
+    emit per-series MAE / RMSE / MASE (vs the one-step naive
+    denominator). Positional LAG semantics, pairwise-complete, NULL
+    gates (no complete pairs, zero naive denominator). Oracle: LAG(x,
+    24) / LAG(x, 1) window blocks aggregated per series."""
+    from tsfeatures_ray.functions import seasonal_naive_error
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count"]
+    )
+    out = seasonal_naive_error(
+        ds, key="conv_id", order="bucket", col="token_len_count",
+        season=24,
+    )
+    return _round_floats(out.sort("conv_id"), 6)
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -1993,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_zscore_1h": _q_rollup_zscore_1h,
         "rollup_trend_1h": _q_rollup_trend_1h,
         "rollup_cusum_1h": _q_rollup_cusum_1h,
+        "rollup_snaive_1h": _q_rollup_snaive_1h,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2800,6 +2821,29 @@ SELECT conv_id, CAST(nk AS BIGINT) AS n, bucket AS cp_bucket,
                        + 0.0000001, 6)
             ELSE NULL END AS cusum_stat
 FROM r WHERE rn = 1
+"""
+        ),
+        "rollup_snaive_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """),
+l AS (
+    SELECT conv_id,
+           CAST(token_len_count AS DOUBLE) AS x,
+           LAG(CAST(token_len_count AS DOUBLE), 24) OVER
+               (PARTITION BY conv_id ORDER BY bucket) AS f,
+           LAG(CAST(token_len_count AS DOUBLE), 1) OVER
+               (PARTITION BY conv_id ORDER BY bucket) AS p
+    FROM base
+)
+SELECT conv_id,
+       CAST(COUNT(ABS(x - f)) AS BIGINT) AS n_fc,
+       ROUND(AVG(ABS(x - f)) + 0.0000001, 6) AS mae,
+       ROUND(SQRT(AVG(POW(x - f, 2))) + 0.0000001, 6) AS rmse,
+       CASE WHEN COUNT(ABS(x - f)) > 0 AND AVG(ABS(x - p)) > 0
+            THEN ROUND(AVG(ABS(x - f)) / AVG(ABS(x - p))
+                       + 0.0000001, 6)
+            ELSE NULL END AS mase
+FROM l
+GROUP BY conv_id
 """
         ),
         "rollup_incremental_1h": rollup_sql("hour"),

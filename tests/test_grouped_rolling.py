@@ -501,3 +501,82 @@ class TestRollingZscore:
         with pytest.raises(ValueError):
             rolling_zscore(rd.from_items([{"g": 1, "i": 1, "x": 1.0}]),
                            key="g", order="i", col="x", window=0)
+
+
+class TestSeasonalNaiveError:
+    def test_matches_brute(self, ray_session):
+        """seasonal_naive_error equals a brute per-key positional-LAG
+        recompute (pairwise-complete, one-step-naive MASE denominator,
+        NULL gates), at any partition count; short-series keys
+        (length <= season) emit a row with n_fc=0 and NaN metrics."""
+        rng = np.random.default_rng(41)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 9, n),
+                "i": np.arange(n),
+                "x": rng.integers(0, 30, n).astype(np.float64),
+            }
+        )
+        df.loc[rng.choice(n, 40, replace=False), "x"] = np.nan
+        df.loc[df["g"] == 3, "x"] = 4.0  # constant: mase NaN (denom 0)
+        # a key shorter than the season
+        df = df[(df["g"] != 5) | (df["i"].isin(
+            df.loc[df["g"] == 5, "i"].to_numpy()[:3]))]
+        from tsfeatures_ray.functions import seasonal_naive_error
+
+        m = 7
+        for parts in (1, 6):
+            got = (
+                seasonal_naive_error(rd.from_pandas(df).repartition(parts),
+                                     key="g", order="i", col="x", season=m)
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+            rows = []
+            for gk, sub in df.sort_values(["g", "i"]).groupby("g", sort=True):
+                xv = sub["x"].to_numpy()
+
+                def errs(k):
+                    if len(xv) <= k:
+                        return np.array([])
+                    cur, prev = xv[k:], xv[:-k]
+                    ok = ~(np.isnan(cur) | np.isnan(prev))
+                    return np.abs(cur[ok] - prev[ok])
+
+                e, e1 = errs(m), errs(1)
+                mae = e.mean() if len(e) else np.nan
+                rmse = np.sqrt((e * e).mean()) if len(e) else np.nan
+                mase = (
+                    mae / e1.mean()
+                    if len(e) and len(e1) and e1.mean() > 0 else np.nan
+                )
+                rows.append((gk, len(e), mae, rmse, mase))
+            want = pd.DataFrame(
+                rows, columns=["g", "n_fc", "mae", "rmse", "mase"])
+            assert got["g"].tolist() == want["g"].tolist()
+            assert got["n_fc"].tolist() == want["n_fc"].tolist()
+            for c in ("mae", "rmse", "mase"):
+                np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                           err_msg=c)
+
+    def test_perfect_seasonality_zero_error(self, ray_session):
+        """A perfectly periodic series has zero seasonal-naive error
+        and mase 0 (the one-step naive still errs)."""
+        x = np.tile([1.0, 5.0, 3.0, 9.0], 10)
+        df = pd.DataFrame({"g": 0, "i": np.arange(40), "x": x})
+        from tsfeatures_ray.functions import seasonal_naive_error
+
+        got = seasonal_naive_error(rd.from_pandas(df), key="g", order="i",
+                                   col="x", season=4).to_pandas()
+        assert got.loc[0, "mae"] == 0.0
+        assert got.loc[0, "rmse"] == 0.0
+        assert got.loc[0, "mase"] == 0.0
+        assert got.loc[0, "n_fc"] == 36
+
+    def test_rejects_bad_season(self, ray_session):
+        from tsfeatures_ray.functions import seasonal_naive_error
+
+        with pytest.raises(ValueError):
+            seasonal_naive_error(
+                rd.from_items([{"g": 1, "i": 1, "x": 1.0}]),
+                key="g", order="i", col="x", season=0)

@@ -42,6 +42,7 @@ from .windows import (  # noqa: F401
     rolling_agg,
     rolling_corr,
     rolling_zscore,
+    seasonal_naive_error,
 )
 from .similarity import (  # noqa: F401
     ann_recall,

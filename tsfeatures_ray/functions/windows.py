@@ -437,3 +437,101 @@ def rolling_zscore(
         .groupby("part")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def seasonal_naive_error(
+    ds,
+    key: str,
+    order,
+    col: str,
+    season: int,
+    num_parts: int | None = None,
+):
+    """Per-key seasonal-naive backtest: forecast ``x_hat_t = x_{t-m}``
+    (m = ``season``, positional like SQL ``LAG(x, m)``) and emit the
+    in-sample error summary per key -- ``n_fc`` (positions where both
+    x_t and x_{t-m} are non-null), ``mae``, ``rmse``, and ``mase``
+    (MAE of the seasonal-naive forecast over the MAE of the
+    one-step-naive forecast, the standard scale-free skill score; NaN
+    when there are no complete forecast pairs or the naive denominator
+    is 0 -- SQL NULL gates). Every key emits a row.
+
+    Scale shape: identical to ``lagged_corr`` -- ONE bounded hash
+    exchange, pure index-shift pairing inside the sorted partition,
+    vectorized groupby sums. Integer-valued columns keep every |error|
+    sum exact, which lets a LAG()-based SQL oracle hash-match under
+    the shared 6dp ROUND convention."""
+    import pandas as pd
+
+    ocols = [order] if isinstance(order, str) else list(order)
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + ocols, kind="mergesort")
+        keys = g[key].to_numpy()
+        x = g[col].to_numpy(dtype=np.float64)
+        n = len(g)
+        uniq = pd.unique(keys)
+
+        def lag_pairs(k):
+            if n > k:
+                m = keys[: n - k] == keys[k:]
+                return keys[k:][m], x[k:][m], x[: n - k][m]
+            return keys[:0], x[:0], x[:0]
+
+        def err_sums(k):
+            ki, cur, prev = lag_pairs(k)
+            ok = ~(np.isnan(cur) | np.isnan(prev))
+            e = np.abs(cur[ok] - prev[ok])
+            d = pd.DataFrame({"key": ki[ok], "ae": e, "se": e * e})
+            agg = (
+                d.groupby("key", sort=False)
+                .agg(n=("ae", "size"), sae=("ae", "sum"), sse=("se", "sum"))
+                .reset_index()
+            )
+            return agg
+
+        fc = err_sums(season)
+        nv = err_sums(1)
+        base = pd.DataFrame({"key": uniq})
+        base = base.merge(fc, on="key", how="left").merge(
+            nv, on="key", how="left", suffixes=("", "_nv")
+        )
+        n_fc = base["n"].fillna(0).to_numpy(dtype=np.int64)
+        sae = base["sae"].to_numpy(dtype=np.float64)
+        sse = base["sse"].to_numpy(dtype=np.float64)
+        n_nv = base["n_nv"].fillna(0).to_numpy(dtype=np.int64)
+        sae_nv = base["sae_nv"].to_numpy(dtype=np.float64)
+        has = n_fc > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mae = np.where(has, sae / np.maximum(n_fc, 1), np.nan)
+            rmse = np.where(
+                has, np.sqrt(sse / np.maximum(n_fc, 1)), np.nan
+            )
+            mae_nv = np.where(n_nv > 0, sae_nv / np.maximum(n_nv, 1), np.nan)
+            mase = np.where(
+                has & (n_nv > 0) & (mae_nv > 0.0),
+                mae / np.where(mae_nv > 0.0, mae_nv, 1.0),
+                np.nan,
+            )
+        return pd.DataFrame({
+            key: base["key"],
+            "n_fc": n_fc,
+            "mae": mae,
+            "rmse": rmse,
+            "mase": mase,
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
