@@ -500,6 +500,37 @@ def _q_docs_quality(sf_dir: str):
     return _round_floats(quality_score(ds).drop_columns(["text"]))
 
 
+# fixed "benchmark" strings for the decontamination gate -- multi-word
+# phrases over the synthetic vocabulary so only a fraction of docs hit
+_DECON_PATTERNS = [
+    "slow fast",
+    "sort table",
+    "customer stream",
+    "hash value",
+    "big query",
+    "merge batch",
+    "scan query",
+    "table window table",
+]
+
+
+def _q_docs_decontaminated(sf_dir: str):
+    """Benchmark decontamination (round-5 addition): per-document count
+    of distinct benchmark strings present verbatim + the contaminated
+    flag -- the eval-leakage hygiene pass a training-corpus build runs
+    before sampling. Vectorized Arrow match_substring per pattern, no
+    exchange, text pruned from the output. Oracle: one contains() CASE
+    per pattern summed in SQL."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import decontaminate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return decontaminate(ds, _DECON_PATTERNS).sort("doc_id")
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -2014,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_trend_1h": _q_rollup_trend_1h,
         "rollup_cusum_1h": _q_rollup_cusum_1h,
         "rollup_snaive_1h": _q_rollup_snaive_1h,
+        "docs_decontaminated": _q_docs_decontaminated,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2888,6 +2920,19 @@ GROUP BY conv_id
         "events_forecast_metrics": events_forecast_metrics,
         "docs_text_metrics": docs_text_metrics,
         "docs_quality": docs_quality,
+        "docs_decontaminated": (
+            "SELECT doc_id,\n       CAST("
+            + "\n          + ".join(
+                f"(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END)"
+                for p in _DECON_PATTERNS
+            )
+            + " AS BIGINT) AS n_hit,\n       ("
+            + "\n          + ".join(
+                f"(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END)"
+                for p in _DECON_PATTERNS
+            )
+            + ") > 0 AS contaminated\nFROM documents"
+        ),
         "docs_lang_id": docs_lang_id,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,

@@ -1061,3 +1061,41 @@ def test_kmeans_cluster_recovers_blobs(ray_session):
     assert len(tab) == 3 and tab["cluster"].nunique() == 3
     assert got["sim"].between(-1.0, 1.0 + 1e-12).all()
     assert got["sim"].min() > 0.9  # tight blobs: high self-similarity
+
+
+class TestDecontaminate:
+    def test_matches_python_in(self, ray_session):
+        """decontaminate equals a brute Python substring check: n_hit
+        counts DISTINCT patterns present, repeats inside one doc count
+        once, and the text column is pruned from the output."""
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import decontaminate
+
+        pats = ["ab c", "zzz", "c ab"]
+        texts = [
+            "ab c ab c ab c",      # pattern 0 thrice -> n_hit 1
+            "xx c ab yy",          # pattern 2
+            "nothing here",        # clean
+            "ab czzz more c ab",   # patterns 0, 1, 2
+            "",                    # empty text
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            decontaminate(rd.from_pandas(df).repartition(2), pats)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got.columns) == ["doc_id", "n_hit", "contaminated"]
+        want_hits = [sum(p in t for p in pats) for t in texts]
+        assert got["n_hit"].tolist() == want_hits
+        assert got["contaminated"].tolist() == [h > 0 for h in want_hits]
+        assert got["n_hit"].dtype == np.int64
+
+    def test_rejects_empty_patterns(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import decontaminate
+
+        with pytest.raises(ValueError):
+            decontaminate(
+                rd.from_items([{"doc_id": 1, "text": "x"}]), [])

@@ -1,5 +1,6 @@
 from .text import (  # noqa: F401
     chunk_documents,
+    decontaminate,
     fingerprint,
     language_id,
     redact,

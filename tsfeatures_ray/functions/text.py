@@ -897,3 +897,48 @@ def trigram_logppl(
         concurrency=(1, concurrency),
         num_cpus=1,
     ).sort("doc_id")
+
+
+def decontaminate(
+    ds,
+    patterns: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination: flag documents that contain ANY of
+    the ``patterns`` verbatim (the training-corpus hygiene step that
+    removes eval-set leakage before training -- see the GPT-3/PaLM
+    appendix methodology of substring-matching benchmark strings
+    against the corpus). Emits one row per document: ``id_col``,
+    ``n_hit`` (number of DISTINCT patterns present, int64) and
+    ``contaminated`` (bool). The text column is pruned from the output
+    so downstream joins (e.g. a purge semi-join) ship only ids.
+
+    Scale shape: stateless ``map_batches`` -- NO exchange; each batch
+    is scanned with one vectorized Arrow ``match_substring`` kernel
+    per pattern (RE2-free exact matching, zero-copy from the object
+    store). The pattern list is closure-shipped once per task launch,
+    which is fine for benchmark sets up to a few thousand strings; for
+    very large sets, build an Aho-Corasick automaton once per actor in
+    an actor-pool ``__init__`` (the ``Redactor`` class above is the
+    template) instead of per-pattern passes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pats = [str(p) for p in patterns]
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_hit = np.zeros(len(t), dtype=np.int64)
+        for p in pats:
+            hit = pc.match_substring(text, p)
+            n_hit += hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_hit": pa.array(n_hit, type=pa.int64()),
+            "contaminated": pa.array(n_hit > 0),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
