@@ -514,6 +514,27 @@ _DECON_PATTERNS = [
 ]
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles with linear interpolation
+    (round-5 addition): quantile_cont semantics -- NOT DuckDB
+    median(), which returns the lower middle on even counts (probed;
+    see grouped_quantiles docstring). One bounded exchange co-locates
+    each type's values; the sketch/iterative paths remain the
+    wide-group alternatives."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import grouped_quantiles
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    out = grouped_quantiles(
+        ev, "event_type", "value", qs=(0.25, 0.5, 0.9)
+    )
+    return _round_floats(out.sort("event_type"), 6)
+
+
 def _q_docs_decontaminated(sf_dir: str):
     """Benchmark decontamination (round-5 addition): per-document count
     of distinct benchmark strings present verbatim + the contaminated
@@ -2046,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_cusum_1h": _q_rollup_cusum_1h,
         "rollup_snaive_1h": _q_rollup_snaive_1h,
         "docs_decontaminated": _q_docs_decontaminated,
+        "events_value_quantiles": _q_events_value_quantiles,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2934,6 +2956,14 @@ GROUP BY conv_id
             + ") > 0 AS contaminated\nFROM documents"
         ),
         "docs_lang_id": docs_lang_id,
+        "events_value_quantiles": """
+SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.25) + 0.0000001, 6) AS q25,
+       ROUND(quantile_cont(value, 0.5) + 0.0000001, 6) AS q50,
+       ROUND(quantile_cont(value, 0.9) + 0.0000001, 6) AS q90
+FROM events
+GROUP BY event_type
+""",
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,
         "events_props_rollup": """

@@ -5,6 +5,7 @@ rows split across batches/partitions."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 import ray.data as rd
 
@@ -163,3 +164,48 @@ class TestGroupedRegr:
         assert a["n_pairs"].tolist() == b["n_pairs"].tolist()
         for c in ("slope", "intercept", "r2"):
             np.testing.assert_allclose(a[c], b[c], rtol=1e-9)
+
+
+class TestGroupedQuantiles:
+    def test_matches_pandas_linear(self, ray_session):
+        """grouped_quantiles equals single-frame pandas groupby
+        quantile (linear interpolation), incl. all-null groups, at any
+        partition count."""
+        from tsfeatures_ray.functions import grouped_quantiles
+
+        rng = np.random.default_rng(51)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 11, n),
+                "v": np.round(rng.normal(50, 20, n), 2),
+            }
+        )
+        df.loc[rng.choice(n, 50, replace=False), "v"] = np.nan
+        df.loc[df["g"] == 7, "v"] = np.nan  # all-null group
+        for parts in (1, 6):
+            got = (
+                grouped_quantiles(rd.from_pandas(df).repartition(parts),
+                                  "g", "v", qs=(0.25, 0.5, 0.9))
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+            base = df.groupby("g")["v"]
+            want_n = base.count().astype(np.int64)
+            assert got["n"].tolist() == want_n.tolist()
+            for q, name in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+                np.testing.assert_allclose(
+                    got[name],
+                    base.quantile(q, interpolation="linear").to_numpy(),
+                    rtol=1e-12, err_msg=name,
+                )
+
+    def test_rejects_bad_qs(self, ray_session):
+        from tsfeatures_ray.functions import grouped_quantiles
+
+        ds = rd.from_items([{"g": 1, "v": 1.0}])
+        with pytest.raises(ValueError):
+            grouped_quantiles(ds, "g", "v", qs=())
+        with pytest.raises(ValueError):
+            grouped_quantiles(ds, "g", "v", qs=(1.5,))
+        with pytest.raises(ValueError):
+            grouped_quantiles(ds, "g", "v", qs=(0.251, 0.252))

@@ -33,6 +33,7 @@ from .temporal_join import asof_join, interval_join, range_join  # noqa: F401
 from .grouped import (  # noqa: F401
     grouped_agg,
     grouped_corr,
+    grouped_quantiles,
     grouped_regr,
     grouped_top_k,
 )

@@ -469,3 +469,60 @@ def grouped_regr(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_quantiles(
+    ds,
+    keys: str | list[str],
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.9),
+    num_parts: int | None = None,
+):
+    """Distributed EXACT per-group quantiles with linear interpolation
+    (SQL ``quantile_cont(col, q)``; note DuckDB's ``median()`` is NOT
+    quantile_cont(0.5) -- probed: it returns the lower middle on even
+    counts -- so oracles must use quantile_cont explicitly). NULL
+    gates: a group whose values are all null still emits a row with
+    ``n = 0`` and NaN quantiles (SQL GROUP BY + aggregate-over-empty).
+
+    Scale shape: exact selection requires co-locating each group's
+    values, so this is ONE bounded ``hash % num_parts`` exchange of
+    (key, value) pairs followed by a vectorized pandas groupby
+    quantile -- the right tool when per-group cardinality is bounded
+    (group count may be huge). For groups too wide to co-locate, use
+    ``sketches.histogram_quantiles`` (mergeable, deterministic,
+    bin-width error) or ``sketches.exact_quantile_selection``
+    (iterative refinement) instead.
+
+    Output: key columns + ``n:int64`` + one ``q<percent>`` float64
+    column per requested quantile (q25/q50/q90 for the default)."""
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    qlist = [float(q) for q in qs]
+    if not qlist or any(not (0.0 <= q <= 1.0) for q in qlist):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+    qnames = [f"q{round(q * 100):d}" for q in qlist]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError("qs collide after percent rounding")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[kcols + [col]].copy()
+        out["part"] = _part_of(out, kcols, num_parts)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="part")
+        gg = g.groupby(kcols, sort=False)
+        out = gg[col].count().rename("n").reset_index()
+        qdf = gg[col].quantile(qlist, interpolation="linear").unstack()
+        qdf.columns = qnames
+        out = out.merge(qdf.reset_index(), on=kcols, how="left")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
