@@ -514,6 +514,36 @@ _DECON_PATTERNS = [
 ]
 
 
+def _q_rollup_interp_1m(sf_dir: str):
+    """Linear interpolation of gap-filled rollup holes (round-5
+    addition): token_len_sum lerped between its nearest non-null
+    anchors across the densified MINUTE grid -- the 1m tier is the one
+    with real holes (15k+ interior gaps at sf0.01; the hourly grid is
+    dense in this corpus); leading/trailing gaps stay NULL. Oracle:
+    the dense-grid CTE + IGNORE-NULLS last_value/first_value windows
+    with the identical lerp association (anchor times in epoch seconds
+    are exact integers on both sides)."""
+    import pandas as pd
+
+    from tsfeatures_ray.functions import interpolate_gaps
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"], gapfill=True).select_columns(
+        ["conv_id", "bucket", "bucket_us", "token_len_sum", "filled"]
+    )
+
+    def add_secs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["t_s"] = df["bucket_us"].to_numpy(dtype=np.float64) / 1e6
+        return df.drop(columns=["bucket_us"])
+
+    out = interpolate_gaps(
+        ds.map_batches(add_secs, batch_format="pandas"),
+        key="conv_id", order="bucket", col="token_len_sum", t_col="t_s",
+    ).drop_columns(["t_s"])
+    return _round_floats(out.sort(["conv_id", "bucket"]), 6)
+
+
 def _q_events_value_quantiles(sf_dir: str):
     """Exact per-type value quantiles with linear interpolation
     (round-5 addition): quantile_cont semantics -- NOT DuckDB
@@ -2068,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_snaive_1h": _q_rollup_snaive_1h,
         "docs_decontaminated": _q_docs_decontaminated,
         "events_value_quantiles": _q_events_value_quantiles,
+        "rollup_interp_1m": _q_rollup_interp_1m,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -2903,6 +2934,49 @@ GROUP BY conv_id
         "rollup_incremental_1h": rollup_sql("hour"),
         "rollup_1d": rollup_sql("day"),
         "rollup_gapfill_1h": gapfill_1h,
+        "rollup_interp_1m": (
+            turns
+            + f""",
+agg AS ({_ROLLUP_AGG.format(unit='minute')}),
+spans AS (SELECT conv_id, MIN(bucket) lo, MAX(bucket) hi
+          FROM agg GROUP BY 1),
+dense AS (
+    SELECT conv_id,
+           unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+    FROM spans
+),
+grid AS (
+    SELECT d.conv_id, d.bucket, a.token_len_sum,
+           (a.conv_id IS NULL) AS filled
+    FROM dense d
+    LEFT JOIN agg a ON d.conv_id = a.conv_id AND d.bucket = a.bucket
+),
+w AS (
+    SELECT conv_id, bucket, token_len_sum, filled,
+           last_value(token_len_sum IGNORE NULLS) OVER pw AS y0,
+           first_value(token_len_sum IGNORE NULLS) OVER fw AS y1,
+           last_value(CASE WHEN token_len_sum IS NOT NULL
+                           THEN epoch(bucket) END IGNORE NULLS)
+               OVER pw AS t0,
+           first_value(CASE WHEN token_len_sum IS NOT NULL
+                            THEN epoch(bucket) END IGNORE NULLS)
+               OVER fw AS t1
+    FROM grid
+    WINDOW pw AS (PARTITION BY conv_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fw AS (PARTITION BY conv_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, bucket,
+       ROUND(token_len_sum + 0.0000001, 6) AS token_len_sum, filled,
+       ROUND(CASE WHEN token_len_sum IS NOT NULL THEN token_len_sum
+                  WHEN y0 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y0 + (y1 - y0)
+                       * ((epoch(bucket) - t0) / (t1 - t0))
+                  ELSE NULL END + 0.0000001, 6) AS token_len_sum_interp
+FROM w
+"""
+        ),
         "rollup_compact_1h": rollup_sql("hour"),
         "turns_token_latency_corr": turns + """
 SELECT conv_id,

@@ -580,3 +580,72 @@ class TestSeasonalNaiveError:
             seasonal_naive_error(
                 rd.from_items([{"g": 1, "i": 1, "x": 1.0}]),
                 key="g", order="i", col="x", season=0)
+
+
+class TestInterpolateGaps:
+    def test_matches_brute(self, ray_session):
+        """interpolate_gaps equals a brute per-key anchor scan: interior
+        nulls lerp between nearest non-null anchors on the t axis,
+        leading/trailing nulls stay NaN, non-null rows pass through,
+        at any partition count (incl. irregular t spacing)."""
+        rng = np.random.default_rng(61)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 8, n),
+                "i": np.arange(n),
+                "t": np.sort(rng.choice(10_000, n, replace=False)).astype(
+                    np.float64),
+                "x": rng.integers(0, 50, n).astype(np.float64),
+            }
+        )
+        df.loc[rng.choice(n, 120, replace=False), "x"] = np.nan
+        df.loc[df["g"] == 2, "x"] = np.nan  # all-null key
+        from tsfeatures_ray.functions import interpolate_gaps
+
+        for parts in (1, 5):
+            got = (
+                interpolate_gaps(rd.from_pandas(df).repartition(parts),
+                                 key="g", order="i", col="x", t_col="t")
+                .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+            )
+            want = []
+            for _, sub in df.sort_values(["g", "i"]).groupby("g", sort=True):
+                xv = sub["x"].to_numpy()
+                tv = sub["t"].to_numpy()
+                vp = np.flatnonzero(~np.isnan(xv))
+                for j in range(len(sub)):
+                    if not np.isnan(xv[j]):
+                        want.append(xv[j])
+                        continue
+                    lo = vp[vp < j]
+                    hi = vp[vp > j]
+                    if len(lo) and len(hi):
+                        p, q = lo[-1], hi[0]
+                        want.append(
+                            xv[p] + (xv[q] - xv[p])
+                            * ((tv[j] - tv[p]) / (tv[q] - tv[p]))
+                        )
+                    else:
+                        want.append(np.nan)
+            np.testing.assert_allclose(got["x_interp"], want, rtol=1e-12)
+            # originals pass through untouched
+            base = df.sort_values(["g", "i"])["x"].to_numpy()
+            np.testing.assert_array_equal(
+                np.isnan(got["x_interp"].to_numpy()) & ~np.isnan(base),
+                np.zeros(len(base), dtype=bool),
+            )
+
+    def test_midpoint_exact(self, ray_session):
+        """A gap exactly halfway between integer anchors lerps to the
+        exact midpoint."""
+        df = pd.DataFrame(
+            {"g": 0, "i": [0, 1, 2], "t": [0.0, 5.0, 10.0],
+             "x": [10.0, np.nan, 20.0]}
+        )
+        from tsfeatures_ray.functions import interpolate_gaps
+
+        got = interpolate_gaps(rd.from_pandas(df), key="g", order="i",
+                               col="x", t_col="t").to_pandas()
+        got = got.sort_values("i").reset_index(drop=True)
+        assert got.loc[1, "x_interp"] == 15.0

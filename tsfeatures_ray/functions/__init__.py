@@ -40,6 +40,7 @@ from .grouped import (  # noqa: F401
 from .sketches import approx_top_tokens  # noqa: F401
 from .changepoint import cusum_changepoint  # noqa: F401
 from .windows import (  # noqa: F401
+    interpolate_gaps,
     lagged_corr,
     rolling_agg,
     rolling_corr,

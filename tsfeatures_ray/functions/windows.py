@@ -535,3 +535,76 @@ def seasonal_naive_error(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def interpolate_gaps(
+    ds,
+    key: str,
+    order: str,
+    col: str,
+    t_col: str | None = None,
+    num_parts: int | None = None,
+):
+    """Per-key linear interpolation of null values between their
+    nearest non-null anchors (the monitoring-pipeline densify step
+    after a gap-fill): adds ``<col>_interp`` = the original value
+    where present, ``y0 + (y1 - y0) * ((t - t0) / (t1 - t0))`` for
+    interior gaps, and NaN for leading/trailing gaps (no anchor on one
+    side) -- exactly SQL's IGNORE-NULLS last_value/first_value window
+    construction. ``t_col`` supplies the numeric time axis (defaults
+    to ``order``); the lerp uses the SAME association as the SQL form
+    above, so integer-valued anchors and times hash-match under the
+    shared 6dp ROUND convention.
+
+    Scale shape: ONE bounded exchange on ``stable_part(key)``; the
+    prev/next anchor indices come from per-key cummax scans (forward
+    and reversed), no per-key Python loop."""
+    import pandas as pd
+
+    if t_col is None:
+        t_col = order
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(columns="part")
+        n = len(g)
+        out = g.reset_index(drop=True)
+        if n == 0:
+            out[f"{col}_interp"] = pd.Series([], dtype="float64")
+            return out
+        keys = g[key].to_numpy()
+        x = g[col].to_numpy(dtype=np.float64)
+        t = g[t_col].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(x)
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        runs = np.repeat(np.arange(len(starts)), counts)
+        pos = np.arange(n)
+        # nearest non-null anchor at-or-before / at-or-after, per key
+        vpos = np.where(valid, pos, -1)
+        prev = pd.Series(vpos).groupby(runs).cummax().to_numpy()
+        vpos_r = np.where(valid, n - 1 - pos, -1)[::-1]
+        nxt = pd.Series(vpos_r).groupby(runs[::-1]).cummax().to_numpy()[::-1]
+        nxt = np.where(nxt >= 0, n - 1 - nxt, -1)
+        interp = x.copy()
+        gap = ~valid & (prev >= 0) & (nxt >= 0)
+        if gap.any():
+            p, q = prev[gap], nxt[gap]
+            y0, y1 = x[p], x[q]
+            t0, t1 = t[p], t[q]
+            interp[gap] = y0 + (y1 - y0) * ((t[gap] - t0) / (t1 - t0))
+        out[f"{col}_interp"] = interp
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
