@@ -544,6 +544,29 @@ def _q_rollup_interp_1m(sf_dir: str):
     return _round_floats(out.sort(["conv_id", "bucket"]), 6)
 
 
+def _q_events_value_winsorized(sf_dir: str):
+    """Per-type winsorization of event values at the [5%, 95%]
+    quantile_cont thresholds (round-5 addition): the robust outlier
+    clip before per-group statistics. One exchange computes thresholds
+    AND clips in the same map_groups; unclipped values round-trip
+    bit-exactly (clipping is pure comparison)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import winsorize
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    # event_type has 5 values: the exchange is 5 groups, so one part
+    # suffices at oracle scale (more parts would just be empty blocks;
+    # production sets num_parts to the real group spread, and
+    # low-cardinality/heavy groups belong on the sketch path anyway)
+    out = winsorize(ev, "event_type", "value", lo=0.05, hi=0.95,
+                    num_parts=1)
+    return _round_floats(out.sort("event_id"), 6)
+
+
 def _q_events_value_quantiles(sf_dir: str):
     """Exact per-type value quantiles with linear interpolation
     (round-5 addition): quantile_cont semantics -- NOT DuckDB
@@ -559,8 +582,9 @@ def _q_events_value_quantiles(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "value"],
     )
+    # one part: event_type is a 5-group exchange (see winsorized note)
     out = grouped_quantiles(
-        ev, "event_type", "value", qs=(0.25, 0.5, 0.9)
+        ev, "event_type", "value", qs=(0.25, 0.5, 0.9), num_parts=1
     )
     return _round_floats(out.sort("event_type"), 6)
 
@@ -2098,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_snaive_1h": _q_rollup_snaive_1h,
         "docs_decontaminated": _q_docs_decontaminated,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_value_winsorized": _q_events_value_winsorized,
         "rollup_interp_1m": _q_rollup_interp_1m,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
@@ -3037,6 +3062,19 @@ SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
        ROUND(quantile_cont(value, 0.9) + 0.0000001, 6) AS q90
 FROM events
 GROUP BY event_type
+""",
+        "events_value_winsorized": """
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS ql,
+           quantile_cont(value, 0.95) AS qh
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value + 0.0000001, 6) AS value,
+       ROUND(LEAST(GREATEST(e.value, q.ql), q.qh) + 0.0000001, 6)
+           AS value_wins
+FROM events e LEFT JOIN q USING (event_type)
 """,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,

@@ -209,3 +209,45 @@ class TestGroupedQuantiles:
             grouped_quantiles(ds, "g", "v", qs=(1.5,))
         with pytest.raises(ValueError):
             grouped_quantiles(ds, "g", "v", qs=(0.251, 0.252))
+
+
+class TestWinsorize:
+    def test_matches_pandas(self, ray_session):
+        """winsorize equals single-frame pandas clip at per-group
+        quantile_cont thresholds; nulls pass through; unclipped values
+        are bit-identical to the input."""
+        from tsfeatures_ray.functions import winsorize
+
+        rng = np.random.default_rng(71)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 7, n),
+                "rid": np.arange(n),
+                "v": np.round(rng.normal(0, 100, n), 2),
+            }
+        )
+        df.loc[rng.choice(n, 30, replace=False), "v"] = np.nan
+        for parts in (1, 5):
+            got = (
+                winsorize(rd.from_pandas(df).repartition(parts), "g", "v",
+                          lo=0.1, hi=0.9)
+                .to_pandas().sort_values("rid").reset_index(drop=True)
+            )
+            base = df.sort_values("rid").reset_index(drop=True)
+            ql = base.groupby("g")["v"].transform(lambda s: s.quantile(0.1))
+            qh = base.groupby("g")["v"].transform(lambda s: s.quantile(0.9))
+            want = base["v"].clip(ql, qh)
+            np.testing.assert_allclose(got["v_wins"], want, rtol=0,
+                                       atol=0, equal_nan=True)
+            # untouched interior values are BIT-identical
+            inner = (base["v"] > ql) & (base["v"] < qh)
+            assert (got.loc[inner.to_numpy(), "v_wins"].to_numpy()
+                    == base.loc[inner, "v"].to_numpy()).all()
+
+    def test_rejects_bad_bounds(self, ray_session):
+        from tsfeatures_ray.functions import winsorize
+
+        ds = rd.from_items([{"g": 1, "v": 1.0}])
+        with pytest.raises(ValueError):
+            winsorize(ds, "g", "v", lo=0.9, hi=0.1)

@@ -36,6 +36,7 @@ from .grouped import (  # noqa: F401
     grouped_quantiles,
     grouped_regr,
     grouped_top_k,
+    winsorize,
 )
 from .sketches import approx_top_tokens  # noqa: F401
 from .changepoint import cusum_changepoint  # noqa: F401

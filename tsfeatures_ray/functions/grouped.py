@@ -526,3 +526,59 @@ def grouped_quantiles(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def winsorize(
+    ds,
+    keys: str | list[str],
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    num_parts: int | None = None,
+):
+    """Per-group winsorization: clip ``col`` to its group's
+    [``lo``, ``hi``] quantile_cont thresholds (linear interpolation)
+    -- the standard robust outlier treatment before per-group
+    statistics. Nulls pass through; a group's thresholds come from its
+    non-null values only; groups with no non-null values pass rows
+    through unclipped. Adds ``<col>_wins`` (float64) next to the
+    original.
+
+    Scale shape: ONE bounded hash exchange co-locates each group, and
+    the SAME map_groups computes thresholds and clips -- no second
+    pass, no threshold broadcast. Clipping is pure comparison (no
+    arithmetic on the surviving values), so unclipped values round-
+    trip bit-exactly and only the interpolated thresholds need the
+    shared 6dp ROUND convention in an oracle."""
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = _part_of(df, kcols, num_parts)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="part")
+        if len(g) == 0:
+            out = g.reset_index(drop=True)
+            out[f"{col}_wins"] = pd.Series([], dtype="float64")
+            return out
+        gg = g.groupby(kcols, sort=False)[col]
+        ql = gg.transform(lambda s: s.quantile(lo, interpolation="linear"))
+        qh = gg.transform(lambda s: s.quantile(hi, interpolation="linear"))
+        x = g[col].to_numpy(dtype=np.float64)
+        out = g.reset_index(drop=True)
+        out[f"{col}_wins"] = np.clip(
+            x, ql.to_numpy(dtype=np.float64), qh.to_numpy(dtype=np.float64)
+        )
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
