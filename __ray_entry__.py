@@ -544,6 +544,21 @@ def _q_rollup_interp_1m(sf_dir: str):
     return _round_floats(out.sort(["conv_id", "bucket"]), 6)
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (round-5 addition):
+    per-doc character-trigram distinct ratio + top-trigram fraction
+    (Rae et al. 2021 repetition filters). The corpus is ASCII, so the
+    engine's byte trigrams equal SQL substr trigrams exactly."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import repetition_score
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _round_floats(repetition_score(ds).sort("doc_id"), 6)
+
+
 def _q_events_value_winsorized(sf_dir: str):
     """Per-type winsorization of event values at the [5%, 95%]
     quantile_cont thresholds (round-5 addition): the robust outlier
@@ -2124,6 +2139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_value_winsorized": _q_events_value_winsorized,
         "rollup_interp_1m": _q_rollup_interp_1m,
+        "docs_repetition": _q_docs_repetition,
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "events_value_p95_exact": _q_events_value_p95_exact,
@@ -3075,6 +3091,27 @@ SELECT e.event_id, e.event_type,
        ROUND(LEAST(GREATEST(e.value, q.ql), q.qh) + 0.0000001, 6)
            AS value_wins
 FROM events e LEFT JOIN q USING (event_type)
+""",
+        "docs_repetition": """
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, GREATEST(length(text) - 2, 0))) AS i
+    FROM documents
+),
+g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS ng FROM pos),
+c AS (SELECT doc_id, ng, COUNT(*) AS c FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_c
+        FROM c GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       ROUND(CAST(a.n_distinct AS DOUBLE) / a.n_grams + 0.0000001, 6)
+           AS distinct_ratio,
+       ROUND(CAST(a.top_c AS DOUBLE) / a.n_grams + 0.0000001, 6)
+           AS top_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "docs_exact_dedup": docs_exact_dedup,
         "embeddings_knn": embeddings_knn,

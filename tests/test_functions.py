@@ -1099,3 +1099,62 @@ class TestDecontaminate:
         with pytest.raises(ValueError):
             decontaminate(
                 rd.from_items([{"doc_id": 1, "text": "x"}]), [])
+
+
+class TestRepetitionScore:
+    def test_matches_python_counter(self, ray_session):
+        """repetition_score equals a brute per-doc Counter over byte
+        trigrams, incl. short texts (NaN ratios), a fully repetitive
+        doc, multi-byte UTF-8 (byte semantics), and empty text."""
+        from collections import Counter
+
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import repetition_score
+
+        texts = [
+            "abcabcabc",        # repetitive
+            "ab",               # too short
+            "",                 # empty
+            "aaaaaa",           # single trigram repeated
+            "the quick brown fox jumps",
+            "héllo héllo",      # multi-byte utf-8 -> byte trigrams
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            repetition_score(rd.from_pandas(df).repartition(2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for j, s in enumerate(texts):
+            b = s.encode("utf-8")
+            grams = [b[i:i + 3] for i in range(max(len(b) - 2, 0))]
+            cnt = Counter(grams)
+            assert got.loc[j, "n_grams"] == len(grams)
+            assert got.loc[j, "n_distinct"] == len(cnt)
+            if grams:
+                np.testing.assert_allclose(
+                    got.loc[j, "distinct_ratio"], len(cnt) / len(grams),
+                    rtol=1e-12)
+                np.testing.assert_allclose(
+                    got.loc[j, "top_frac"],
+                    max(cnt.values()) / len(grams), rtol=1e-12)
+            else:
+                assert np.isnan(got.loc[j, "distinct_ratio"])
+                assert np.isnan(got.loc[j, "top_frac"])
+
+    def test_repetitive_scores_low(self, ray_session):
+        """The Gopher signal direction: a repetitive doc has a lower
+        distinct ratio and higher top fraction than natural text."""
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import repetition_score
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["spam spam spam spam spam spam",
+                     "a varied sentence with many different words"],
+        })
+        got = (repetition_score(rd.from_pandas(df))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.loc[0, "distinct_ratio"] < got.loc[1, "distinct_ratio"]
+        assert got.loc[0, "top_frac"] > got.loc[1, "top_frac"]

@@ -4,6 +4,7 @@ from .text import (  # noqa: F401
     fingerprint,
     language_id,
     redact,
+    repetition_score,
     text_metrics,
     tfidf_stats,
     trigram_logppl,

@@ -942,3 +942,73 @@ def decontaminate(
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def repetition_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style self-repetition quality signals per document
+    (Rae et al. 2021 repetition filters): character-trigram totals,
+    ``distinct_ratio`` (distinct trigrams / total -- low means
+    repetitive) and ``top_frac`` (share of the single most frequent
+    trigram). Ratios are NaN for texts shorter than 3 (zero trigrams).
+    Trigram identity is BYTE-based (exact 24-bit packing, same
+    convention as ``trigram_logppl``) -- identical to SQL substr
+    trigrams on ASCII corpora; multi-byte UTF-8 differs by design.
+
+    Scale shape: stateless ``map_batches``, NO exchange; the whole
+    batch is scanned as ONE concatenated byte buffer (cross-document
+    trigrams masked out), per-(doc, trigram) counts come from a single
+    np.unique over packed 40-bit keys, and the per-doc aggregates are
+    reduceat slices -- no per-document Python loop."""
+    import pyarrow as pa
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        texts = t[text_col].to_pylist()
+        nd = len(texts)
+        lens = np.array([len(s.encode("utf-8")) for s in texts],
+                        dtype=np.int64)
+        n_grams = np.maximum(lens - 2, 0)
+        n_distinct = np.zeros(nd, dtype=np.int64)
+        top_c = np.zeros(nd, dtype=np.int64)
+        if n_grams.sum() > 0:
+            buf = np.frombuffer(
+                "".join(texts).encode("utf-8"), dtype=np.uint8
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            tri = (buf[:-2] << 16) | (buf[1:-1] << 8) | buf[2:]
+            # positions whose trigram crosses a doc boundary are invalid
+            pos = np.arange(len(buf) - 2)
+            doc_of = np.searchsorted(starts, pos, side="right") - 1
+            valid = pos + 2 < starts[doc_of] + lens[doc_of]
+            keys = (doc_of[valid] << 24) | tri[valid]
+            uk, counts = np.unique(keys, return_counts=True)
+            udoc = uk >> 24
+            # per-doc distinct + top count via reduceat on the sorted
+            # unique keys (np.unique returns them sorted, so udoc runs
+            # are contiguous)
+            dstarts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            docs_present = udoc[dstarts]
+            n_distinct[docs_present] = np.diff(
+                np.append(dstarts, len(uk)))
+            top_c[docs_present] = np.maximum.reduceat(counts, dstarts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nf = n_grams.astype(np.float64)
+            distinct_ratio = np.where(
+                n_grams > 0, n_distinct / np.where(n_grams > 0, nf, 1.0),
+                np.nan)
+            top_frac = np.where(
+                n_grams > 0, top_c / np.where(n_grams > 0, nf, 1.0),
+                np.nan)
+        return pa.table({
+            id_col: ids,
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "distinct_ratio": pa.array(distinct_ratio, type=pa.float64()),
+            "top_frac": pa.array(top_frac, type=pa.float64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
