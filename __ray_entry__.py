@@ -559,6 +559,38 @@ def _q_docs_repetition(sf_dir: str):
     return _round_floats(repetition_score(ds).sort("doc_id"), 6)
 
 
+def _q_events_funnel(sf_dir: str):
+    """First-match funnel conversion view -> click -> purchase per user
+    (round-5 addition): the classic product-analytics operator -- each
+    step is the key's earliest matching event STRICTLY after the
+    previous step, exactly the iterated MIN(ts) > t_prev SQL shape."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import funnel_conversion
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_conversion(
+        ds, steps=("view", "click", "purchase")).sort("user_id")
+
+
+def _q_events_cohorts(sf_dir: str):
+    """First-seen-day x day-offset distinct-user retention matrix
+    (round-5 addition). Exact distinct counts: each user's events are
+    co-located on one hash partition, so partition partials are
+    disjoint and the final merge is a tiny (cohort_day, offset) sum."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import cohort_retention
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention(ds).sort(["cohort_day", "day_offset"])
+
+
 def _q_events_value_winsorized(sf_dir: str):
     """Per-type winsorization of event values at the [5%, 95%]
     quantile_cont thresholds (round-5 addition): the robust outlier
@@ -2059,8 +2091,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features_sql2_1m": _q_features_sql2_1m,
         "features_recorded_1h": _q_features_recorded_1h,
         "features_recorded_extras_1m": _q_features_recorded_extras_1m,
-        "series_extras_sql_1m": _q_series_extras_sql_1m,
         "events_forecast_metrics": _q_events_forecast_metrics,
+        # late round-5 additions: funnel conversion + cohort retention
+        # (series_extras_sql_1m and docs_dup_spans, both r04-driver-
+        # green, rotated out to free the two slots)
+        "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         # -- pack family: oracle CAST fix flips these green this round --
         "docs_packed": _q_docs_packed,
         "docs_packed_bpe": _q_docs_packed_bpe,
@@ -2114,7 +2150,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-green in r04 -- get driver rows this round; the dedup
         # family keeps jaccard + simhash sigs + dup_spans in-window)
         "docs_jaccard_dups": _q_docs_jaccard_dups,
-        "docs_dup_spans": _q_docs_dup_spans,
         "rollup_compact_1h": _q_rollup_compact_1h,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         # round-5 addition, placed in the driver window (the sampling
@@ -2149,6 +2184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family keeps a green row across r04+r05
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
+        "series_extras_sql_1m": _q_series_extras_sql_1m,
+        "docs_dup_spans": _q_docs_dup_spans,
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_user_stats": _q_events_user_stats,
         "docs_quality": _q_docs_quality,
@@ -3105,6 +3142,38 @@ SELECT e.event_id, e.event_type,
        ROUND(LEAST(GREATEST(e.value, q.ql), q.qh) + 0.0000001, 6)
            AS value_wins
 FROM events e LEFT JOIN q USING (event_type)
+""",
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t_view
+       FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+                             AND e.ts > s1.t_view
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+                             AND e.ts > s2.t_click
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed
+FROM u LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+        "events_cohorts": """
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+j AS (SELECT f.d0, datediff('day', f.d0, a.d) AS off
+      FROM a JOIN f USING (user_id))
+SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+       CAST(off AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
 """,
         "docs_repetition": """
 WITH pos AS (

@@ -1158,3 +1158,106 @@ class TestRepetitionScore:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got.loc[0, "distinct_ratio"] < got.loc[1, "distinct_ratio"]
         assert got.loc[0, "top_frac"] > got.loc[1, "top_frac"]
+
+
+class TestFunnelCohort:
+    def _events(self):
+        # hand-built log exercising: full conversion (u1), stall at
+        # click (u2), purchase BEFORE view so it must not count (u3),
+        # equal-timestamp view/click (strictly-after excludes, u4),
+        # never enters the funnel (u5)
+        rows = [
+            (1, "2024-01-01 00:00", "view"),
+            (1, "2024-01-01 01:00", "click"),
+            (1, "2024-01-01 00:30", "click"),   # after view -> earliest
+            (1, "2024-01-01 02:00", "purchase"),
+            (2, "2024-01-02 00:00", "view"),
+            (2, "2024-01-02 00:10", "click"),
+            (3, "2024-01-03 00:00", "purchase"),
+            (3, "2024-01-03 01:00", "view"),
+            (3, "2024-01-03 02:00", "click"),
+            (4, "2024-01-04 00:00", "view"),
+            (4, "2024-01-04 00:00", "click"),   # same instant: excluded
+            (5, "2024-01-05 00:00", "error"),
+        ]
+        return pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[us]"),
+            "event_type": [r[2] for r in rows],
+        })
+
+    def test_funnel_first_match_semantics(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import funnel_conversion
+
+        got = (
+            funnel_conversion(
+                rd.from_pandas(self._events()).repartition(3),
+                steps=("view", "click", "purchase"))
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 2, 3, 4, 5]
+        assert got["steps_completed"].tolist() == [3, 2, 2, 1, 0]
+        ts = pd.Timestamp
+        assert got.loc[0, "t_click"] == ts("2024-01-01 00:30")
+        assert got.loc[0, "t_purchase"] == ts("2024-01-01 02:00")
+        # u3's pre-view purchase must not satisfy step 3
+        assert pd.isna(got.loc[2, "t_purchase"])
+        # u4's same-instant click is NOT strictly after the view
+        assert pd.isna(got.loc[3, "t_click"])
+        assert pd.isna(got.loc[4, "t_view"])
+
+    def test_funnel_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import funnel_conversion
+
+        df = self._events()
+        a = (funnel_conversion(rd.from_pandas(df), num_parts=4)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+        b = (funnel_conversion(rd.from_pandas(df).repartition(5),
+                               num_parts=11)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_cohort_matches_brute(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import cohort_retention
+
+        rng = np.random.default_rng(7)
+        n = 500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 40, n),
+            "ts": (pd.Timestamp("2024-03-01").value // 1000
+                   + rng.integers(0, 20 * 86_400_000_000, n)).astype(
+                       "datetime64[us]"),
+        })
+        got = (
+            cohort_retention(rd.from_pandas(df).repartition(3),
+                             num_parts=7)
+            .to_pandas()
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+        )
+        b = df.copy()
+        b["day"] = b["ts"].astype("int64") // 86_400_000_000
+        b["d0"] = b.groupby("user_id")["day"].transform("min")
+        brute = (
+            b.drop_duplicates(["user_id", "day"])
+            .assign(off=lambda x: x["day"] - x["d0"])
+            .groupby(["d0", "off"]).size().reset_index(name="n_users")
+        )
+        brute["cohort_day"] = (
+            brute["d0"].to_numpy() * 86_400_000_000
+        ).view("datetime64[us]")
+        brute = (
+            brute.rename(columns={"off": "day_offset"})
+            [["cohort_day", "day_offset", "n_users"]]
+            .astype({"day_offset": "int64", "n_users": "int64"})
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, brute)

@@ -1,0 +1,147 @@
+"""Event-funnel and cohort-retention analytics over a keyed event log.
+
+Product-analytics operators the reference (a per-series feature
+library) has no analog for, but any events table of this shape needs:
+``funnel_conversion`` finds each key's earliest strictly-ordered
+completion of a step sequence (view -> click -> purchase), and
+``cohort_retention`` builds the classic first-seen-day x day-offset
+distinct-user retention matrix.
+
+Scale shape (ray_guide pattern): ONE bounded exchange co-locating each
+key's events on its hash partition, then per-partition vectorized
+pandas passes -- per-STEP loops (bounded, e.g. 3) but never per-key
+Python loops. Cohort partials are exact per partition (keys do not
+straddle partitions), so the final merge is a tiny second exchange
+over (cohort_day, day_offset) partial counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages._util import ts_to_us
+from ..stages.derive import default_num_parts, stable_part
+
+_DAY_US = 86_400_000_000
+_NAT_I64 = np.iinfo(np.int64).min  # int64 min IS datetime64 NaT
+
+
+def funnel_conversion(
+    ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    num_parts: int | None = None,
+):
+    """Events Dataset -> one row per distinct key: ``t_<step>`` (the
+    earliest completion time of each funnel step, NaT once the funnel
+    stalls) and ``steps_completed``.
+
+    Semantics (the classic first-match funnel, exactly the iterated
+    ``MIN(ts) ... WHERE ts > t_prev`` SQL construction): t_1 is the
+    key's earliest ``steps[0]`` event; t_k is the earliest ``steps[k]``
+    event STRICTLY after t_{k-1}. A key missing step k has NaT for
+    every later step; keys with no ``steps[0]`` event still emit a row
+    (steps_completed = 0), so the output covers every distinct key.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(g[ts]).to_numpy()
+        kv = g[key].to_numpy()
+        base = pd.unique(kv)
+        base.sort()
+        out = pd.DataFrame({key: base})
+        # running per-key threshold: step k only matches events with
+        # ts strictly greater; keys absent from `cur` have stalled
+        # (Series.map -> NaN -> comparison False)
+        cur = pd.Series(np.full(len(base), -1, dtype=np.float64),
+                        index=base)
+        completed = np.zeros(len(base), dtype=np.int64)
+        for step in steps:
+            m = (g[type_col].to_numpy() == step)
+            sub = pd.DataFrame({key: kv[m], "_us": us[m]})
+            thr = sub[key].map(cur)
+            sub = sub[sub["_us"].to_numpy() > thr.to_numpy()]
+            hit = sub.groupby(key, sort=False)["_us"].min()
+            col = np.full(len(base), _NAT_I64, dtype=np.int64)
+            idx = out[key].map(
+                pd.Series(hit.to_numpy(), index=hit.index))
+            got = idx.notna().to_numpy()
+            col[got] = idx.to_numpy()[got].astype(np.int64)
+            out[f"t_{step}"] = col.view("datetime64[us]")
+            completed += got.astype(np.int64)
+            cur = hit.astype(np.float64)
+        out["steps_completed"] = completed
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def cohort_retention(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    num_parts: int | None = None,
+):
+    """Events Dataset -> (cohort_day, day_offset, n_users): how many of
+    the keys first seen on cohort_day were active again day_offset days
+    later (day_offset 0 = the cohort's own size). Days are UTC calendar
+    days (epoch-floor); n_users counts DISTINCT keys, exact because each
+    key's events are co-located on one hash partition, so per-partition
+    distinct counts are disjoint partials and the final merge is a tiny
+    (cohort_day, day_offset) sum."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        day = (ts_to_us(g[ts]).to_numpy() // _DAY_US).astype(np.int64)
+        df = pd.DataFrame({key: g[key].to_numpy(), "_day": day})
+        d0 = df.groupby(key, sort=False)["_day"].transform("min")
+        df["_d0"] = d0
+        df["_off"] = df["_day"] - d0
+        part = (
+            df.drop_duplicates([key, "_day"])
+            .groupby(["_d0", "_off"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        part["cohort_day"] = (
+            part["_d0"].to_numpy() * _DAY_US
+        ).view("datetime64[us]")
+        part["day_offset"] = part["_off"].astype("int64")
+        part["n_users"] = part["n_users"].astype("int64")
+        return part[["cohort_day", "day_offset", "n_users"]]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["cohort_day", "day_offset"], sort=False)
+            ["n_users"].sum().astype("int64").reset_index()
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partial, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .map_groups(merge, batch_format="pandas")
+    )
