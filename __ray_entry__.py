@@ -653,6 +653,51 @@ def _q_docs_decontaminated(sf_dir: str):
     return decontaminate(ds, _DECON_PATTERNS).sort("doc_id")
 
 
+# fixed "benchmark" texts for the N-GRAM decontamination gate: long
+# enough that only their token trigrams (not the whole strings) leak
+# into documents
+_NGRAM_EVALS = [
+    "table scan query value part hash row merge batch window",
+    "spark join merge table window sort column group data line",
+    "fast slow filter value small big vector agg stream order",
+    "customer query line value a table customer fast key scan",
+]
+
+
+def _q_docs_decontaminated_ngrams(sf_dir: str):
+    """N-gram benchmark decontamination (round-5 addition): per-doc
+    count of DISTINCT token trigrams shared with the eval set -- the
+    GPT-3/PaLM-style overlap pass that catches partial leakage the
+    verbatim substring gate (docs_decontaminated) misses. Stateless
+    map_batches, rolling hashed n-grams, candidates string-verified."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import decontaminate_ngrams
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return decontaminate_ngrams(ds, _NGRAM_EVALS, n=3).sort("doc_id")
+
+
+def _q_docs_bm25(sf_dir: str):
+    """Okapi BM25 relevance scores for a fixed query over every
+    matching document (round-5 addition): the classic 2-pass corpus-
+    statistics ranking (pass 1 reduces each batch to one stats row,
+    pass 2 scores statelessly). Scores rounded at 6dp (the engine sums
+    per-term contributions in fixed order, SQL SUM order is free --
+    max observed divergence 4e-16)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import bm25_score
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _round_floats(
+        bm25_score(ds, "spark join merge window").sort("doc_id"), 6)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -2089,14 +2134,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features_default_1h": _q_features_default,
         "features_sql_1m": _q_features_sql_1m,
         "features_sql2_1m": _q_features_sql2_1m,
-        "features_recorded_1h": _q_features_recorded_1h,
         "features_recorded_extras_1m": _q_features_recorded_extras_1m,
-        "events_forecast_metrics": _q_events_forecast_metrics,
-        # late round-5 additions: funnel conversion + cohort retention
-        # (series_extras_sql_1m and docs_dup_spans, both r04-driver-
-        # green, rotated out to free the two slots)
+        # late round-5 additions: funnel conversion, cohort retention,
+        # n-gram decontamination, BM25 ranking (series_extras_sql_1m,
+        # docs_dup_spans, features_recorded_1h and events_forecast_
+        # metrics -- all r04-driver-green -- rotated out to free the
+        # slots; the recorded kernels stay in-window end-to-end through
+        # features_default_1h)
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
+        "docs_decontaminated_ngrams": _q_docs_decontaminated_ngrams,
+        "docs_bm25": _q_docs_bm25,
         # -- pack family: oracle CAST fix flips these green this round --
         "docs_packed": _q_docs_packed,
         "docs_packed_bpe": _q_docs_packed_bpe,
@@ -2186,6 +2234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
         "docs_dup_spans": _q_docs_dup_spans,
+        "features_recorded_1h": _q_features_recorded_1h,
+        "events_forecast_metrics": _q_events_forecast_metrics,
         "events_rollup_1h": _q_events_rollup("1h"),
         "events_user_stats": _q_events_user_stats,
         "docs_quality": _q_docs_quality,
@@ -3142,6 +3192,48 @@ SELECT e.event_id, e.event_type,
        ROUND(LEAST(GREATEST(e.value, q.ql), q.qh) + 0.0000001, 6)
            AS value_wins
 FROM events e LEFT JOIN q USING (event_type)
+""",
+        "docs_decontaminated_ngrams": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+              FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+        FROM toks),
+dg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       FROM pos),
+ev(s) AS (VALUES """ + ", ".join(
+            f"('{s}')" for s in _NGRAM_EVALS) + """),
+etoks AS (SELECT regexp_extract_all(lower(s), '[a-z]+') AS t FROM ev),
+epos AS (SELECT t,
+                unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+         FROM etoks),
+eg AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g FROM epos),
+hits AS (SELECT dg.doc_id, COUNT(*) AS n_shared
+         FROM dg JOIN eg USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        "docs_bm25": """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ('spark', 'join', 'merge', 'window') GROUP BY 1, 2),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * dl.dl / (st.tot / st.n))))
+                  AS score
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY 1)
+SELECT doc_id, ROUND(score + 0.0000001, 6) AS bm25 FROM sc
 """,
         "events_funnel": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

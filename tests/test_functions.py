@@ -1261,3 +1261,143 @@ class TestFunnelCohort:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, brute)
+
+
+class TestDecontaminateNgrams:
+    def test_matches_brute_ngrams(self, ray_session):
+        """decontaminate_ngrams equals brute per-doc distinct token
+        n-gram intersection, incl. tokenizer normalization (case,
+        punctuation), short docs, and cross-doc window masking."""
+        import re
+
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import decontaminate_ngrams
+
+        evals = ["alpha beta gamma delta", "x y z w v"]
+        texts = [
+            "alpha beta gamma unrelated words here",   # shares 1 trigram
+            "ALPHA, beta; GAMMA delta!",               # 2 after lowering
+            "beta gamma",                              # too short for n=3
+            "",                                        # empty
+            "gamma delta alpha beta gamma",            # 2 distinct shared
+            "nothing shared at all",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            decontaminate_ngrams(
+                rd.from_pandas(df).repartition(2), evals, n=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+        def grams(s, n=3):
+            t = re.findall(r"[a-z]+", s.lower())
+            return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+        eg = set().union(*(grams(e) for e in evals))
+        for j, s in enumerate(texts):
+            want = len(grams(s) & eg)
+            assert got.loc[j, "n_shared"] == want, (j, s)
+            assert bool(got.loc[j, "contaminated"]) == (want > 0)
+
+    def test_no_cross_document_grams(self, ray_session):
+        """A trigram assembled from the END of one doc and the START of
+        the next must never match (boundary windows are masked)."""
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import decontaminate_ngrams
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["one two", "three four five"],
+        })
+        got = (
+            decontaminate_ngrams(
+                rd.from_pandas(df), ["two three four"], n=3)
+            .to_pandas()
+        )
+        assert got["n_shared"].sum() == 0
+
+    def test_empty_evals_raise(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import decontaminate_ngrams
+
+        with pytest.raises(ValueError):
+            decontaminate_ngrams(
+                rd.from_items([{"doc_id": 1, "text": "x"}]), [])
+
+
+class TestBM25:
+    def _corpus(self):
+        return pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spark spark join table",
+                "join merge window",
+                "table value row",          # no query term
+                "spark spark join table",   # identical to doc 0 -> tie
+            ],
+        })
+
+    def test_matches_hand_formula(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import bm25_score
+
+        df = self._corpus()
+        got = (bm25_score(rd.from_pandas(df).repartition(2),
+                          "spark join")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # hand stats: N=4, dls=[4,3,3,4], avgdl=14/4
+        n, avgdl, k1, b = 4.0, 14.0 / 4.0, 1.2, 0.75
+        import math
+
+        def idf(dfreq):
+            return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+        def part(tf, dl, dfreq):
+            return idf(dfreq) * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl))
+
+        want = {
+            0: part(2, 4, 2) + part(1, 4, 3),   # spark df=2, join df=3
+            1: part(1, 3, 3),
+            3: part(2, 4, 2) + part(1, 4, 3),
+        }
+        assert got["doc_id"].tolist() == [0, 1, 3]
+        for j, d in enumerate(got["doc_id"]):
+            np.testing.assert_allclose(
+                got.loc[j, "bm25"], want[int(d)], rtol=1e-12)
+
+    def test_topk_rank_and_tiebreak(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import bm25_score
+
+        got = bm25_score(
+            rd.from_pandas(self._corpus()).repartition(3),
+            "spark join", k=2).to_pandas()
+        # docs 0 and 3 tie exactly; doc_id ascending breaks the tie
+        assert got["doc_id"].tolist() == [0, 3]
+        assert got["rank"].tolist() == [1, 2]
+
+    def test_unknown_term_contributes_nothing(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import bm25_score
+
+        df = self._corpus()
+        a = (bm25_score(rd.from_pandas(df), "spark join")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        bm = (bm25_score(rd.from_pandas(df), "spark join zzzmissing")
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, bm)
+
+    def test_empty_query_raises(self, ray_session):
+        import ray.data as rd
+
+        from tsfeatures_ray.functions import bm25_score
+
+        with pytest.raises(ValueError):
+            bm25_score(rd.from_items([{"doc_id": 1, "text": "x"}]), "123 !")

@@ -1,6 +1,8 @@
 from .text import (  # noqa: F401
+    bm25_score,
     chunk_documents,
     decontaminate,
+    decontaminate_ngrams,
     fingerprint,
     language_id,
     redact,

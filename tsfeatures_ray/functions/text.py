@@ -636,13 +636,14 @@ def redact(
     )
 
 
-def _tokenize_doc_counts(ids, text):
-    """Per-document token counts for one batch: (doc_id column, text
-    column) -> (doc_id idx array, token array, tf array) with one row
-    per distinct (doc, token). Same byte-level [a-z]+ tokenizer as
-    ``_tokenize_counts`` (== DuckDB ``regexp_extract_all(lower(text),
-    '[a-z]+')``), vectorized: blank table lookup + Arrow per-row split
-    + dictionary_encode + one np.unique over packed (row, code) keys."""
+def _tokenize_doc_stream(text):
+    """ORDER-PRESERVING byte-level [a-z]+ tokenizer over one batch's
+    Arrow string column (== DuckDB ``regexp_extract_all(lower(text),
+    '[a-z]+')`` per row): returns (row_of, codes, vocab) with one entry
+    per token IN DOCUMENT ORDER -- the shared front half of
+    ``_tokenize_doc_counts`` and the n-gram operators. Vectorized:
+    blank table lookup + Arrow split + dictionary_encode, empty splits
+    dropped with order preserved."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     if text.null_count:
@@ -665,11 +666,22 @@ def _tokenize_doc_counts(ids, text):
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary.to_pandas().to_numpy()
     keep = np.char.str_len(vocab.astype(str))[codes] > 0
-    if not keep.any():
+    return row_of[keep], codes[keep], vocab
+
+
+def _tokenize_doc_counts(ids, text):
+    """Per-document token counts for one batch: (doc_id column, text
+    column) -> (doc_id idx array, token array, tf array) with one row
+    per distinct (doc, token). Same byte-level [a-z]+ tokenizer as
+    ``_tokenize_counts`` (== DuckDB ``regexp_extract_all(lower(text),
+    '[a-z]+')``), vectorized: blank table lookup + Arrow per-row split
+    + dictionary_encode + one np.unique over packed (row, code) keys."""
+    row_of, codes, vocab = _tokenize_doc_stream(text)
+    if len(codes) == 0:
         return (np.array([], np.int64), np.array([], object),
                 np.array([], np.int64))
     nv = len(vocab)
-    key = row_of[keep] * nv + codes[keep]
+    key = row_of * nv + codes
     uniq, tf = np.unique(key, return_counts=True)
     return uniq // nv, vocab[uniq % nv], tf.astype(np.int64)
 
@@ -1012,3 +1024,204 @@ def repetition_score(
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _ngram_token_hashes(tokens: np.ndarray, n: int) -> np.ndarray:
+    """Order-sensitive 64-bit combine of ``n`` consecutive token hashes
+    (distinct odd multipliers per offset, wrapping uint64 arithmetic).
+    A collision can only create a CANDIDATE -- callers verify candidate
+    n-grams by string before counting them."""
+    m = len(tokens) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    gh = np.zeros(m, dtype=np.uint64)
+    mult, mask = 0x9E3779B97F4A7C15, (1 << 64) - 1
+    c = 0xBF58476D1CE4E5B9
+    for j in range(n):
+        c = (c * mult + 1) & mask  # exact Python-int wrap, no warnings
+        gh = gh + tokens[j: j + m] * np.uint64(c)
+    return gh
+
+
+def decontaminate_ngrams(
+    ds,
+    eval_texts: list,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """N-gram benchmark decontamination (the GPT-3 / PaLM appendix
+    methodology): flag documents sharing ANY token ``n``-gram with any
+    eval-set text -- catches partial/reworded leakage the verbatim
+    ``decontaminate`` substring pass misses. Emits one row per
+    document: ``id_col``, ``n_shared`` (DISTINCT shared n-grams,
+    int64), ``contaminated`` (bool). Tokenization is the engine-wide
+    byte-level [a-z]+ lowercase tokenizer (== DuckDB
+    ``regexp_extract_all(lower(text), '[a-z]+')``).
+
+    Scale shape: stateless ``map_batches``, NO exchange. The eval-side
+    n-gram set (benchmark-bounded, tiny vs the corpus) is built once on
+    the driver and closure-shipped; each batch tokenizes in document
+    order (one Arrow split + dictionary_encode), forms rolling 64-bit
+    n-gram hashes over the whole token stream with cross-document
+    windows masked, dedupes per doc with one lexsort, and probes the
+    sorted eval hash array via searchsorted. EXACTNESS: hash hits are
+    only candidates -- each surviving (doc, gram) is re-verified by
+    string against the eval n-gram set, so collisions cannot flip the
+    oracle comparison (the verify loop touches candidates only)."""
+    import re
+
+    if not eval_texts:
+        raise ValueError("eval_texts must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    eval_grams: set = set()
+    for s in eval_texts:
+        toks = [t.decode() for t in
+                re.findall(rb"[a-z]+", str(s).encode("utf-8").lower())]
+        for i in range(len(toks) - n + 1):
+            eval_grams.add(" ".join(toks[i: i + n]))
+    eval_tok_arrays = [g.split(" ") for g in eval_grams]
+    if eval_grams:
+        eh = np.unique(np.concatenate([
+            _ngram_token_hashes(
+                pd.util.hash_array(np.array(g, dtype=object)), n)
+            for g in eval_tok_arrays
+        ]))
+    else:
+        eh = np.empty(0, dtype=np.uint64)
+    eval_gram_set = frozenset(eval_grams)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        nd = len(t)
+        n_shared = np.zeros(nd, dtype=np.int64)
+        row_of, codes, vocab = _tokenize_doc_stream(t.column(text_col))
+        if len(codes) >= n and len(eh):
+            th = pd.util.hash_array(vocab.astype(object))[codes]
+            gh = _ngram_token_hashes(th, n)
+            # windows crossing a document boundary are invalid
+            valid = row_of[: len(gh)] == row_of[n - 1:]
+            pos = np.flatnonzero(valid)
+            idx = np.searchsorted(eh, gh[pos])
+            idx[idx == len(eh)] = 0
+            cand = pos[eh[idx] == gh[pos]]
+            if len(cand):
+                # distinct (doc, gram-hash) only, then string-verify
+                order = np.lexsort((gh[cand], row_of[cand]))
+                cand = cand[order]
+                first = np.r_[True, (row_of[cand][1:] != row_of[cand][:-1])
+                              | (gh[cand][1:] != gh[cand][:-1])]
+                for p in cand[first]:
+                    gram = " ".join(vocab[codes[p: p + n]])
+                    if gram in eval_gram_set:
+                        n_shared[row_of[p]] += 1
+        return pa.table({
+            id_col: ids,
+            "n_shared": pa.array(n_shared, type=pa.int64()),
+            "contaminated": pa.array(n_shared > 0),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def bm25_score(
+    ds,
+    query: str,
+    k: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 relevance of every document to ``query`` (Lucene
+    idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``; duplicate query
+    terms are deduped, scores sum over terms in first-occurrence
+    order). Emits (``id_col``, ``bm25``) for documents matching at
+    least one term; with ``k`` set, instead the global top-k by
+    (score DESC, id ASC) plus a 1-based ``rank``.
+
+    Scale shape: the classic 2-pass corpus statistic (same contract as
+    ``tfidf_stats``): pass 1 reduces each batch to ONE tiny stats row
+    (doc count, token count, per-query-term document frequency --
+    O(|terms|) per batch, never the vocabulary), summed on the driver;
+    pass 2 scores statelessly with the broadcast constants. The input
+    Dataset executes twice -- pass a materialized Dataset when
+    upstream is expensive. With ``k``, each batch prunes to its local
+    top-k before the single bounded final merge."""
+    import re
+
+    terms = list(dict.fromkeys(
+        t.decode() for t in
+        re.findall(rb"[a-z]+", str(query).encode("utf-8").lower())))
+    if not terms:
+        raise ValueError("query has no [a-z]+ tokens")
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        row_of, codes, vocab = _tokenize_doc_stream(t.column(text_col))
+        lut = {v: i for i, v in enumerate(vocab)}
+        out = {"n_docs": [len(t)], "n_tok": [len(codes)]}
+        for i, term in enumerate(terms):
+            tc = lut.get(term, -1)
+            out[f"df_{i}"] = [
+                0 if tc < 0 else int(len(np.unique(row_of[codes == tc])))]
+        return pd.DataFrame(out).astype("int64")
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(stats_partial, batch_format="pyarrow",
+                     batch_size=4096)
+        .to_pandas()  # one row per batch -- bounded by batch count
+        .sum()
+    )
+    n_docs = float(agg["n_docs"])
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(agg["n_tok"]) / n_docs
+    idf = [float(np.log(1.0 + (n_docs - float(agg[f"df_{i}"]) + 0.5)
+                        / (float(agg[f"df_{i}"]) + 0.5)))
+           for i in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        didx, tokens, tf = _tokenize_doc_counts(None, t.column(text_col))
+        sc = np.zeros(len(t), dtype=np.float64)
+        if len(tf):
+            dl = np.bincount(didx, weights=tf, minlength=len(t))
+            for i, term in enumerate(terms):
+                m = tokens == term
+                if not m.any():
+                    continue
+                tfv = tf[m].astype(np.float64)
+                d = didx[m]
+                sc[d] += idf[i] * tfv * (k1 + 1.0) / (
+                    tfv + k1 * (1.0 - b + b * dl[d] / avgdl))
+        hit = sc > 0.0
+        return pa.table({
+            id_col: pa.array(ids_np[hit]),
+            "bm25": pa.array(sc[hit], type=pa.float64()),
+        })
+
+    scored = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+    if k is None:
+        return scored
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["bm25", id_col], ascending=[False, True],
+            kind="mergesort").head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["bm25", id_col], ascending=[False, True],
+            kind="mergesort").head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        scored.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
