@@ -967,6 +967,26 @@ def _q_docs_jaccard_dups(sf_dir: str):
     return _round_floats(out.sort(["id_a", "id_b"]), 6)
 
 
+def _q_docs_dup_components(sf_dir: str):
+    """Duplicate-CLUSTER assignment (round-5 addition): exact n-gram
+    Jaccard near-dup pairs -> distributed connected components (min-label
+    propagation with pointer doubling, one hash-partitioned exchange per
+    round, O(log diameter) rounds) -> one row per doc with component =
+    min doc id of its transitive duplicate cluster. This is the closure
+    step pairwise dedup cannot express: A~B and B~C must collapse to one
+    cluster even when the A~C edge was never emitted. Oracle: the same
+    pair SQL as docs_jaccard_dups feeding a DuckDB recursive CTE
+    transitive closure."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.graph import dedup_components
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup_components(ds, threshold=0.8).sort("doc_id")
+
+
 def _q_docs_top_tokens(sf_dir: str):
     """Exact corpus-wide top-50 token frequencies (distributed
     heavy-hitters: per-batch vectorized partials, one (token,count)
@@ -2211,7 +2231,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (events_value_p95_exact rotated out: r04-driver-green, and
         # the quantile family keeps events_hist_quantiles in-window)
         "rollup_laggedcorr_1h": _q_rollup_laggedcorr_1h,
-        "q3_top_orders": _q_q3_top_orders,
         # -- late round-5 additions: each is the ONLY gate for a new
         # operator family, so each takes a window slot freed by an
         # r04-driver-green repeat (embeddings_knn, lineitem_pricing_
@@ -2227,9 +2246,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": _q_events_value_winsorized,
         "rollup_interp_1m": _q_rollup_interp_1m,
         "docs_repetition": _q_docs_repetition,
+        # round-5 addition, placed in the driver window (q3_top_orders
+        # rotated out to make room: r04-driver-green, and the join family
+        # that powers it -- partitioned_join -- is exercised in-window by
+        # this very query's label-propagation rounds)
+        "docs_dup_components": _q_docs_dup_components,
         # ---------------- position 50 ends the driver window ----------
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
+        "q3_top_orders": _q_q3_top_orders,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3574,6 +3599,39 @@ JOIN s sa ON sa.doc_id = id_a
 JOIN s sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
 ORDER BY 1, 2
+""",
+        "docs_dup_components": """
+WITH RECURSIVE g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i)
+  WHERE length(text) >= 5
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM g a JOIN g b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM inter
+  JOIN s sa ON sa.doc_id = id_a
+  JOIN s sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+r AS (
+  SELECT u AS node, u AS reach FROM sym
+  UNION
+  SELECT sym.v AS node, r.reach FROM r JOIN sym ON sym.u = r.node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS component
+FROM documents d
+LEFT JOIN (SELECT node, MIN(reach) AS comp FROM r GROUP BY 1) m
+  ON m.node = d.doc_id
+ORDER BY 1
 """,
         "docs_top_tokens": """
 SELECT token, cnt FROM (

@@ -1,0 +1,280 @@
+"""Graph operators: distributed connected components over an edge
+Dataset, and the dedup composite built on it (near-dup pairs ->
+duplicate clusters -> one canonical doc per cluster).
+
+The reference has no graph operators (its only key is ``unique_id``,
+SURVEY.md §1.1); this is engine scope for the LLM-data-pipeline dedup
+story: pairwise dedup ops (``jaccard_near_dups``, MinHash-LSH, SimHash,
+cosine) emit EDGES, but purging needs the transitive closure -- docs A~B
+and B~C must collapse to ONE cluster even when A~C was never emitted.
+
+Algorithm: iterative min-label propagation ("hash-to-min") WITH pointer
+doubling. Every node starts labeled with itself; each round, every node
+adopts the minimum label among itself, its neighbors' labels, and its
+label's label (the doubling step: labels form a pointer forest toward
+component minima, and chasing one extra hop per round halves the
+remaining depth). Converges to label = min node id of the connected
+component in ``O(log diameter)`` rounds -- duplicate clusters are
+near-cliques (diameter 1-3), so 2-3 rounds in practice; ``max_iters``
+is a safety bound, not the expected count.
+
+Scale contract: each round is ONE hash-partitioned exchange
+(``partitioned_join`` of the symmetrized edge table against the current
+label table, then a ``groupby(part)`` min-reduce). Nothing ever lands on
+the driver except a per-round scalar (count of changed labels, computed
+inside the same reduce -- no extra exchange). The edge table and the
+label table are both bounded by the DUPLICATE-PAIR graph, which at
+corpus scale is orders of magnitude smaller than the corpus itself; the
+corpus is never part of the iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.derive import default_num_parts, stable_part
+
+_PART = "__cc_part"
+
+
+def _min_reduce(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition label reduce: new label = min over candidates; a
+    node's label changed iff the min beats its unique is_old row (at
+    init every is_old row carries node==label, so dup old rows are
+    value-identical and min() is exact)."""
+    df = df.drop(columns=[_PART])
+    g = df.groupby("node", sort=False)
+    new = g["label"].min()
+    old = df.loc[df["is_old"] == 1].groupby("node", sort=False)["label"].min()
+    out = new.reset_index()
+    out["changed"] = (new.to_numpy() != old.reindex(new.index).to_numpy()).astype(
+        np.int64
+    )
+    return out
+
+
+def _partition_on(col: str, num_parts: int):
+    def fn(t: pa.Table) -> pa.Table:
+        p = stable_part(t[col].to_numpy(zero_copy_only=False), num_parts)
+        return t.append_column(_PART, pa.array(p, type=pa.int64()))
+
+    return fn
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    comp_col: str = "component",
+    num_parts: int | None = None,
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns one row per node that appears in ``edges`` with
+    ``comp_col`` = the minimum node id in its component (the canonical
+    cluster representative). Isolated nodes (absent from ``edges``) are
+    by definition their own component -- callers that want them listed
+    left-join this result against their id table (see
+    ``dedup_components``).
+
+    Works for any orderable id type (ints, strings); convergence is
+    detected by an exact changed-label count folded into the reduce, not
+    a sum heuristic. Raises ``RuntimeError`` if ``max_iters`` rounds do
+    not converge (a non-converged labeling would silently split
+    clusters; at default 50 that means a duplicate "cluster" shaped like
+    a 50-hop path, which indicates a thresholding bug upstream).
+    """
+    import ray.data as rd
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t[src].combine_chunks(), t[dst].combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [t[dst].combine_chunks(), t[src].combine_chunks()]
+        )
+        return pa.Table.from_arrays([u, v], names=["u", "v"])
+
+    # the symmetrized edge table is re-read every round: pin it once
+    sym = edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        # no edges -> no non-singleton components; schema-stable empty
+        # (sym is already materialized: schema() is free and avoids
+        # re-executing the upstream pair pipeline)
+        sch = sym.schema()
+        id_type = sch.types[0] if sch is not None else _edge_id_type(edges, src)
+        return rd.from_arrow(
+            pa.schema([(node_col, id_type), (comp_col, id_type)]).empty_table()
+        )
+    id_type = sym.schema().types[0]
+
+    # round 0 needs no join -- labels are implicit (label(u) = u), so the
+    # candidate rows come straight off the edges: neighbor candidates
+    # (node=v, label=u) + self rows (node=u, label=u, is_old=1)
+    def init_candidates(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["v"].combine_chunks(), t["u"].combine_chunks()])
+        label = pa.concat_arrays([t["u"].combine_chunks(), t["u"].combine_chunks()])
+        n = len(t)
+        is_old = pa.array(
+            np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        )
+        return pa.Table.from_arrays(
+            [node, label, is_old], names=["node", "label", "is_old"]
+        )
+
+    cand = sym.map_batches(init_candidates, batch_format="pyarrow")
+    labels = None
+    for _ in range(max_iters):
+        reduced = (
+            cand.map_batches(_partition_on("node", num_parts), batch_format="pyarrow")
+            .groupby(_PART)
+            .map_groups(_min_reduce, batch_format="pandas")
+            # map_groups emits blocks tracking its INPUT block count, and
+            # cand unions 3 label-derived branches -- without this cap the
+            # label table's block count grows ~4x per round (measured:
+            # 1 -> 5 -> 21 -> 85 -> 341) and scheduling overhead explodes
+            .repartition(num_parts)
+            .materialize()  # labels are dup-graph-bounded; pinning them
+        )  # truncates lineage so round k doesn't replay rounds 0..k-1
+        changed = reduced.sum("changed")
+        labels = reduced.drop_columns(["changed"])
+        if not changed:
+            break
+        # next round's candidates, three sources unioned into one reduce:
+        #   1. neighbor propagation: label(u) flows to v (join sym on u)
+        #   2. pointer doubling: label(label(u)) flows to u (join labels
+        #      against themselves on the label value) -- this is what
+        #      turns O(diameter) rounds into O(log diameter)
+        #   3. own label as the is_old row (change detection)
+        from .join import partitioned_join
+
+        prop = partitioned_join(
+            sym,
+            labels.rename_columns({"node": "u"}),
+            left_on="u",
+            num_parts=num_parts,
+            left_schema=pa.schema([("u", id_type), ("v", id_type)]),
+            right_schema=pa.schema([("u", id_type), ("label", id_type)]),
+        )
+
+        chase = partitioned_join(
+            labels.rename_columns({"label": "ptr"}),
+            labels.rename_columns({"node": "ptr", "label": "label2"}),
+            left_on="ptr",
+            num_parts=num_parts,
+            left_schema=pa.schema([("node", id_type), ("ptr", id_type)]),
+            right_schema=pa.schema([("ptr", id_type), ("label2", id_type)]),
+        )
+
+        def neighbor_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t["v"].combine_chunks(),
+                    t["label"].combine_chunks(),
+                    pa.array(np.zeros(len(t), np.int8)),
+                ],
+                names=["node", "label", "is_old"],
+            )
+
+        def chase_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t["node"].combine_chunks(),
+                    t["label2"].combine_chunks(),
+                    pa.array(np.zeros(len(t), np.int8)),
+                ],
+                names=["node", "label", "is_old"],
+            )
+
+        def self_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t["node"].combine_chunks(),
+                    t["label"].combine_chunks(),
+                    pa.array(np.ones(len(t), np.int8)),
+                ],
+                names=["node", "label", "is_old"],
+            )
+
+        cand = (
+            prop.map_batches(neighbor_rows, batch_format="pyarrow")
+            .union(chase.map_batches(chase_rows, batch_format="pyarrow"))
+            .union(labels.map_batches(self_rows, batch_format="pyarrow"))
+        )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the duplicate graph has a path longer than max_iters -- raise "
+            "max_iters or check the pair threshold upstream"
+        )
+
+    return labels.rename_columns({"node": node_col, "label": comp_col})
+
+
+def dedup_components(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Duplicate-CLUSTER assignment for every document: exact n-gram
+    Jaccard near-dup pairs (``jaccard_near_dups``, the recall-1.0
+    oracle path -- swap in the MinHash-LSH pair generator at scale) ->
+    connected components -> one row per doc with ``component`` = min doc
+    id of its duplicate cluster (singletons map to themselves).
+
+    ``component`` IS the keep-decision: keeping rows where
+    ``doc_id == component`` retains exactly one canonical doc per
+    transitive duplicate cluster, which pairwise purging cannot express
+    (A~B, B~C with no A~C edge must still collapse to one survivor).
+    """
+    from .dedup import jaccard_near_dups
+    from .join import partitioned_join
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    pairs = jaccard_near_dups(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col, k=k
+    )
+    comp = connected_components(
+        pairs.drop_columns(["jaccard"]),
+        src="id_a",
+        dst="id_b",
+        node_col=id_col,
+        comp_col="component",
+        num_parts=num_parts,
+    )
+    ids = ds.select_columns([id_col])
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    joined = partitioned_join(
+        ids,
+        comp,
+        left_on=id_col,
+        how="left",
+        num_parts=num_parts,
+        left_schema=pa.schema([(id_col, id_type)]),
+        right_schema=pa.schema([(id_col, id_type), ("component", id_type)]),
+    )
+
+    # the left join leaves singletons' component as null (pandas path:
+    # NaN-upcast); coalesce to self and restore the id dtype
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        comp_filled = df["component"].fillna(df[id_col]).astype(df[id_col].dtype)
+        return pd.DataFrame({id_col: df[id_col], "component": comp_filled})
+
+    return joined.map_batches(coalesce, batch_format="pandas")
+
+
+def _edge_id_type(edges: "ray.data.Dataset", src: str) -> pa.DataType:
+    sch = edges.schema()
+    return sch.types[sch.names.index(src)]
