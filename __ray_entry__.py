@@ -78,6 +78,22 @@ def _q_derived_turns(sf_dir: str):
     return ds.drop_columns(["part"])
 
 
+def _q_turns_dialogue_stats(sf_dir: str):
+    """Per-conversation dialogue statistics (round-5 addition): turn /
+    role counts, tool-call count + distinct tools, per-role character
+    volume, role-alternation (turn-taking) count, duration, mean turn
+    length. ONE stable_part(conv_id) exchange; text never shuffles
+    (reduced to token_len before the exchange). Oracle: live SQL with a
+    lag(role) window for alternations."""
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.synth import transcripts_path
+    from tsfeatures_ray.stages.derive import dialogue_stats
+
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    return _round_floats(dialogue_stats(ds).sort("conv_id"), 6)
+
+
 def _q_turns_corr(sf_dir: str):
     """Per-conversation Pearson correlation between the two derived
     per-turn metrics (token_len vs inter-turn latency) -- the
@@ -2173,7 +2189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         # -- rotated IN: out-of-window in r04 (r03-green + judge-green) --
         "rollup_1m": _q_rollup("1m"),
-        "rollup_1d": _q_rollup("1d"),
+        # (rollup_1d -- r03-driver-green, r04-judge-green -- rotated
+        # below position 50 to give the new transcripts-native dialogue
+        # stats its own driver row; the rollup family keeps 1m, gapfill,
+        # incremental and compact in-window)
+        "turns_dialogue_stats": _q_turns_dialogue_stats,
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
         "rollup_incremental_1h": _q_rollup_incremental_1h,
         # round-5 addition, placed in the driver window (rollup_compact_1h
@@ -2255,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "q3_top_orders": _q_q3_top_orders,
+        "rollup_1d": _q_rollup("1d"),
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3157,6 +3178,39 @@ SELECT conv_id,
             ELSE NULL END AS corr
 FROM turns
 GROUP BY conv_id
+""",
+        "turns_dialogue_stats": f"""
+WITH t AS (
+    SELECT conv_id, turn_idx, role, tool, ts,
+           CAST(length(text) AS BIGINT) AS token_len,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+    FROM read_parquet('{path}')
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+       CAST(COUNT(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+           AS n_distinct_tools,
+       CAST(SUM(CASE WHEN role = 'user' THEN token_len ELSE 0 END)
+           AS BIGINT) AS user_chars,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN token_len ELSE 0 END)
+           AS BIGINT) AS assistant_chars,
+       CAST(SUM(CASE WHEN prev_role IS NOT NULL AND role <> prev_role
+                     THEN 1 ELSE 0 END) AS BIGINT) AS alternations,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+           AS duration_us,
+       ROUND(AVG(token_len) + 0.0000001, 6) AS avg_turn_len
+FROM t
+GROUP BY 1
+ORDER BY 1
 """,
         # the decoded codec blocks must reproduce the rollup the encoder
         # consumed -- the oracle below never saw the codec, so a

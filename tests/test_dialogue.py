@@ -1,0 +1,80 @@
+"""dialogue_stats: hand-computed conversation fixture (role counts,
+tool-call/distinct-tool counts, per-role char volume, alternations,
+duration) and the shuffle-safety property (stats are independent of
+input row order and block layout)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _fixture() -> pd.DataFrame:
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        # conv A: u a u a tool(a->calc) a  -- alternations: u->a,a->u,u->a,
+        # a->tool,tool->a = 5
+        ("A", 0, "user", "hi", "", base + np.timedelta64(0, "s")),
+        ("A", 1, "assistant", "hello!", "", base + np.timedelta64(10, "s")),
+        ("A", 2, "user", "add 2+2", "", base + np.timedelta64(25, "s")),
+        ("A", 3, "assistant", "sure", "", base + np.timedelta64(30, "s")),
+        ("A", 4, "tool", "4", "calculator", base + np.timedelta64(31, "s")),
+        ("A", 5, "assistant", "it is 4", "", base + np.timedelta64(40, "s")),
+        # conv B: single turn -- 0 alternations, 0 duration
+        ("B", 0, "user", "ping", "", base),
+        # conv C: two tool calls, same tool twice + one other
+        ("C", 0, "user", "x", "", base),
+        ("C", 1, "tool", "r1", "browser", base + np.timedelta64(1, "s")),
+        ("C", 2, "tool", "r2", "browser", base + np.timedelta64(2, "s")),
+        ("C", 3, "tool", "r3", "calculator", base + np.timedelta64(3, "s")),
+    ]
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32"})
+
+
+def test_dialogue_stats_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import dialogue_stats
+
+    got = (
+        dialogue_stats(rd.from_pandas(_fixture()))
+        .to_pandas()
+        .sort_values("conv_id")
+        .set_index("conv_id")
+    )
+    a = got.loc["A"]
+    assert a["n_turns"] == 6 and a["n_user"] == 2 and a["n_assistant"] == 3
+    assert a["n_tool"] == 1 and a["n_tool_calls"] == 1
+    assert a["n_distinct_tools"] == 1
+    assert a["user_chars"] == len("hi") + len("add 2+2")
+    assert a["assistant_chars"] == len("hello!") + len("sure") + len("it is 4")
+    assert a["alternations"] == 5
+    assert a["duration_us"] == 40_000_000
+    assert abs(a["avg_turn_len"] - np.mean([2, 6, 7, 4, 1, 7])) < 1e-9
+
+    b = got.loc["B"]
+    assert b["n_turns"] == 1 and b["alternations"] == 0 and b["duration_us"] == 0
+    assert b["n_distinct_tools"] == 0
+
+    c = got.loc["C"]
+    # tool,tool runs: alternations only on role CHANGES (u->t once)
+    assert c["alternations"] == 1
+    assert c["n_tool_calls"] == 3 and c["n_distinct_tools"] == 2
+
+
+def test_dialogue_stats_order_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import dialogue_stats
+
+    df = _fixture()
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    a = dialogue_stats(rd.from_pandas(df)).to_pandas()
+    b = dialogue_stats(
+        rd.from_pandas(shuffled).repartition(5), num_parts=3
+    ).to_pandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -103,3 +103,99 @@ def derive_turn_metrics(
     if slim:
         ds = ds.select_columns(["conv_id", "turn_idx", "ts", "token_len", "part"])
     return ds.groupby("part").map_groups(_latency_per_partition, batch_format="pandas")
+
+
+def _dialogue_stats_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-partition conversation stats: one stable sort,
+    boolean masks + a single pandas groupby -- no per-conversation
+    Python. Turn order is ``turn_idx`` (unique per conv by schema)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    same_conv = g["conv_id"].eq(g["conv_id"].shift())
+    g = g.assign(
+        _is_user=(g["role"] == "user").astype(np.int64),
+        _is_assistant=(g["role"] == "assistant").astype(np.int64),
+        _is_tool=(g["role"] == "tool").astype(np.int64),
+        _is_call=(g["tool"] != "").astype(np.int64),
+        _alt=((g["role"] != g["role"].shift()) & same_conv).astype(np.int64),
+        _user_chars=np.where(g["role"] == "user", g["token_len"], 0),
+        _asst_chars=np.where(g["role"] == "assistant", g["token_len"], 0),
+        # normalize the datetime unit first: pandas 2.x preserves the
+        # source resolution (us from parquet, but ns/s from in-memory
+        # frames), and a bare int64 cast would change scale with it
+        _ts_us=g["ts"].astype("datetime64[us]").astype("int64"),
+    )
+    grp = g.groupby("conv_id", sort=False)
+    out = grp.agg(
+        n_turns=("turn_idx", "size"),
+        n_user=("_is_user", "sum"),
+        n_assistant=("_is_assistant", "sum"),
+        n_tool=("_is_tool", "sum"),
+        n_tool_calls=("_is_call", "sum"),
+        user_chars=("_user_chars", "sum"),
+        assistant_chars=("_asst_chars", "sum"),
+        alternations=("_alt", "sum"),
+        _ts_min=("_ts_us", "min"),
+        _ts_max=("_ts_us", "max"),
+        avg_turn_len=("token_len", "mean"),
+    )
+    # distinct non-empty tool names (nunique skips nothing by itself;
+    # mask empties first so "" never counts as a tool)
+    tools = g.loc[g["_is_call"] == 1].groupby("conv_id", sort=False)["tool"].nunique()
+    out["n_distinct_tools"] = tools.reindex(out.index).fillna(0).astype(np.int64)
+    out["duration_us"] = out["_ts_max"] - out["_ts_min"]
+    out = out.drop(columns=["_ts_min", "_ts_max"]).reset_index()
+    cols = [
+        "conv_id", "n_turns", "n_user", "n_assistant", "n_tool",
+        "n_tool_calls", "n_distinct_tools", "user_chars",
+        "assistant_chars", "alternations", "duration_us", "avg_turn_len",
+    ]
+    out = out[cols]
+    for c in cols[1:-1]:
+        out[c] = out[c].astype(np.int64)
+    out["avg_turn_len"] = out["avg_turn_len"].astype("float64")
+    return out
+
+
+def dialogue_stats(
+    ds: "ray.data.Dataset",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-conversation dialogue statistics over raw transcripts: turn /
+    role counts, tool-call count and distinct tools used, per-role
+    character volume, role-ALTERNATION count (turn-taking: how often the
+    speaker changes between consecutive turns), wall-clock duration and
+    mean turn length.
+
+    The transcripts-native sibling of ``derive_turn_metrics``: the same
+    ONE ``stable_part(conv_id)`` exchange (role/text payload is reduced
+    to token_len + role flags BEFORE the shuffle -- only (conv_id,
+    turn_idx, role, tool, ts, token_len) moves, never text), then a
+    single vectorized pandas pass per partition. No reference analog
+    (the reference never looks at payload columns); engine scope for
+    transcript-corpus curation -- e.g. filtering conversations by
+    tool-usage or turn-taking profile before feature extraction.
+    """
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        token_len = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        part = stable_part(batch["conv_id"].to_numpy(zero_copy_only=False), num_parts)
+        return pa.Table.from_arrays(
+            [
+                batch["conv_id"].combine_chunks(),
+                batch["turn_idx"].combine_chunks(),
+                batch["role"].combine_chunks(),
+                batch["tool"].combine_chunks(),
+                batch["ts"].combine_chunks(),
+                token_len,
+                pa.array(part, type=pa.int64()),
+            ],
+            names=["conv_id", "turn_idx", "role", "tool", "ts", "token_len", "part"],
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(_dialogue_stats_partition, batch_format="pandas")
+    )
