@@ -78,6 +78,24 @@ def _q_derived_turns(sf_dir: str):
     return ds.drop_columns(["part"])
 
 
+def _q_rollup_sax_1m(sf_dir: str):
+    """PAA + SAX symbolization (Lin et al. 2003) of each conversation's
+    1m token_len_sum rollup series (round-5 addition): z-normalize,
+    8-segment piecewise-aggregate means, 4-letter Gaussian-breakpoint
+    symbols -- the motif/bucketing representation for series similarity.
+    One exchange; segment means are rounded with the shared oracle
+    convention BEFORE symbol lookup so breakpoint comparisons cannot
+    diverge between engine and DuckDB."""
+    from tsfeatures_ray.functions.sax import sax_symbolize
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    return sax_symbolize(
+        ds, key_col="conv_id", order_col="bucket",
+        value_col="token_len_sum", w=8, alphabet=4,
+    ).sort("conv_id")
+
+
 def _q_turns_dialogue_stats(sf_dir: str):
     """Per-conversation dialogue statistics (round-5 addition): turn /
     role counts, tool-call count + distinct tools, per-role character
@@ -2188,7 +2206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- media fixture regenerated this round (AVI/MJPG container) --
         "media_features": _q_media_features,
         # -- rotated IN: out-of-window in r04 (r03-green + judge-green) --
-        "rollup_1m": _q_rollup("1m"),
+        # (rollup_1m -- r03-driver-green, r04-judge-green -- rotated
+        # below position 50 for the new SAX symbolization row; the plain
+        # rollup family keeps gapfill + incremental + compact in-window)
+        "rollup_sax_1m": _q_rollup_sax_1m,
         # (rollup_1d -- r03-driver-green, r04-judge-green -- rotated
         # below position 50 to give the new transcripts-native dialogue
         # stats its own driver row; the rollup family keeps 1m, gapfill,
@@ -2275,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT: every one of these is r04-driver-green, so each
         # family keeps a green row across r04+r05
         "q3_top_orders": _q_q3_top_orders,
+        "rollup_1m": _q_rollup("1m"),
         "rollup_1d": _q_rollup("1d"),
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
@@ -3179,6 +3201,36 @@ SELECT conv_id,
 FROM turns
 GROUP BY conv_id
 """,
+        "rollup_sax_1m": (
+            turns
+            + """
+, r AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+o AS (
+    SELECT conv_id, v,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket)
+                - 1 AS BIGINT) AS i,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n,
+           AVG(v) OVER (PARTITION BY conv_id) AS mu,
+           STDDEV_SAMP(v) OVER (PARTITION BY conv_id) AS sd
+    FROM r
+),
+p AS (
+    SELECT conv_id, (i * 8) // n AS seg, n,
+           ROUND(AVG((v - mu) / sd) + 0.0000001, 6) AS paa
+    FROM o WHERE n >= 8 AND sd > 0 GROUP BY 1, 2, 3
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n_points,
+       string_agg(CASE WHEN paa < -0.6744897502 THEN 'a'
+                       WHEN paa < 0 THEN 'b'
+                       WHEN paa < 0.6744897502 THEN 'c'
+                       ELSE 'd' END, '' ORDER BY seg) AS sax
+FROM p GROUP BY 1, 2 ORDER BY 1
+"""
+        ),
         "turns_dialogue_stats": f"""
 WITH t AS (
     SELECT conv_id, turn_idx, role, tool, ts,

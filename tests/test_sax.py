@@ -1,0 +1,94 @@
+"""SAX symbolization: hand-verifiable symbols on a constructed series,
+a brute-force per-series reference over random series, gating of short /
+zero-variance series, and layout invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute_sax(v: np.ndarray, w: int, bp: np.ndarray) -> str:
+    z = (v - v.mean()) / v.std(ddof=1)
+    n = len(v)
+    seg = (np.arange(n) * w) // n
+    paa = np.array([z[seg == s].mean() for s in range(w)])
+    paa = paa + 1e-7
+    paa = np.sign(paa) * np.floor(np.abs(paa) * 1e6 + 0.5) / 1e6
+    return "".join(chr(ord("a") + int(k)) for k in np.searchsorted(bp, paa, side="right"))
+
+
+def test_sax_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import sax_breakpoints, sax_symbolize
+
+    # ramp 0..15 over 16 points, w=4, a=4: segments z-means are
+    # symmetric: strongly low, mildly low, mildly high, strongly high
+    df = pd.DataFrame(
+        {
+            "conv_id": ["r"] * 16,
+            "bucket": np.arange(16),
+            "token_len_sum": np.arange(16, dtype=np.float64),
+        }
+    )
+    got = sax_symbolize(rd.from_pandas(df), w=4, alphabet=4).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_points"] == 16
+    assert got.loc[0, "sax"] == "abcd"
+    bp = np.array(sax_breakpoints(4))
+    assert got.loc[0, "sax"] == _brute_sax(np.arange(16, dtype=float), 4, bp)
+
+
+def test_sax_matches_brute_on_random_series(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import sax_breakpoints, sax_symbolize
+
+    rng = np.random.RandomState(11)
+    frames, want = [], {}
+    bp = np.array(sax_breakpoints(5))
+    for key in range(30):
+        n = rng.randint(8, 60)
+        v = rng.randn(n) * rng.uniform(0.5, 5) + rng.uniform(-3, 3)
+        frames.append(
+            pd.DataFrame(
+                {"conv_id": [f"c{key:02d}"] * n, "bucket": np.arange(n),
+                 "token_len_sum": v}
+            )
+        )
+        want[f"c{key:02d}"] = _brute_sax(v, 8, bp)
+    df = pd.concat(frames, ignore_index=True)
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    got = (
+        sax_symbolize(
+            rd.from_pandas(shuffled).repartition(7), w=8, alphabet=5, num_parts=3
+        )
+        .to_pandas()
+        .set_index("conv_id")["sax"]
+        .to_dict()
+    )
+    assert got == want
+
+
+def test_sax_gates_and_validation(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import sax_symbolize
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["short"] * 5 + ["flat"] * 12 + ["ok"] * 12,
+            "bucket": list(range(5)) + list(range(12)) + list(range(12)),
+            "token_len_sum": [1.0, 2, 3, 4, 5]
+            + [7.0] * 12
+            + list(np.arange(12, dtype=float)),
+        }
+    )
+    got = sax_symbolize(rd.from_pandas(df), w=8, alphabet=4).to_pandas()
+    # short (n<w) and zero-variance series are dropped; 'ok' survives
+    assert list(got["conv_id"]) == ["ok"]
+
+    with pytest.raises(ValueError, match="alphabet"):
+        sax_symbolize(rd.from_pandas(df), alphabet=11)

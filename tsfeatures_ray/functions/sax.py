@@ -1,0 +1,158 @@
+"""PAA + SAX symbolization of per-key series (Lin et al. 2003, "A
+Symbolic Representation of Time Series"; public method). Engine scope on
+the timeseries tier: compresses each rollup series to a short symbol
+string usable for motif grouping, series dedup, and cheap similarity
+bucketing (equal SAX words -> candidate pairs), the way MinHash bands
+bucket documents.
+
+Shape: ONE hash-partitioned exchange on the series key, then a single
+vectorized pandas pass per partition (sort + rank arithmetic + one
+groupby-mean -- no per-series Python loop). Series length is bounded by
+the rollup tier (e.g. hours per conversation), so per-partition work is
+linear in partition rows.
+
+Semantics (conformance-grade, mirrored by the SQL oracle):
+- z-normalize each series with mean / sample std (ddof=1);
+- PAA over ``w`` segments with integer boundaries ``seg = i*w // n``
+  (every point belongs to exactly one segment, segment sizes differ by
+  at most one);
+- each segment mean is rounded with the repo's shared oracle convention
+  (+1e-7 nudge, 6dp, half-away-from-zero) BEFORE symbol lookup, so an
+  engine-vs-oracle ULP difference can never flip a symbol at a
+  breakpoint boundary;
+- symbols are Gaussian equiprobable breakpoints (standard SAX tables),
+  ``searchsorted(side='right')`` == the SQL ``CASE WHEN paa < bp``
+  ladder;
+- series with fewer than ``w`` points or zero variance are dropped
+  (both sides filter identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages.derive import default_num_parts, stable_part
+
+# equiprobable N(0,1) breakpoints for alphabet sizes 2..8 (public SAX
+# lookup table; values are scipy.stats.norm.ppf(k/a) to 10dp)
+_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.4307272993, 0.4307272993],
+    4: [-0.6744897502, 0.0, 0.6744897502],
+    5: [-0.8416212336, -0.2533471031, 0.2533471031, 0.8416212336],
+    6: [-0.9674215661, -0.4307272993, 0.0, 0.4307272993, 0.9674215661],
+    7: [
+        -1.0675705240,
+        -0.5659488219,
+        -0.1800123698,
+        0.1800123698,
+        0.5659488219,
+        1.0675705240,
+    ],
+    8: [
+        -1.1503493804,
+        -0.6744897502,
+        -0.3186393639,
+        0.0,
+        0.3186393639,
+        0.6744897502,
+        1.1503493804,
+    ],
+}
+
+_PART = "__sax_part"
+
+
+def _round6(v: np.ndarray) -> np.ndarray:
+    """The repo's shared engine<->oracle rounding: +1e-7 nudge, 6dp,
+    half-away-from-zero (mirrors DuckDB ROUND)."""
+    v = v + 1e-7
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
+def sax_breakpoints(alphabet: int) -> list[float]:
+    if alphabet not in _BREAKPOINTS:
+        raise ValueError(
+            f"alphabet size {alphabet} unsupported; pick one of "
+            f"{sorted(_BREAKPOINTS)}"
+        )
+    return _BREAKPOINTS[alphabet]
+
+
+def sax_symbolize(
+    ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+    value_col: str = "token_len_sum",
+    w: int = 8,
+    alphabet: int = 4,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Series table (one row per (key, order) point) -> one row per key:
+    ``(key, n_points:int64, sax:string)``; see module docstring."""
+    bp = np.array(sax_breakpoints(alphabet))
+    letters = np.frombuffer(
+        bytes(ord("a") + k for k in range(alphabet)), dtype=np.uint8
+    )
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{_PART: stable_part(df[key_col].to_numpy(), num_parts)})
+
+    def symbolize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        keys = g[key_col]
+        grp = g.groupby(key_col, sort=False)[value_col]
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        mu = grp.transform("mean").to_numpy(dtype=np.float64)
+        sd = grp.transform("std").to_numpy(dtype=np.float64)  # ddof=1
+        keep = (n >= w) & (sd > 0)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=g[key_col].dtype),
+                    "n_points": pd.Series([], dtype="int64"),
+                    "sax": pd.Series([], dtype="object"),
+                }
+            )
+        z = (v[keep] - mu[keep]) / sd[keep]
+        kk = keys.to_numpy()[keep]
+        nn = n[keep]
+        # 0-based rank within key: positions are consecutive post-sort
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        i = np.arange(len(kk)) - np.repeat(starts, np.diff(np.r_[starts, len(kk)]))
+        seg = (i * w) // nn
+        # PAA: mean of z per (key, segment) -- one grouped reduce
+        paa = (
+            pd.DataFrame({"k": kk, "s": seg, "z": z})
+            .groupby(["k", "s"], sort=False)["z"]
+            .mean()
+        )
+        sym = letters[np.searchsorted(bp, _round6(paa.to_numpy()), side="right")]
+        out = paa.reset_index()[["k", "s"]]
+        out["sym"] = sym
+        out = out.sort_values(["k", "s"], kind="mergesort")
+        words = (
+            out.groupby("k", sort=False)["sym"]
+            .apply(lambda s: s.to_numpy().tobytes().decode("ascii"))
+            .reset_index()
+        )
+        n_per_key = pd.Series(nn, index=kk).groupby(level=0, sort=False).first()
+        words["n_points"] = n_per_key.reindex(words["k"]).to_numpy()
+        return pd.DataFrame(
+            {
+                key_col: words["k"],
+                "n_points": words["n_points"].astype(np.int64),
+                "sax": words["sym"],
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, order_col, value_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(symbolize, batch_format="pandas")
+    )
