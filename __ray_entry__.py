@@ -96,6 +96,23 @@ def _q_rollup_sax_1m(sf_dir: str):
     ).sort("conv_id")
 
 
+def _q_rollup_sax_motifs_1m(sf_dir: str):
+    """SAX motif buckets (round-5 addition): conversations whose 1m
+    rollup series share an IDENTICAL 8-char SAX word -- the symbolic
+    analog of an LSH band bucket for series similarity (equal words =
+    candidate pairs at 1/w-th the shuffle volume of raw series). One
+    extra exchange on the word on top of rollup_sax_1m."""
+    from tsfeatures_ray.functions.sax import sax_motif_buckets, sax_symbolize
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    sax = sax_symbolize(
+        ds, key_col="conv_id", order_col="bucket",
+        value_col="token_len_sum", w=8, alphabet=4,
+    )
+    return sax_motif_buckets(sax, min_size=2).sort(["conv_id"])
+
+
 def _q_turns_dialogue_stats(sf_dir: str):
     """Per-conversation dialogue statistics (round-5 addition): turn /
     role counts, tool-call count + distinct tools, per-role character
@@ -2223,7 +2240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_token_latency_corr": _q_turns_corr,
         "series_stats_wide": _q_series_stats_wide,
         "events_rollup_1d": _q_events_rollup("1d"),
-        "docs_fingerprint": _q_docs_fingerprint,
+        # (docs_fingerprint -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the SAX motif-bucket row; the
+        # text-fingerprint family keeps tfidf/ppl/repetition in-window)
+        "rollup_sax_motifs_1m": _q_rollup_sax_motifs_1m,
         "docs_simhash": _q_docs_simhash,
         "docs_redacted": _q_docs_redacted,
         "docs_hash_split": _q_docs_hash_split,
@@ -2298,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3_top_orders,
         "rollup_1m": _q_rollup("1m"),
         "rollup_1d": _q_rollup("1d"),
+        "docs_fingerprint": _q_docs_fingerprint,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3229,6 +3250,43 @@ SELECT conv_id, CAST(n AS BIGINT) AS n_points,
                        WHEN paa < 0.6744897502 THEN 'c'
                        ELSE 'd' END, '' ORDER BY seg) AS sax
 FROM p GROUP BY 1, 2 ORDER BY 1
+"""
+        ),
+        "rollup_sax_motifs_1m": (
+            turns
+            + """
+, r AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+o AS (
+    SELECT conv_id, v,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket)
+                - 1 AS BIGINT) AS i,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n,
+           AVG(v) OVER (PARTITION BY conv_id) AS mu,
+           STDDEV_SAMP(v) OVER (PARTITION BY conv_id) AS sd
+    FROM r
+),
+p AS (
+    SELECT conv_id, (i * 8) // n AS seg, n,
+           ROUND(AVG((v - mu) / sd) + 0.0000001, 6) AS paa
+    FROM o WHERE n >= 8 AND sd > 0 GROUP BY 1, 2, 3
+),
+sx AS (
+    SELECT conv_id,
+           string_agg(CASE WHEN paa < -0.6744897502 THEN 'a'
+                           WHEN paa < 0 THEN 'b'
+                           WHEN paa < 0.6744897502 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax
+    FROM p GROUP BY 1
+)
+SELECT conv_id, sax,
+       CAST(COUNT(*) OVER (PARTITION BY sax) AS BIGINT) AS bucket_size
+FROM sx
+QUALIFY COUNT(*) OVER (PARTITION BY sax) >= 2
+ORDER BY 1
 """
         ),
         "turns_dialogue_stats": f"""

@@ -92,3 +92,35 @@ def test_sax_gates_and_validation(ray_session):
 
     with pytest.raises(ValueError, match="alphabet"):
         sax_symbolize(rd.from_pandas(df), alphabet=11)
+
+
+def test_sax_motif_buckets(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import sax_motif_buckets, sax_symbolize
+
+    # two series with the same SHAPE (one scaled+shifted -- z-norm makes
+    # the SAX words identical) plus one reversed shape
+    v = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=float)
+    df = pd.concat(
+        [
+            pd.DataFrame({"conv_id": "up1", "bucket": range(8), "token_len_sum": v}),
+            pd.DataFrame(
+                {"conv_id": "up2", "bucket": range(8), "token_len_sum": v * 10 + 3}
+            ),
+            pd.DataFrame(
+                {"conv_id": "down", "bucket": range(8), "token_len_sum": v[::-1]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    sax = sax_symbolize(rd.from_pandas(df), w=4, alphabet=4)
+    got = (
+        sax_motif_buckets(sax, min_size=2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == ["up1", "up2"]
+    assert (got["bucket_size"] == 2).all()
+    assert got["sax"].nunique() == 1

@@ -156,3 +156,36 @@ def sax_symbolize(
         .groupby(_PART)
         .map_groups(symbolize, batch_format="pandas")
     )
+
+
+def sax_motif_buckets(
+    sax_ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    min_size: int = 2,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Group series by IDENTICAL SAX word -> motif buckets: one row per
+    series that shares its word with at least ``min_size - 1`` others
+    (``key, sax, bucket_size``). The symbolic analog of an LSH band
+    bucket: equal words are candidate pairs for exact similarity
+    verification, at 1/w-th of the shuffle volume of the raw series.
+    ONE hash-partitioned exchange on the 8-char word."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{_PART: stable_part(df["sax"].to_numpy(), num_parts)})
+
+    def annotate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_PART])
+        size = g.groupby("sax", sort=False)["sax"].transform("size")
+        out = g.loc[size >= min_size, [key_col, "sax"]].copy()
+        out["bucket_size"] = size[size >= min_size].astype(np.int64)
+        return out
+
+    return (
+        sax_ds.select_columns([key_col, "sax"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(annotate, batch_format="pandas")
+    )
