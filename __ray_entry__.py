@@ -113,6 +113,22 @@ def _q_rollup_sax_motifs_1m(sf_dir: str):
     return sax_motif_buckets(sax, min_size=2).sort(["conv_id"])
 
 
+def _q_convs_fingerprint(sf_dir: str):
+    """Conversation-level exact dedup (round-5 addition): md5 over each
+    conversation's turn-ordered texts + canonical keep decision. Two
+    slim exchanges; text moves once. Oracle: string_agg ORDER BY
+    turn_idx under md5 with the same chr(31) separator."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import conversation_fingerprints
+    from tsfeatures_ray.sources.synth import transcripts_path
+
+    ds = rd.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    return conversation_fingerprints(ds).sort("conv_id")
+
+
 def _q_turns_dialogue_stats(sf_dir: str):
     """Per-conversation dialogue statistics (round-5 addition): turn /
     role counts, tool-call count + distinct tools, per-role character
@@ -2244,7 +2260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated below position 50 for the SAX motif-bucket row; the
         # text-fingerprint family keeps tfidf/ppl/repetition in-window)
         "rollup_sax_motifs_1m": _q_rollup_sax_motifs_1m,
-        "docs_simhash": _q_docs_simhash,
+        # (docs_simhash -- r03-driver-green, r04-judge-green -- rotated
+        # below position 50 for the conversation-fingerprint dedup row;
+        # the simhash family keeps its r04-driver-green docs_simhash_dups)
+        "convs_fingerprint": _q_convs_fingerprint,
         "docs_redacted": _q_docs_redacted,
         "docs_hash_split": _q_docs_hash_split,
         "docs_mixture": _q_docs_mixture,
@@ -2319,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m": _q_rollup("1m"),
         "rollup_1d": _q_rollup("1d"),
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3289,6 +3309,19 @@ QUALIFY COUNT(*) OVER (PARTITION BY sax) >= 2
 ORDER BY 1
 """
         ),
+        "convs_fingerprint": f"""
+WITH c AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_hash
+    FROM read_parquet('{path}')
+    GROUP BY 1
+)
+SELECT conv_id, n_turns, conv_hash,
+       CAST(CASE WHEN conv_id = MIN(conv_id) OVER (PARTITION BY conv_hash)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM c
+ORDER BY 1
+""",
         "turns_dialogue_stats": f"""
 WITH t AS (
     SELECT conv_id, turn_idx, role, tool, ts,

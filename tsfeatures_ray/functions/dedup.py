@@ -956,3 +956,74 @@ def _run_concat(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     heads = np.concatenate(([0], np.cumsum(lens)))[:-1]
     step[heads] = starts + 1 - np.concatenate(([1], (starts + lens)[:-1]))
     return np.cumsum(step)
+
+
+def conversation_fingerprints(
+    ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Conversation-LEVEL exact dedup over transcripts: md5 of the
+    turn-ordered concatenation of a conversation's texts (chr(31)
+    separator -- unambiguous under concatenation), plus the canonical
+    keep decision ``is_canonical = (conv_id == min conv_id sharing the
+    hash)``.
+
+    The transcripts-native analog of per-document ``exact_dedup``: a
+    duplicate CONVERSATION is byte-identical turn text in the same turn
+    order, which no per-turn/per-doc hash can decide. Two bounded
+    exchanges: (1) the engine's standard ``stable_part(conv_id)``
+    co-location, concat + one md5 per conversation (hashing is the
+    per-group semantic unit -- the loop is per conversation, never per
+    row); (2) a (hash -> min key) exchange of one slim row per
+    conversation. Text never moves twice: exchange 2 ships only
+    ``(conv_id, n_turns, 16-byte hash)``.
+    """
+    import hashlib
+
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    sep = chr(31)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __part=stable_part(df[key_col].to_numpy(), num_parts)
+        )
+
+    def fingerprint(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[text_col]
+        joined = grp.agg(lambda s: sep.join(s))
+        out = joined.reset_index()
+        out["conv_hash"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in out[text_col]
+        ]
+        out["n_turns"] = grp.size().reindex(out[key_col]).to_numpy().astype(np.int64)
+        return out[[key_col, "n_turns", "conv_hash"]]
+
+    def add_hash_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __part=stable_part(df["conv_hash"].to_numpy(), num_parts)
+        )
+
+    def canonical(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        first = g.groupby("conv_hash", sort=False)[key_col].transform("min")
+        g = g.assign(is_canonical=(g[key_col] == first).astype(np.int64))
+        return g
+
+    fps = (
+        ds.select_columns([key_col, order_col, text_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fingerprint, batch_format="pandas")
+    )
+    return (
+        fps.map_batches(add_hash_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(canonical, batch_format="pandas")
+    )
