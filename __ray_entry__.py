@@ -129,6 +129,23 @@ def _q_convs_fingerprint(sf_dir: str):
     return conversation_fingerprints(ds).sort("conv_id")
 
 
+def _q_rollup_sax_pairs_1m(sf_dir: str):
+    """Exact-verify stage of the SAX series-similarity cascade
+    (round-5 addition): all pairs within each identical-word bucket,
+    scored by Euclidean distance over the rounded PAA vectors -- the
+    candidate-then-verify shape of the MinHash pipelines, for series.
+    One extra exchange on the word; per-bucket Gram-matrix distances."""
+    from tsfeatures_ray.functions.sax import sax_bucket_pairs, sax_symbolize
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    sax = sax_symbolize(
+        ds, key_col="conv_id", order_col="bucket",
+        value_col="token_len_sum", w=8, alphabet=4, emit_paa=True,
+    )
+    return sax_bucket_pairs(sax).sort(["id_a", "id_b"])
+
+
 def _q_turns_dialogue_stats(sf_dir: str):
     """Per-conversation dialogue statistics (round-5 addition): turn /
     role counts, tool-call count + distinct tools, per-role character
@@ -2292,7 +2309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling family keeps docs_mixture in-window)
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_mixture": _q_docs_mixture,
-        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
+        # (embeddings_knn_lsh -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the SAX exact-verify pair row;
+        # the ANN family keeps ivf + kmeans + semantic_dedup in-window)
+        "rollup_sax_pairs_1m": _q_rollup_sax_pairs_1m,
         "embeddings_knn_ivf": _q_embeddings_knn_ivf,
         # round-5 addition, placed in the driver window (the recall
         # harness embeddings_knn_lsh_recall rotated out to make room --
@@ -2365,6 +2385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_simhash": _q_docs_simhash,
         "docs_hash_split": _q_docs_hash_split,
+        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3348,6 +3369,50 @@ SELECT conv_id, n_turns, conv_hash,
 FROM c
 ORDER BY 1
 """,
+        "rollup_sax_pairs_1m": (
+            turns
+            + """
+, r AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+o AS (
+    SELECT conv_id, v,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket)
+                - 1 AS BIGINT) AS i,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n,
+           AVG(v) OVER (PARTITION BY conv_id) AS mu,
+           STDDEV_SAMP(v) OVER (PARTITION BY conv_id) AS sd
+    FROM r
+),
+p AS (
+    SELECT conv_id, (i * 8) // n AS seg,
+           ROUND(AVG((v - mu) / sd) + 0.0000001, 6) AS paa
+    FROM o WHERE n >= 8 AND sd > 0 GROUP BY 1, 2
+),
+sx AS (
+    SELECT conv_id,
+           string_agg(CASE WHEN paa < -0.6744897502 THEN 'a'
+                           WHEN paa < 0 THEN 'b'
+                           WHEN paa < 0.6744897502 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax
+    FROM p GROUP BY 1
+),
+prs AS (
+    SELECT a.conv_id AS id_a, b.conv_id AS id_b, a.sax
+    FROM sx a JOIN sx b ON a.sax = b.sax AND a.conv_id < b.conv_id
+)
+SELECT id_a, id_b, sax,
+       ROUND(SQRT(SUM((pa.paa - pb.paa) * (pa.paa - pb.paa)))
+             + 0.0000001, 6) AS paa_dist
+FROM prs
+JOIN p pa ON pa.conv_id = id_a
+JOIN p pb ON pb.conv_id = id_b AND pb.seg = pa.seg
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+        ),
         "turns_dialogue_stats": f"""
 WITH t AS (
     SELECT conv_id, turn_idx, role, tool, ts,

@@ -124,3 +124,35 @@ def test_sax_motif_buckets(ray_session):
     assert list(got["conv_id"]) == ["up1", "up2"]
     assert (got["bucket_size"] == 2).all()
     assert got["sax"].nunique() == 1
+
+
+def test_sax_bucket_pairs_exact_distance(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import sax_bucket_pairs, sax_symbolize
+
+    rng = np.random.RandomState(21)
+    base = np.cumsum(rng.randn(24))
+    frames = []
+    # three same-shape series (scaled/shifted -> identical SAX word,
+    # near-zero PAA distance) + noise series
+    for cid, (a, b) in {"s1": (1, 0), "s2": (4, 10), "s3": (0.5, -2)}.items():
+        frames.append(pd.DataFrame(
+            {"conv_id": cid, "bucket": range(24), "token_len_sum": base * a + b}))
+    for j in range(4):
+        frames.append(pd.DataFrame(
+            {"conv_id": f"n{j}", "bucket": range(24),
+             "token_len_sum": np.cumsum(rng.randn(24))}))
+    df = pd.concat(frames, ignore_index=True)
+    sax = sax_symbolize(rd.from_pandas(df), w=8, alphabet=4, emit_paa=True)
+    got = sax_bucket_pairs(sax).to_pandas().sort_values(["id_a", "id_b"])
+    shape_pairs = got[got["id_a"].str.startswith("s") & got["id_b"].str.startswith("s")]
+    # all three same-shape pairs found, with ~zero PAA distance
+    assert len(shape_pairs) == 3
+    assert (shape_pairs["paa_dist"] < 1e-4).all()
+    # brute check one distance: z-norm is affine-invariant, so PAA
+    # vectors of s1/s2 are equal up to rounding
+    assert got["paa_dist"].ge(0).all()
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        sax_bucket_pairs(sax, max_bucket=2).to_pandas()

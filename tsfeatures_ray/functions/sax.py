@@ -88,9 +88,13 @@ def sax_symbolize(
     w: int = 8,
     alphabet: int = 4,
     num_parts: int | None = None,
+    emit_paa: bool = False,
 ) -> "ray.data.Dataset":
     """Series table (one row per (key, order) point) -> one row per key:
-    ``(key, n_points:int64, sax:string)``; see module docstring."""
+    ``(key, n_points:int64, sax:string)``; with ``emit_paa=True`` the
+    ROUNDED segment means ride along as a ``paa: list<double>`` column
+    (the exact-verify payload for ``sax_bucket_pairs``). See module
+    docstring."""
     bp = np.array(sax_breakpoints(alphabet))
     letters = np.frombuffer(
         bytes(ord("a") + k for k in range(alphabet)), dtype=np.uint8
@@ -111,13 +115,16 @@ def sax_symbolize(
         sd = grp.transform("std").to_numpy(dtype=np.float64)  # ddof=1
         keep = (n >= w) & (sd > 0)
         if not keep.any():
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     key_col: pd.Series([], dtype=g[key_col].dtype),
                     "n_points": pd.Series([], dtype="int64"),
                     "sax": pd.Series([], dtype="object"),
                 }
             )
+            if emit_paa:
+                out["paa"] = pd.Series([], dtype="object")
+            return out
         z = (v[keep] - mu[keep]) / sd[keep]
         kk = keys.to_numpy()[keep]
         nn = n[keep]
@@ -131,24 +138,31 @@ def sax_symbolize(
             .groupby(["k", "s"], sort=False)["z"]
             .mean()
         )
-        sym = letters[np.searchsorted(bp, _round6(paa.to_numpy()), side="right")]
+        paa_r = _round6(paa.to_numpy())
+        sym = letters[np.searchsorted(bp, paa_r, side="right")]
         out = paa.reset_index()[["k", "s"]]
         out["sym"] = sym
+        out["paa_r"] = paa_r
         out = out.sort_values(["k", "s"], kind="mergesort")
+        gk = out.groupby("k", sort=False)
         words = (
-            out.groupby("k", sort=False)["sym"]
+            gk["sym"]
             .apply(lambda s: s.to_numpy().tobytes().decode("ascii"))
             .reset_index()
         )
         n_per_key = pd.Series(nn, index=kk).groupby(level=0, sort=False).first()
         words["n_points"] = n_per_key.reindex(words["k"]).to_numpy()
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 key_col: words["k"],
                 "n_points": words["n_points"].astype(np.int64),
                 "sax": words["sym"],
             }
         )
+        if emit_paa:
+            paa_lists = gk["paa_r"].apply(lambda s: s.to_numpy()).reset_index()
+            res["paa"] = paa_lists["paa_r"].to_numpy()
+        return res
 
     return (
         ds.select_columns([key_col, order_col, value_col])
@@ -188,4 +202,74 @@ def sax_motif_buckets(
         .map_batches(add_part, batch_format="pandas")
         .groupby(_PART)
         .map_groups(annotate, batch_format="pandas")
+    )
+
+
+def sax_bucket_pairs(
+    sax_ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    max_bucket: int = 1024,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact-verify stage of the SAX similarity cascade: all unordered
+    pairs WITHIN each identical-word bucket, scored by Euclidean distance
+    between the (rounded) PAA vectors -- the candidate-then-verify shape
+    of the MinHash/LSH dedup pipelines, for series. Input must come from
+    ``sax_symbolize(..., emit_paa=True)``.
+
+    ONE exchange keyed on the SAX word; per-bucket distances are one
+    vectorized Gram-matrix pass (buckets are alphabet^w-diluted and
+    small; ``max_bucket`` guards the O(b^2) corner -- an over-full bucket
+    raises rather than silently exploding, the same policy as
+    interval_join's max_bands)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{_PART: stable_part(df["sax"].to_numpy(), num_parts)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_PART])
+        out_k1, out_k2, out_sax, out_d = [], [], [], []
+        for word, b in g.groupby("sax", sort=False):
+            if len(b) < 2:
+                continue
+            if len(b) > max_bucket:
+                raise ValueError(
+                    f"SAX bucket {word!r} holds {len(b)} series "
+                    f"(> max_bucket={max_bucket}); raise w/alphabet to "
+                    "dilute buckets or max_bucket to accept the O(b^2) cost"
+                )
+            b = b.sort_values(key_col, kind="mergesort")
+            keys = b[key_col].to_numpy()
+            m = np.stack(b["paa"].to_numpy())
+            d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+            iu, ju = np.triu_indices(len(b), k=1)
+            out_k1.append(keys[iu])
+            out_k2.append(keys[ju])
+            out_sax.append(np.repeat(word, len(iu)))
+            out_d.append(np.sqrt(d2[iu, ju]))
+        if not out_k1:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=g[key_col].dtype),
+                    "id_b": pd.Series([], dtype=g[key_col].dtype),
+                    "sax": pd.Series([], dtype="object"),
+                    "paa_dist": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_k1),
+                "id_b": np.concatenate(out_k2),
+                "sax": np.concatenate(out_sax),
+                "paa_dist": _round6(np.concatenate(out_d)),
+            }
+        )
+
+    return (
+        sax_ds.select_columns([key_col, "sax", "paa"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pairs, batch_format="pandas")
     )
