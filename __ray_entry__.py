@@ -191,6 +191,44 @@ def _q_events_cube(sf_dir: str):
     return _round_floats(out, 6)
 
 
+def _q_events_user_top_type(sf_dir: str):
+    """Grouped categorical MODE (round-5 addition): each user's most
+    frequent event_type with a deterministic tie-break (count DESC,
+    value ASC) and its count. Partial+merge: batches reduce to distinct
+    (user,type) counts before one exchange. Oracle: QUALIFY row_number
+    over the same (c DESC, type) order."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_mode
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return grouped_mode(ds, "user_id", "event_type").sort("user_id")
+
+
+def _q_events_sample_per_type(sf_dir: str):
+    """EXACTLY-k-per-group deterministic sampling (round-5 addition):
+    the 5 smallest-hash events per event_type under the engine's shared
+    avalanche hash -- the fixed-size per-stratum sampler (stratified_
+    sample is the rate variant, deterministic_sample_n the global
+    variant). Per-batch k-prune before one group exchange. Oracle: the
+    same integer hash in a QUALIFY row_number window."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sampling import deterministic_sample_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+    )
+    out = deterministic_sample_per_group(
+        ds, k=5, group_col="event_type", key_col="event_id", salt=7
+    )
+    return out.sort(["event_type", "event_id"])
+
+
 def _q_turns_dialogue_stats(sf_dir: str):
     """Per-conversation dialogue statistics (round-5 addition): turn /
     role counts, tool-call count + distinct tools, per-role character
@@ -2356,7 +2394,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below position 50 for the learned-BPE tokenizer row; the
         # sampling family keeps docs_mixture in-window)
         "docs_bpe_tokens": _q_docs_bpe_tokens,
-        "docs_mixture": _q_docs_mixture,
+        # (docs_mixture -- r03-driver-green, r04-judge-green -- rotated
+        # below position 50; the sampling family's in-window row is now
+        # the new per-group exactly-k sampler)
+        "events_sample_per_type": _q_events_sample_per_type,
         # (embeddings_knn_lsh -- r03-driver-green, r04-judge-green --
         # rotated below position 50 for the SAX exact-verify pair row;
         # the ANN family keeps ivf + kmeans + semantic_dedup in-window)
@@ -2371,7 +2412,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green, and semantic_dedup's pytest pins equality against it)
         "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
-        "events_hist_quantiles": _q_events_hist_quantiles,
+        # (events_hist_quantiles -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the grouped-mode row; the
+        # quantile family keeps events_value_quantiles + winsorized
+        # in-window)
+        "events_user_top_type": _q_events_user_top_type,
         "docs_chunks": _q_docs_chunks,
         # -- representatives for the remaining families ------------------
         # (docs_exact_dedup, r04-green, moved out to make window room
@@ -2435,6 +2480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "docs_redacted": _q_docs_redacted,
+        "docs_mixture": _q_docs_mixture,
+        "events_hist_quantiles": _q_events_hist_quantiles,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3765,6 +3812,24 @@ SELECT doc_id, n_tokens, start,
            - start // 1024 + 1 AS BIGINT) AS n_seqs
 FROM scan
 """,
+        "events_user_top_type": """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode, CAST(c AS BIGINT) AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY c DESC, event_type) = 1
+ORDER BY 1
+""",
+        "events_sample_per_type": (
+            _sampling_sql().sample_per_group_sql(
+                "events", 5, "event_type", "event_id", salt=7,
+                cols="event_id, event_type, user_id, value",
+            )
+            + " ORDER BY event_type, event_id"
+        ),
         "docs_sample_64": _sampling_sql().sample_n_sql(
             "documents", 64, "doc_id", salt=3,
             cols="doc_id, lang, n_chars",

@@ -1401,3 +1401,29 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_score(rd.from_items([{"doc_id": 1, "text": "x"}]), "123 !")
+
+
+def test_grouped_mode(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 2, 2, 3],
+            "t": ["b", "a", "b", "x", "y", "y", "x", "solo"],
+        }
+    )
+    got = (
+        grouped_mode(rd.from_pandas(df).repartition(4), "u", "t")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # u=1: b wins 2-1; u=2: tie 2-2 -> lexicographically smallest 'x';
+    # u=3: singleton
+    assert list(got["mode"]) == ["b", "x", "solo"]
+    assert list(got["mode_count"]) == [2, 2, 1]
+    assert got["mode_count"].dtype == np.int64

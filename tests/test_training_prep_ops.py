@@ -340,3 +340,49 @@ class TestSampleN:
             rd.from_pandas(df).repartition(9), 50, "doc_id")
             .to_pandas()["doc_id"])
         assert a == b
+
+
+def test_deterministic_sample_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sampling import (
+        deterministic_sample_per_group,
+        knuth_hash32,
+    )
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(300, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], size=300),
+        }
+    )
+    got = (
+        deterministic_sample_per_group(
+            rd.from_pandas(df).repartition(6), k=4,
+            group_col="event_type", key_col="event_id", salt=1,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    # exactly k per group
+    assert got.groupby("event_type").size().to_dict() == {"a": 4, "b": 4, "c": 4}
+    # matches the brute hash-order selection
+    df2 = df.assign(h=knuth_hash32(df["event_id"].to_numpy(), 1).astype(np.int64))
+    want = (
+        df2.sort_values(["h", "event_id"])
+        .groupby("event_type")
+        .head(4)
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == list(want["event_id"])
+    # monotone: k=2 selection is a subset of k=4
+    got2 = deterministic_sample_per_group(
+        rd.from_pandas(df), k=2, group_col="event_type", key_col="event_id",
+        salt=1,
+    ).to_pandas()
+    assert set(got2["event_id"]) <= set(got["event_id"])

@@ -582,3 +582,62 @@ def winsorize(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def grouped_mode(
+    ds,
+    group: str,
+    value_col: str,
+    num_parts: int | None = None,
+):
+    """Most frequent ``value_col`` per group (SQL ``mode()`` with a
+    DETERMINISTIC tie-break: highest count, then smallest value) plus
+    its count -- the categorical argmax aggregate.
+
+    Partial+merge shape: each batch reduces to its distinct
+    (group, value) counts BEFORE the exchange, so shuffle volume is
+    bounded by distinct combos per batch, never rows; one group-hash
+    exchange merges the counts and picks the winner per group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            df.groupby([group, value_col], sort=False, dropna=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        p["__part"] = stable_part(p[group].to_numpy(), num_parts)
+        return p
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby([group, value_col], sort=False, dropna=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        # winner: count DESC, value ASC -- one lexsort, no per-group loop
+        m = m.sort_values([group, "c", value_col],
+                          ascending=[True, False, True], kind="mergesort")
+        w = m.groupby(group, sort=False).head(1)
+        return pd.DataFrame(
+            {
+                group: w[group],
+                "mode": w[value_col],
+                "mode_count": w["c"].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([group, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -265,3 +265,50 @@ def sample_n_sql(table: str, n: int, key_col: str, salt: int = 0,
         f"SELECT {cols} FROM {table} "
         f"ORDER BY {h}, {key_col} LIMIT {n}"
     )
+
+
+def deterministic_sample_per_group(
+    ds: "ray.data.Dataset",
+    k: int,
+    group_col: str = "event_type",
+    key_col: str = "event_id",
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """EXACTLY-k-per-GROUP deterministic sample: within each group, the
+    k rows with the smallest key hash (ties by key) -- the per-stratum
+    fixed-size counterpart of ``deterministic_sample_n`` (stratified_
+    sample is the per-stratum Bernoulli RATE variant). Reshard-stable,
+    monotone in k per group, and the chosen set is independent of how
+    groups are laid out across blocks.
+
+    Scale shape: per-batch prune to k-smallest per group BEFORE the
+    exchange (only k x groups x batches rows move), one group-hash
+    exchange, final per-group k-smallest (grouped_top_k). Oracle:
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY hash, key)
+    <= k``.
+    """
+    from .grouped import grouped_top_k
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = knuth_hash32(df[key_col].to_numpy(), salt).astype(np.int64)
+        return df
+
+    out = grouped_top_k(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_col, "__h", k=k, descending=False, tie_cols=[key_col],
+    )
+    return out.drop_columns(["__h", "rk"])
+
+
+def sample_per_group_sql(
+    table: str, k: int, group_col: str, key_col: str, salt: int = 0,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for deterministic_sample_per_group."""
+    h = hash_sql_expr(key_col, salt)
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"QUALIFY row_number() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {h}, {key_col}) <= {k}"
+    )
