@@ -191,6 +191,26 @@ def _q_events_cube(sf_dir: str):
     return _round_floats(out, 6)
 
 
+def _q_rollup_dtw_pairs_1m(sf_dir: str):
+    """DTW exact-verify over SAX candidate buckets (round-5 addition):
+    elastic-alignment distance (anti-diagonal-vectorized DP, Sakoe-Chiba
+    band 10) between the z-normalized 1m series of every identical-word
+    pair -- the warping counterpart of rollup_sax_pairs_1m's lock-step
+    PAA metric. Two exchanges; raw series ship only into their word
+    bucket. The DP is sequential, hence not SQL-expressible:
+    fixture-gated, with the brute-DP parity pytest (25 random cases,
+    bands, identity/shift properties) as the independent correctness
+    basis (tests/test_sax.py)."""
+    from tsfeatures_ray.functions.sax import sax_dtw_pairs
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    return sax_dtw_pairs(
+        ds, key_col="conv_id", order_col="bucket",
+        value_col="token_len_sum", w=8, alphabet=4, band=10,
+    ).sort(["id_a", "id_b"])
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2417,7 +2437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantile family keeps events_value_quantiles + winsorized
         # in-window)
         "events_user_top_type": _q_events_user_top_type,
-        "docs_chunks": _q_docs_chunks,
+        # (docs_chunks -- r03-driver-green, r04-judge-green -- rotated
+        # below position 50 for the DTW exact-verify row)
+        "rollup_dtw_pairs_1m": _q_rollup_dtw_pairs_1m,
         # -- representatives for the remaining families ------------------
         # (docs_exact_dedup, r04-green, moved out to make window room
         # for the round-5 docs_tfidf addition; the dedup family keeps
@@ -2482,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redacted": _q_docs_redacted,
         "docs_mixture": _q_docs_mixture,
         "events_hist_quantiles": _q_events_hist_quantiles,
+        "docs_chunks": _q_docs_chunks,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -4173,6 +4196,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "series_extras_1h": fixture("series_extras_1h"),
         "docs_fingerprint": fixture("docs_fingerprint"),
         "docs_bpe_tokens": fixture("docs_bpe_tokens"),
+        "rollup_dtw_pairs_1m": fixture("rollup_dtw_pairs_1m"),
         "docs_simhash": fixture("docs_simhash"),
         "docs_simhash_dups": fixture("docs_simhash_dups"),
         "docs_near_dups": fixture("docs_near_dups"),

@@ -156,3 +156,71 @@ def test_sax_bucket_pairs_exact_distance(ray_session):
 
     with pytest.raises(ValueError, match="max_bucket"):
         sax_bucket_pairs(sax, max_bucket=2).to_pandas()
+
+
+def _dtw_brute(a, b, band=None):
+    n, m = len(a), len(b)
+    band = max(band if band is not None else max(n, m), abs(n - m))
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if abs(i - j) > band:
+                continue
+            D[i, j] = (a[i - 1] - b[j - 1]) ** 2 + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            )
+    return float(np.sqrt(D[n, m]))
+
+
+def test_dtw_matches_brute_dp(ray_session):
+    from tsfeatures_ray.functions.sax import dtw_distance
+
+    rng = np.random.RandomState(17)
+    for trial in range(25):
+        n, m = rng.randint(1, 30), rng.randint(1, 30)
+        a, b = rng.randn(n), rng.randn(m)
+        band = None if trial % 3 == 0 else rng.randint(1, 10)
+        got = dtw_distance(a, b, band)
+        want = _dtw_brute(a, b, band)
+        assert got == want or abs(got - want) < 1e-12, (trial, got, want)
+    # identity and known alignment: identical series -> 0
+    x = rng.randn(20)
+    assert dtw_distance(x, x) == 0.0
+    # time-shifted copy aligns elastically: dtw << euclidean
+    y = np.r_[x[3:], x[-1] * np.ones(3)]
+    assert dtw_distance(x, y) < np.sqrt(((x - y) ** 2).sum())
+    # empty input
+    assert np.isnan(dtw_distance(np.array([]), x))
+
+
+def test_sax_dtw_pairs(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sax import dtw_distance, sax_dtw_pairs
+
+    rng = np.random.RandomState(23)
+    base = np.cumsum(rng.randn(30))
+    frames = []
+    for cid, (a, b) in {"s1": (1, 0), "s2": (3, 5)}.items():
+        frames.append(pd.DataFrame(
+            {"conv_id": cid, "bucket": range(30), "token_len_sum": base * a + b}))
+    for j in range(3):
+        frames.append(pd.DataFrame(
+            {"conv_id": f"n{j}", "bucket": range(30),
+             "token_len_sum": np.cumsum(rng.randn(30))}))
+    df = pd.concat(frames, ignore_index=True)
+    got = sax_dtw_pairs(rd.from_pandas(df), w=4, alphabet=4).to_pandas()
+    pair = got[(got["id_a"] == "s1") & (got["id_b"] == "s2")]
+    assert len(pair) == 1
+    # z-norm is affine invariant -> identical z series -> dtw == 0
+    assert pair["dtw"].iloc[0] < 1e-4
+    # every reported value equals a direct dtw_distance recomputation
+    z = {}
+    for cid, sub in df.groupby("conv_id"):
+        v = sub.sort_values("bucket")["token_len_sum"].to_numpy(float)
+        z[cid] = (v - v.mean()) / v.std(ddof=1)
+    for _, r in got.iterrows():
+        want = dtw_distance(z[r["id_a"]], z[r["id_b"]])
+        want = np.sign(want + 1e-7) * np.floor(abs(want + 1e-7) * 1e6 + 0.5) / 1e6
+        assert abs(r["dtw"] - want) < 1e-12

@@ -39,6 +39,7 @@ RECORDED: dict[str, list[str] | None] = {
     "series_extras_1h": ["unique_id"],
     "docs_fingerprint": ["doc_id"],
     "docs_bpe_tokens": ["doc_id"],
+    "rollup_dtw_pairs_1m": ["id_a", "id_b"],
     "docs_simhash": ["doc_id"],
     "docs_simhash_dups": ["id_a", "id_b"],
     "docs_near_dups": ["id_a", "id_b"],

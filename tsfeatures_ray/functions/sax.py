@@ -89,12 +89,16 @@ def sax_symbolize(
     alphabet: int = 4,
     num_parts: int | None = None,
     emit_paa: bool = False,
+    emit_series: bool = False,
 ) -> "ray.data.Dataset":
     """Series table (one row per (key, order) point) -> one row per key:
     ``(key, n_points:int64, sax:string)``; with ``emit_paa=True`` the
     ROUNDED segment means ride along as a ``paa: list<double>`` column
-    (the exact-verify payload for ``sax_bucket_pairs``). See module
-    docstring."""
+    (the exact-verify payload for ``sax_bucket_pairs``); with
+    ``emit_series=True`` the full z-normalized series rides along as a
+    ``z: list<double>`` column (the payload for ``sax_dtw_pairs`` --
+    only worth shipping when a downstream bucket stage needs the raw
+    shape). See module docstring."""
     bp = np.array(sax_breakpoints(alphabet))
     letters = np.frombuffer(
         bytes(ord("a") + k for k in range(alphabet)), dtype=np.uint8
@@ -124,6 +128,8 @@ def sax_symbolize(
             )
             if emit_paa:
                 out["paa"] = pd.Series([], dtype="object")
+            if emit_series:
+                out["z"] = pd.Series([], dtype="object")
             return out
         z = (v[keep] - mu[keep]) / sd[keep]
         kk = keys.to_numpy()[keep]
@@ -162,6 +168,13 @@ def sax_symbolize(
         if emit_paa:
             paa_lists = gk["paa_r"].apply(lambda s: s.to_numpy()).reset_index()
             res["paa"] = paa_lists["paa_r"].to_numpy()
+        if emit_series:
+            zl = (
+                pd.DataFrame({"k": kk, "z": z})
+                .groupby("k", sort=False)["z"]
+                .apply(lambda s: s.to_numpy())
+            )
+            res["z"] = zl.reindex(res[key_col]).to_numpy()
         return res
 
     return (
@@ -269,6 +282,116 @@ def sax_bucket_pairs(
 
     return (
         sax_ds.select_columns([key_col, "sax", "paa"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def dtw_distance(
+    a: np.ndarray, b: np.ndarray, band: int | None = None
+) -> float:
+    """Dynamic-time-warping distance (squared local cost, sqrt of the
+    optimal path sum -- UCR convention) with an optional Sakoe-Chiba
+    band. Vectorized over ANTI-DIAGONALS: every cell on diagonal d
+    depends only on diagonals d-1 / d-2, so the DP runs n+m numpy steps
+    instead of n*m Python steps."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("nan")
+    eff_band = max(band if band is not None else max(n, m), abs(n - m))
+    INF = np.inf
+    # diag arrays indexed by i: prevK[i] = D[i, d-K-i]
+    prev2 = np.full(n + 1, INF)
+    prev2[0] = 0.0  # D[0,0]
+    prev1 = np.full(n + 1, INF)  # d=1: D[0,1] = D[1,0] = INF
+    for d in range(2, n + m + 1):
+        cur = np.full(n + 1, INF)
+        ilo, ihi = max(1, d - m), min(n, d - 1)
+        if ilo <= ihi:
+            i = np.arange(ilo, ihi + 1)
+            j = d - i
+            ok = np.abs(i - j) <= eff_band
+            if ok.any():
+                i, j = i[ok], j[ok]
+                cost = (a[i - 1] - b[j - 1]) ** 2
+                best = np.minimum(
+                    np.minimum(prev1[i - 1], prev1[i]), prev2[i - 1]
+                )
+                cur[i] = cost + best
+        prev2, prev1 = prev1, cur
+    return float(np.sqrt(prev1[n]))
+
+
+def sax_dtw_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+    value_col: str = "token_len_sum",
+    w: int = 8,
+    alphabet: int = 4,
+    band: int | None = None,
+    max_bucket: int = 1024,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """DTW exact-verify over SAX candidate buckets: symbolize (carrying
+    the z-normalized series), bucket by identical word, and score every
+    in-bucket pair with ``dtw_distance`` -- the elastic-alignment
+    counterpart of ``sax_bucket_pairs`` (whose PAA-Euclidean is the
+    lock-step metric). Two exchanges total (key-hash, then word-hash);
+    the raw series ships ONLY into its word bucket, never all-pairs.
+    Not SQL-expressible (the DP is sequential); gated by the brute-DP
+    pytest and a committed fixture."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    sax = sax_symbolize(
+        ds, key_col=key_col, order_col=order_col, value_col=value_col,
+        w=w, alphabet=alphabet, num_parts=num_parts, emit_series=True,
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{_PART: stable_part(df["sax"].to_numpy(), num_parts)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_PART])
+        k1, k2, ws, ds_ = [], [], [], []
+        for word, b in g.groupby("sax", sort=False):
+            if len(b) < 2:
+                continue
+            if len(b) > max_bucket:
+                raise ValueError(
+                    f"SAX bucket {word!r} holds {len(b)} series "
+                    f"(> max_bucket={max_bucket})"
+                )
+            b = b.sort_values(key_col, kind="mergesort")
+            keys = b[key_col].to_numpy()
+            series = [np.asarray(zz, dtype=np.float64) for zz in b["z"]]
+            for x in range(len(b)):
+                for y in range(x + 1, len(b)):
+                    k1.append(keys[x])
+                    k2.append(keys[y])
+                    ws.append(word)
+                    ds_.append(dtw_distance(series[x], series[y], band))
+        if not k1:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=g[key_col].dtype),
+                    "id_b": pd.Series([], dtype=g[key_col].dtype),
+                    "sax": pd.Series([], dtype="object"),
+                    "dtw": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.array(k1),
+                "id_b": np.array(k2),
+                "sax": np.array(ws),
+                "dtw": _round6(np.array(ds_, dtype=np.float64)),
+            }
+        )
+
+    return (
+        sax.select_columns([key_col, "sax", "z"])
         .map_batches(add_part, batch_format="pandas")
         .groupby(_PART)
         .map_groups(pairs, batch_format="pandas")
