@@ -211,6 +211,39 @@ def _q_rollup_dtw_pairs_1m(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+def _q_rollup_theilsen_1m(sf_dir: str):
+    """Theil-Sen robust trend per conversation (round-5 addition):
+    median of all pairwise slopes over the 1m rollup series, per-minute
+    units -- the 29%-breakdown robust counterpart of rollup_trend_1h's
+    OLS REGR_SLOPE. One exchange; per-key triangular slope block +
+    numpy quantile (== quantile_cont). Oracle: self-join pairs +
+    quantile_cont(0.5)."""
+    from tsfeatures_ray.functions.windows import theil_sen
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    out = theil_sen(
+        ds, key_col="conv_id", order_col="bucket",
+        value_col="token_len_sum", x_scale=60.0,
+    )
+    return _round_floats(out.sort("conv_id"), 6)
+
+
+def _q_rollup_pctrank_1m(sf_dir: str):
+    """Per-key PERCENT_RANK (round-5 addition): rank normalization of
+    each conversation's 1m token_len_sum points -- (min_rank-1)/(n-1)
+    with SQL tie semantics, singleton keys 0.0 (DuckDB behavior
+    probed). One exchange, vectorized groupby.rank."""
+    from tsfeatures_ray.functions.grouped import grouped_pct_rank
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    out = grouped_pct_rank(
+        ds, "conv_id", "token_len_sum", order_col="bucket"
+    )
+    return _round_floats(out.sort(["conv_id", "bucket"]), 6)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2458,8 +2491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-green in r04 -- get driver rows this round; the dedup
         # family keeps jaccard + simhash sigs + dup_spans in-window)
         "docs_jaccard_dups": _q_docs_jaccard_dups,
-        "rollup_compact_1h": _q_rollup_compact_1h,
-        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
+        # (rollup_compact_1h -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the Theil-Sen robust-trend row)
+        "rollup_theilsen_1m": _q_rollup_theilsen_1m,
+        # (embeddings_knn_lsh_recall -- r03-driver-green, r04-judge-green
+        # -- rotated below position 50 for the percent-rank row)
+        "rollup_pctrank_1m": _q_rollup_pctrank_1m,
         # round-5 addition, placed in the driver window (the sampling
         # family keeps docs_hash_split + docs_mixture in-window)
         "media_metadata": _q_media_metadata,
@@ -2505,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture": _q_docs_mixture,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "docs_chunks": _q_docs_chunks,
+        "rollup_compact_1h": _q_rollup_compact_1h,
+        "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3835,6 +3874,45 @@ SELECT doc_id, n_tokens, start,
            - start // 1024 + 1 AS BIGINT) AS n_seqs
 FROM scan
 """,
+        "rollup_theilsen_1m": (
+            turns
+            + """
+, r AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS v
+    FROM turns GROUP BY 1, 2
+),
+prs AS (
+    SELECT a.conv_id AS cid,
+           (b.v - a.v) / ((epoch(b.bucket) - epoch(a.bucket)) / 60.0) AS sl
+    FROM r a JOIN r b ON a.conv_id = b.conv_id AND a.bucket < b.bucket
+),
+c AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1)
+SELECT c.conv_id, c.n,
+       CASE WHEN c.n >= 2 THEN ROUND(p.med + 0.0000001, 6)
+            ELSE NULL END AS ts_slope
+FROM c
+LEFT JOIN (SELECT cid, quantile_cont(sl, 0.5) AS med FROM prs GROUP BY 1) p
+  ON p.cid = c.conv_id
+ORDER BY 1
+"""
+        ),
+        "rollup_pctrank_1m": (
+            turns
+            + """
+, r AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket,
+           CAST(SUM(token_len) AS DOUBLE) AS token_len_sum
+    FROM turns GROUP BY 1, 2
+)
+SELECT conv_id, token_len_sum, bucket,
+       ROUND(percent_rank() OVER (PARTITION BY conv_id
+                                  ORDER BY token_len_sum)
+             + 0.0000001, 6) AS pct_rank
+FROM r
+ORDER BY 1, 3
+"""
+        ),
         "events_user_top_type": """
 WITH c AS (
     SELECT user_id, event_type, COUNT(*) AS c

@@ -1427,3 +1427,60 @@ def test_grouped_mode(ray_session):
     assert list(got["mode"]) == ["b", "x", "solo"]
     assert list(got["mode_count"]) == [2, 2, 1]
     assert got["mode_count"].dtype == np.int64
+
+
+def test_grouped_pct_rank(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_pct_rank
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"],
+            "v": [1.0, 2.0, 2.0, 4.0, 9.0],
+            "o": [0, 1, 2, 3, 0],
+        }
+    )
+    got = (
+        grouped_pct_rank(rd.from_pandas(df).repartition(3), "k", "v",
+                         order_col="o")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # DuckDB-probed: ties share min rank; singleton -> 0.0
+    assert list(got["pct_rank"]) == [0.0, 1 / 3, 1 / 3, 1.0, 0.0]
+
+
+def test_theil_sen_robust_to_outlier(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import theil_sen
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = base + np.arange(20) * np.timedelta64(60, "s")
+    y = 3.0 * np.arange(20) + 5.0
+    y_out = y.copy()
+    y_out[10] = 1e5  # one wild point
+    df = pd.concat(
+        [
+            pd.DataFrame({"conv_id": "clean", "bucket": t, "token_len_sum": y}),
+            pd.DataFrame({"conv_id": "dirty", "bucket": t, "token_len_sum": y_out}),
+            pd.DataFrame({"conv_id": "solo", "bucket": t[:1],
+                          "token_len_sum": [7.0]}),
+        ],
+        ignore_index=True,
+    )
+    got = (
+        theil_sen(rd.from_pandas(df), x_scale=60.0)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    # exact slope 3/min on the clean ramp; the outlier barely moves it
+    assert abs(got.loc["clean", "ts_slope"] - 3.0) < 1e-12
+    assert abs(got.loc["dirty", "ts_slope"] - 3.0) < 0.5
+    assert got.loc["solo", "n"] == 1 and np.isnan(got.loc["solo", "ts_slope"])

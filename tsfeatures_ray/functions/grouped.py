@@ -641,3 +641,46 @@ def grouped_mode(
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_pct_rank(
+    ds,
+    group: str,
+    value_col: str,
+    order_col: str | None = None,
+    num_parts: int | None = None,
+):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``
+    per row: (min_rank - 1) / (n - 1), ties share the min rank, a
+    single-row group gets 0.0 (DuckDB semantics, probed). The rank
+    normalization transform for per-key feature scaling.
+
+    One key-hash exchange; ranks via one vectorized pandas
+    ``groupby.rank(method='min')`` per partition. ``order_col`` (if
+    given) rides along to keep the output row-identifiable."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    cols = [group, value_col] + ([order_col] if order_col else [])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df[group].to_numpy(), num_parts))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        grp = g.groupby(group, sort=False)[value_col]
+        r = grp.rank(method="min").to_numpy(np.float64)
+        n = grp.transform("size").to_numpy(np.float64)
+        pct = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
+        return g.assign(pct_rank=pct)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(rank, batch_format="pandas")
+    )

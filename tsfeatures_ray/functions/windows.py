@@ -608,3 +608,68 @@ def interpolate_gaps(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def theil_sen(
+    ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+    value_col: str = "token_len_sum",
+    x_scale: float = 60.0,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Theil-Sen ROBUST trend per key: the median of all pairwise slopes
+    (y_j - y_i) / ((x_j - x_i) / x_scale) over the series' time axis --
+    the breakdown-point-29% counterpart of grouped_regr's OLS slope
+    (one wild rollup bucket cannot move it). Output per key:
+    ``n:int64, ts_slope:float64`` (NaN when n < 2).
+
+    One key-hash exchange; per key the O(n^2/2) pairwise slopes come
+    from ONE broadcasted triangular difference (series length is
+    tier-bounded, e.g. <= minutes-per-conversation, so the quadratic
+    term is a few thousand floats); the median is numpy linear
+    interpolation == SQL ``quantile_cont(0.5)``, which an oracle
+    reproduces with a self-join + quantile_cont."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df[key_col].to_numpy(), num_parts))
+
+    def slopes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        keys_out, n_out, sl_out = [], [], []
+        for k, b in g.groupby(key_col, sort=False):
+            y = b[value_col].to_numpy(np.float64)
+            x_us = b[order_col].astype("datetime64[us]").astype("int64").to_numpy()
+            n = len(y)
+            keys_out.append(k)
+            n_out.append(n)
+            if n < 2:
+                sl_out.append(np.nan)
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            # difference the integer microsecond axis FIRST, then divide
+            # (exactly the oracle's (epoch(b)-epoch(a))/scale FP path)
+            dx = (x_us[ju] - x_us[iu]) / 1e6 / x_scale
+            sl = (y[ju] - y[iu]) / dx
+            sl_out.append(float(np.quantile(sl, 0.5)))
+        return pd.DataFrame(
+            {
+                key_col: keys_out,
+                "n": np.array(n_out, dtype=np.int64),
+                "ts_slope": np.array(sl_out, dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, order_col, value_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(slopes, batch_format="pandas")
+    )
