@@ -244,6 +244,37 @@ def _q_rollup_pctrank_1m(sf_dir: str):
     return _round_floats(out.sort(["conv_id", "bucket"]), 6)
 
 
+def _q_events_value_mad(sf_dir: str):
+    """Robust location+scale per user (round-5 addition): median and
+    MAD of event value with quantile_cont interpolation semantics (the
+    repo-probed DuckDB gotcha: median() is NOT quantile_cont(0.5) on
+    even counts -- the oracle uses quantile_cont on both sides). One
+    exchange, two vectorized grouped quantiles."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_mad
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    return _round_floats(grouped_mad(ds, "user_id", "value").sort("user_id"), 6)
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """One-pass table profiling (round-5 addition): per-column row /
+    null / EXACT distinct counts + numeric min/max over all 11 lineitem
+    columns -- the ingest-time data-quality audit. Batch partials +
+    one (column,value)-keyed exchange (distinct values land in exactly
+    one partition each) + a tiny final fold. Oracle: one UNION ALL arm
+    per column."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.profile import profile_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return _round_floats(profile_table(ds).sort("column"), 6)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2429,8 +2460,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out to make room -- the rollup family keeps five other
         # in-window rows and compact stays r03-driver-green/r04-judge-green)
         "turns_token_latency_corr": _q_turns_corr,
-        "series_stats_wide": _q_series_stats_wide,
-        "events_rollup_1d": _q_events_rollup("1d"),
+        # (series_stats_wide -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the table-profiler row; the wide
+        # API stays pytest-gated and its oracle is shared with
+        # series_stats, which remains in-window)
+        "lineitem_profile": _q_lineitem_profile,
+        # (events_rollup_1d -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the robust median/MAD row)
+        "events_value_mad": _q_events_value_mad,
         # (docs_fingerprint -- r03-driver-green, r04-judge-green --
         # rotated below position 50 for the SAX motif-bucket row; the
         # text-fingerprint family keeps tfidf/ppl/repetition in-window)
@@ -2544,6 +2581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "rollup_compact_1h": _q_rollup_compact_1h,
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
+        "events_rollup_1d": _q_events_rollup("1d"),
+        "series_stats_wide": _q_series_stats_wide,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3913,6 +3952,43 @@ FROM r
 ORDER BY 1, 3
 """
         ),
+        "lineitem_profile": """
+SELECT 'l_discount' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_discount) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_discount) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_extendedprice) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_extendedprice) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_linenumber' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_linenumber) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_linenumber) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_linestatus' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_distinct, CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_orderkey) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_orderkey) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_partkey' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_partkey) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_partkey) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_quantity) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_quantity) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_returnflag' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct, CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_shipdate' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS n_distinct, CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_suppkey' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_suppkey) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_suppkey) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_tax) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_tax) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_tax) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
+ORDER BY 1
+""",
+        "events_value_mad": """
+WITH m AS (
+    SELECT user_id, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+)
+SELECT e.user_id,
+       CAST(COUNT(e.value) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(m.med) + 0.0000001, 6) AS median,
+       ROUND(quantile_cont(ABS(e.value - m.med), 0.5) + 0.0000001, 6) AS mad
+FROM events e JOIN m USING (user_id)
+GROUP BY 1
+ORDER BY 1
+""",
         "events_user_top_type": """
 WITH c AS (
     SELECT user_id, event_type, COUNT(*) AS c

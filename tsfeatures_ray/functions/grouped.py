@@ -684,3 +684,54 @@ def grouped_pct_rank(
         .groupby("__part")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def grouped_mad(
+    ds,
+    group: str,
+    value_col: str,
+    num_parts: int | None = None,
+):
+    """Robust location + scale per group: median and MAD (median of
+    absolute deviations from the median), both with quantile_cont
+    linear-interpolation semantics -- the robust companion of the
+    mean/variance aggregates (and of theil_sen for trend). Output:
+    ``(group, n:int64, median:float64, mad:float64)``; NaN for all-null
+    groups.
+
+    One key-hash exchange co-locating each group's values, then one
+    vectorized pandas pass (two grouped quantiles; deviations computed
+    in place). Nulls are ignored as SQL aggregates do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df[group].to_numpy(), num_parts))
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        grp = g.groupby(group, sort=False)[value_col]
+        med = grp.transform("median")
+        dev = (g[value_col] - med).abs()
+        out = pd.DataFrame(
+            {
+                "n": grp.count(),
+                "median": grp.median(),
+                "mad": dev.groupby(g[group], sort=False).median(),
+            }
+        ).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.select_columns([group, value_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(mad, batch_format="pandas")
+    )
