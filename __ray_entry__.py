@@ -275,6 +275,23 @@ def _q_lineitem_profile(sf_dir: str):
     return _round_floats(profile_table(ds).sort("column"), 6)
 
 
+def _q_docs_bigram_pmi(sf_dir: str):
+    """Bigram PMI collocations (round-5 addition): corpus-wide
+    pointwise mutual information over adjacent word pairs with
+    pair_count >= 5 -- the Church-&-Hanks collocation statistic for
+    phrase detection. Vocabulary-bounded count exchanges + two chained
+    partitioned joins attach unigram counts; one scalar aggregate
+    normalizes. Oracle: list-slice bigram CTE + the same LN arithmetic."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.collocations import bigram_pmi
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bigram_pmi(ds, min_count=5).sort(["w1", "w2"])
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2501,7 +2518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (embeddings_cosine_dups rotated out to make room: r04-driver-
         # green, and semantic_dedup's pytest pins equality against it)
         "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
-        "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
+        # (embeddings_cosine_dups_lsh -- r03-driver-green, r04-judge-green
+        # -- rotated below position 50 for the bigram-PMI row; the
+        # cosine-dup family keeps semantic_dedup in-window)
+        "docs_bigram_pmi": _q_docs_bigram_pmi,
         # (events_hist_quantiles -- r03-driver-green, r04-judge-green --
         # rotated below position 50 for the grouped-mode row; the
         # quantile family keeps events_value_quantiles + winsorized
@@ -2583,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_lsh_recall": _q_embeddings_knn_lsh_recall,
         "events_rollup_1d": _q_events_rollup("1d"),
         "series_stats_wide": _q_series_stats_wide,
+        "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -3975,6 +3996,33 @@ SELECT 'l_suppkey' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COU
 UNION ALL
 SELECT 'l_tax' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_tax) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS n_distinct, ROUND(CAST(MIN(l_tax) AS DOUBLE) + 0.0000001, 6) AS vmin, ROUND(CAST(MAX(l_tax) AS DOUBLE) + 0.0000001, 6) AS vmax FROM lineitem
 ORDER BY 1
+""",
+        "docs_bigram_pmi": """
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+    FROM documents
+),
+toks AS (
+    SELECT ws[CAST(i AS INT)] AS w
+    FROM lists, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+tu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+prs AS (
+    SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+    FROM lists, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+),
+tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM prs),
+bi AS (SELECT w1, w2, COUNT(*) AS c FROM prs GROUP BY 1, 2)
+SELECT bi.w1, bi.w2, CAST(bi.c AS BIGINT) AS pair_count,
+       ROUND(LN((bi.c / tb.t) / ((u1.c / tu.t) * (u2.c / tu.t)))
+             + 0.0000001, 6) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN tu CROSS JOIN tb
+WHERE bi.c >= 5
+ORDER BY 1, 2
 """,
         "events_value_mad": """
 WITH m AS (

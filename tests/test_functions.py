@@ -1484,3 +1484,49 @@ def test_theil_sen_robust_to_outlier(ray_session):
     assert abs(got.loc["clean", "ts_slope"] - 3.0) < 1e-12
     assert abs(got.loc["dirty", "ts_slope"] - 3.0) < 0.5
     assert got.loc["solo", "n"] == 1 and np.isnan(got.loc["solo", "ts_slope"])
+
+
+def test_bigram_pmi_matches_brute(ray_session):
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.collocations import bigram_pmi
+
+    rng = np.random.RandomState(4)
+    vocab = ["new", "york", "machine", "learning", "the", "of", "data"]
+    texts = []
+    for _ in range(60):
+        ws = list(rng.choice(vocab, size=rng.randint(3, 25)))
+        # plant a strong collocation
+        if rng.rand() < 0.7:
+            k = rng.randint(0, len(ws) - 1)
+            ws[k : k + 2] = ["new", "york"]
+        texts.append(" ".join(ws))
+    df = pd.DataFrame({"text": texts})
+    got = (
+        bigram_pmi(rd.from_pandas(df).repartition(5), min_count=3)
+        .to_pandas()
+        .set_index(["w1", "w2"])
+    )
+    uni, bi, t_bi = Counter(), Counter(), 0
+    for t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        t_bi += max(0, len(ws) - 1)
+    t_uni = sum(uni.values())
+    for (a, b), c in bi.items():
+        if c < 3:
+            assert (a, b) not in got.index
+            continue
+        want = np.log((c / t_bi) / ((uni[a] / t_uni) * (uni[b] / t_uni)))
+        want = np.sign(want + 1e-7) * np.floor(abs(want + 1e-7) * 1e6 + 0.5) / 1e6
+        r = got.loc[(a, b)]
+        assert r["pair_count"] == c
+        assert abs(r["pmi"] - want) < 1e-12, (a, b)
+    # the planted collocation scores highest
+    assert got["pmi"].idxmax() == ("new", "york")
