@@ -292,6 +292,46 @@ def _q_docs_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5).sort(["w1", "w2"])
 
 
+def _q_customer_order_counts_outer(sf_dir: str):
+    """FULL OUTER partitioned join (round-5 addition): every customer
+    joined with their order count -- customers who never ordered (about
+    a third in TPC-H data) surface with NULL counts, which inner/left
+    cannot express from the orders side. Pre-aggregated counts keep the
+    join input bounded by customer cardinality. Oracle: FULL OUTER JOIN
+    with COALESCE key."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_custkey"].value_counts()
+        return pd.DataFrame(
+            {"c_custkey": vc.index, "n_orders": vc.to_numpy("int64")}
+        )
+
+    from tsfeatures_ray.functions.grouped import grouped_agg
+
+    counts = grouped_agg(
+        orders.map_batches(count_partial, batch_format="pandas"),
+        keys=["c_custkey"],
+        aggs={"n_orders": ["sum"]},
+    ).map_batches(
+        lambda df: df.rename(columns={"n_orders_sum": "n_orders"}),
+        batch_format="pandas",
+    )
+    out = partitioned_join(cust, counts, left_on="c_custkey", how="full")
+    return out.sort("c_custkey")
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2509,7 +2549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated below position 50 for the SAX exact-verify pair row;
         # the ANN family keeps ivf + kmeans + semantic_dedup in-window)
         "rollup_sax_pairs_1m": _q_rollup_sax_pairs_1m,
-        "embeddings_knn_ivf": _q_embeddings_knn_ivf,
+        # (embeddings_knn_ivf -- r03-driver-green, r04-judge-green --
+        # rotated below position 50 for the FULL OUTER join row; the ANN
+        # family keeps kmeans + semantic_dedup in-window)
+        "customer_order_counts_outer": _q_customer_order_counts_outer,
         # round-5 addition, placed in the driver window (the recall
         # harness embeddings_knn_lsh_recall rotated out to make room --
         # the similarity family keeps six other in-window rows)
@@ -2604,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d": _q_events_rollup("1d"),
         "series_stats_wide": _q_series_stats_wide,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
+        "embeddings_knn_ivf": _q_embeddings_knn_ivf,
         "derived_turns": _q_derived_turns,
         "rollup_1h": _q_rollup("1h"),
         "series_extras_sql_1m": _q_series_extras_sql_1m,
@@ -4023,6 +4067,17 @@ JOIN uni u2 ON u2.w = bi.w2
 CROSS JOIN tu CROSS JOIN tb
 WHERE bi.c >= 5
 ORDER BY 1, 2
+""",
+        "customer_order_counts_outer": """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+       c.c_mktsegment,
+       o.n_orders
+FROM customer c
+FULL OUTER JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+) o ON o.o_custkey = c.c_custkey
+ORDER BY 1
 """,
         "events_value_mad": """
 WITH m AS (

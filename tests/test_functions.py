@@ -1530,3 +1530,30 @@ def test_bigram_pmi_matches_brute(ray_session):
         assert abs(r["pmi"] - want) < 1e-12, (a, b)
     # the planted collocation scores highest
     assert got["pmi"].idxmax() == ("new", "york")
+
+
+def test_partitioned_join_right_and_full_outer(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    # asymmetric unmatched rows on BOTH sides
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "lv": [10.0, 20.0, 21.0, 30.0]})
+    right = pd.DataFrame({"k": [2, 4, 4], "rv": [200.0, 400.0, 401.0]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    for how, pandas_how in (("right", "right"), ("full", "outer")):
+        got = (
+            partitioned_join(lds, rds, left_on="k", how=how, num_parts=5)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how=pandas_how)
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # full outer keeps BOTH unmatched sides: key 1,3 (left-only), 4 (right-only)
+    full = partitioned_join(lds, rds, left_on="k", how="full").to_pandas()
+    assert set(full["k"]) == {1, 2, 3, 4}

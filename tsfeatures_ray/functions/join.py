@@ -106,7 +106,9 @@ def partitioned_join(
     materialization, no broadcast -- both sides stream through ONE
     ``groupby(part)`` exchange and merge per partition).
 
-    ``how`` in {'inner', 'left', 'semi', 'anti'}. Non-key column names
+    ``how`` in {'inner', 'left', 'right', 'full', 'semi', 'anti'} --
+    'full' is the SQL FULL OUTER JOIN (keys coalesce into the shared key
+    column; unmatched sides carry nulls). Non-key column names
     must be disjoint between the two sides (rename before joining).
     Partitioning assumption (SURVEY.md §2 custom-operator rule): rows of
     both sides with equal key hash land in the same partition -- enforced
@@ -222,9 +224,10 @@ def partitioned_join(
             out = ldf[~ldf[left_on].isin(rkeys)]
         else:
             rdf = g.loc[~lmask, [left_on] + rpayload]
-            out = ldf.merge(
-                rdf, on=left_on, how=("left" if how == "left" else "inner")
-            )[out_names]
+            pandas_how = {"left": "left", "right": "right", "full": "outer"}.get(
+                how, "inner"
+            )
+            out = ldf.merge(rdf, on=left_on, how=pandas_how)[out_names]
         if len(out) == 0:
             return empty_schema.empty_table()
         return restore_dtypes(out)
