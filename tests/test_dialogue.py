@@ -78,3 +78,27 @@ def test_dialogue_stats_order_and_layout_invariant(ray_session):
     a = a.sort_values("conv_id").reset_index(drop=True)
     b = b.sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_role_transitions_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import role_transitions
+
+    df = _fixture()[["conv_id", "turn_idx", "role"]]
+    got = (
+        role_transitions(rd.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index(["role_from", "role_to"])["n"]
+        .to_dict()
+    )
+    # conv A: u->a, a->u, u->a, a->tool, tool->a; conv B: none;
+    # conv C: u->tool, tool->tool, tool->tool
+    assert got == {
+        ("user", "assistant"): 2,
+        ("assistant", "user"): 1,
+        ("assistant", "tool"): 1,
+        ("tool", "assistant"): 1,
+        ("user", "tool"): 1,
+        ("tool", "tool"): 2,
+    }

@@ -386,3 +386,37 @@ def test_deterministic_sample_per_group(ray_session):
         salt=1,
     ).to_pandas()
     assert set(got2["event_id"]) <= set(got["event_id"])
+
+
+def test_weighted_sample(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sampling import knuth_hash32, weighted_sample
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "w": rng.randint(0, 3000, size=400).astype(np.int64),
+        }
+    )
+    df.loc[:9, "w"] = 10_000  # p = 1 -> always kept
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(5), "w", scale=2000, key_col="doc_id",
+        salt=2,
+    ).to_pandas()
+    # brute recompute of the integer threshold rule
+    h = knuth_hash32(df["doc_id"].to_numpy(), 2)
+    thr = np.minimum(
+        np.uint64(1) << np.uint64(32),
+        (df["w"].to_numpy(np.uint64) * (np.uint64(1) << np.uint64(32)))
+        // np.uint64(2000),
+    )
+    want = set(df.loc[h < thr, "doc_id"])
+    assert set(got["doc_id"]) == want
+    # p=1 rows all kept; zero-weight rows never kept
+    assert set(range(10)) <= want
+    zero = df[df["w"] == 0]["doc_id"]
+    assert not (set(zero) & want)

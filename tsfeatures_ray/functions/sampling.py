@@ -312,3 +312,46 @@ def sample_per_group_sql(
         f"QUALIFY row_number() OVER (PARTITION BY {group_col} "
         f"ORDER BY {h}, {key_col}) <= {k}"
     )
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    weight_col: str,
+    scale: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sampling with PER-ROW probability
+    p = min(1, weight / scale) -- keep long/high-quality documents with
+    probability proportional to their weight (the corpus-rebalancing
+    primitive; ``deterministic_sample`` is the constant-rate special
+    case). Selection: hash(key) < floor(p * 2^32), all integer
+    arithmetic, so engine and oracle agree bit-for-bit and the choice is
+    reshard-stable. Stateless per-batch filter, no exchange.
+
+    ``weight_col`` must be non-negative integers (the threshold is
+    computed in exact integer arithmetic; float weights would need a
+    shared rounding convention)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash32(df[key_col].to_numpy(), salt)
+        w = df[weight_col].to_numpy()
+        if len(w) and w.dtype.kind == "i" and int(w.min()) < 0:
+            raise ValueError("weighted_sample weights must be non-negative")
+        thr = np.minimum(
+            _M32, (w.astype(np.uint64) * _M32) // np.uint64(scale)
+        )
+        return df[h < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def weighted_sample_sql_predicate(
+    weight_col: str, scale: int, key_col: str, salt: int = 0
+) -> str:
+    """DuckDB predicate computing weighted_sample's selection exactly."""
+    h = hash_sql_expr(key_col, salt)
+    return (
+        f"({h}) < LEAST(4294967296, "
+        f"(CAST({weight_col} AS HUGEINT) * 4294967296) // {scale})"
+    )

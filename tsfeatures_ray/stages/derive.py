@@ -199,3 +199,64 @@ def dialogue_stats(
         .groupby("part")
         .map_groups(_dialogue_stats_partition, batch_format="pandas")
     )
+
+
+def role_transitions(
+    ds: "ray.data.Dataset",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Corpus-wide role-TRANSITION matrix over transcripts: counts of
+    (previous role -> role) across consecutive turns within each
+    conversation -- the turn-taking structure statistic (who speaks
+    after whom; e.g. how often a tool result is followed by another
+    tool call). Same one conv-hash exchange as dialogue_stats, each
+    partition reduced to at most |roles|^2 partial rows, then a tiny
+    single-group fold."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        part = stable_part(batch["conv_id"].to_numpy(zero_copy_only=False), num_parts)
+        return pa.Table.from_arrays(
+            [
+                batch["conv_id"].combine_chunks(),
+                batch["turn_idx"].combine_chunks(),
+                batch["role"].combine_chunks(),
+                pa.array(part, type=pa.int64()),
+            ],
+            names=["conv_id", "turn_idx", "role", "part"],
+        )
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same = g["conv_id"].eq(g["conv_id"].shift())
+        pairs = pd.DataFrame(
+            {"role_from": g["role"].shift()[same], "role_to": g["role"][same]}
+        )
+        out = (
+            pairs.groupby(["role_from", "role_to"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["__g"] = 0
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["role_from", "role_to"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(count_pairs, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(
+            lambda d: fold(d.drop(columns=["__g"])), batch_format="pandas"
+        )
+    )
