@@ -397,6 +397,25 @@ def _q_docs_weighted_sample(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_events_wau_7d(sf_dir: str):
+    """EXACT 7-day rolling distinct users per day (round-5 addition):
+    distinct counting is not subtractable, so the distributed shape is
+    replication -- distinct (day,user) pairs fan out to the 7 target
+    days each contributes to (volume = 7 x distinct pairs, row-count
+    independent), one day-hash exchange dedups + counts; own-day marker
+    drops inactive target days. Oracle: range self-join over distinct
+    pairs."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import rolling_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = rolling_distinct(ds, "user_id", ts_col="ts", window_days=7)
+    return out.sort("bucket")
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2567,7 +2586,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packed_bpe": _q_docs_packed_bpe,
         "docs_training_corpus": _q_docs_training_corpus,
         # -- media fixture regenerated this round (AVI/MJPG container) --
-        "media_features": _q_media_features,
+        # (media_features -- r04-driver-green -- rotated below position 50
+        # for the rolling-distinct WAU row; the media family keeps the
+        # round-5 media_metadata in-window and the regenerated AVI/MJPG
+        # fixture stays judge-checkable via check_contract)
+        "events_wau_7d": _q_events_wau_7d,
         # -- rotated IN: out-of-window in r04 (r03-green + judge-green) --
         # (rollup_1m -- r03-driver-green, r04-judge-green -- rotated
         # below position 50 for the new SAX symbolization row; the plain
@@ -4181,6 +4204,17 @@ ORDER BY 1, 2
             )
             + " ORDER BY doc_id"
         ),
+        "events_wau_7d": """
+WITH p AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+d AS (SELECT DISTINCT day FROM p)
+SELECT d.day AS bucket, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+           AS n_distinct
+FROM d JOIN p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY 1
+ORDER BY 1
+""",
         "events_value_mad": """
 WITH m AS (
     SELECT user_id, quantile_cont(value, 0.5) AS med

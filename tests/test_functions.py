@@ -1557,3 +1557,46 @@ def test_partitioned_join_right_and_full_outer(ray_session):
     # full outer keeps BOTH unmatched sides: key 1,3 (left-only), 4 (right-only)
     full = partitioned_join(lds, rds, left_on="k", how="full").to_pandas()
     assert set(full["k"]) == {1, 2, 3, 4}
+
+
+def test_rolling_distinct_wau(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import rolling_distinct
+
+    rng = np.random.RandomState(8)
+    base = np.datetime64("2024-03-01", "us")
+    days = rng.randint(0, 20, size=600)
+    # day 30: isolated activity -> its 7-day window [24, 30] must NOT
+    # include any day<=19 user (gap > window)
+    days = np.r_[days, [30, 30]]
+    users = np.r_[rng.randint(0, 40, size=600), [1, 2]]
+    df = pd.DataFrame(
+        {
+            "ts": base + days * np.timedelta64(1, "D")
+            + np.timedelta64(3, "h"),
+            "user_id": users.astype(np.int64),
+        }
+    )
+    got = (
+        rolling_distinct(rd.from_pandas(df).repartition(6), "user_id",
+                         window_days=7)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # brute reference
+    p = pd.DataFrame(
+        {"day": days, "user": users}
+    ).drop_duplicates()
+    want = {}
+    for d in sorted(p["day"].unique()):
+        want[d] = p[(p["day"] >= d - 6) & (p["day"] <= d)]["user"].nunique()
+    got_map = {
+        int((b.to_datetime64() - base) / np.timedelta64(1, "D")): n
+        for b, n in zip(got["bucket"], got["n_distinct"])
+    }
+    assert got_map == want
+    assert got_map[30] == 2  # the isolated day sees only its own users

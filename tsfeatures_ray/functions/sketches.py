@@ -447,3 +447,59 @@ def exact_quantile(
         n = ds.count()
     k = max(1, int(np.ceil(q * n)))
     return exact_kth_smallest(ds, col, k, **kwargs)
+
+
+def rolling_distinct(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT rolling-window distinct count per day (WAU/MAU-style):
+    for every observed day d, the number of distinct ``value_col``
+    values in [d - window_days + 1, d]. Distinct counting is not
+    subtractable, so no sliding-subtract trick exists -- the exact
+    distributed shape is REPLICATION: the stream first collapses to
+    distinct (day, value) PAIRS per batch, each pair is replicated to
+    the ``window_days`` target days it contributes to (volume =
+    window x distinct-pairs, bounded and independent of row count),
+    and one exchange on the target day dedups + counts. Target days
+    with no own-day activity are dropped (offset-0 marker), matching
+    the per-observed-day SQL construction."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df[ts_col].astype("datetime64[us]").astype("int64") // day_us
+        )
+        pairs = pd.DataFrame({"day": day, "value": df[value_col]}).drop_duplicates()
+        n = len(pairs)
+        rep = pairs.iloc[np.repeat(np.arange(n), window_days)].reset_index(drop=True)
+        off = np.tile(np.arange(window_days, dtype=np.int64), n)
+        rep["target"] = rep["day"] + off
+        rep["own"] = (off == 0).astype(np.int8)
+        rep = rep.drop(columns=["day"])
+        rep["part"] = stable_part(rep["target"].to_numpy(), num_parts)
+        return rep
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        own_days = set(g.loc[g["own"] == 1, "target"].unique())
+        g = g[g["target"].isin(own_days)]
+        n = (
+            g.drop_duplicates(subset=["target", "value"])
+            .groupby("target", sort=False)["value"]
+            .size()
+        )
+        out = n.reset_index(name="n_distinct")
+        out["bucket"] = (out["target"] * day_us).astype("datetime64[us]")
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out[["bucket", "n_distinct"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
