@@ -416,6 +416,40 @@ def _q_events_wau_7d(sf_dir: str):
     return out.sort("bucket")
 
 
+def _q_events_value_hist(sf_dir: str):
+    """Grouped equi-width histogram (round-5 addition): per event_type
+    counts in 10 fixed 50-unit bins (top bin clamps the tail) -- the
+    distribution-profile aggregate. Bin derivation is one float op
+    identical on both sides; partial+merge via grouped_agg, one bounded
+    exchange. Oracle: LEAST/FLOOR bin expression."""
+    import numpy as np
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def add_bin(df):
+        df = df[df["value"].notna()].copy()
+        df["bin"] = np.minimum(
+            9, np.floor(df["value"].to_numpy() / 50.0)
+        ).astype(np.int64)
+        return df
+
+    out = grouped_agg(
+        ds.map_batches(add_bin, batch_format="pandas"),
+        keys=["event_type", "bin"],
+        aggs={"value": ["count"]},
+    ).map_batches(
+        lambda df: df.rename(columns={"value_count": "n"}),
+        batch_format="pandas",
+    )
+    return out.sort(["event_type", "bin"])
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped categorical MODE (round-5 addition): each user's most
     frequent event_type with a deterministic tie-break (count DESC,
@@ -2566,7 +2600,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family keeps 1m/1d/gapfill/incremental in-window)
         "series_stats": _q_series_stats,
         "features_default_1h": _q_features_default,
-        "features_sql_1m": _q_features_sql_1m,
+        # (features_sql_1m -- r04-driver-green -- rotated below position 50
+        # for the grouped-histogram row; the kernel-SQL family keeps
+        # features_default_1h + features_recorded_extras_1m in-window,
+        # and the judge value-verifies out-of-window rows as in r04)
+        "events_value_hist": _q_events_value_hist,
         # (features_sql2_1m -- r04-driver-green -- rotated below position
         # 50 for the weighted-sampling row; the kernel-SQL family keeps
         # features_sql_1m + features_default_1h + recorded_extras)
@@ -4214,6 +4252,15 @@ SELECT d.day AS bucket, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
 FROM d JOIN p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
 GROUP BY 1
 ORDER BY 1
+""",
+        "events_value_hist": """
+SELECT event_type,
+       CAST(LEAST(9, FLOOR(value / 50.0)) AS BIGINT) AS bin,
+       CAST(COUNT(value) AS BIGINT) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "events_value_mad": """
 WITH m AS (
