@@ -2446,6 +2446,52 @@ def _q_events_user_distinct_hll(sf_dir: str):
     return hll_distinct(ds, "value", group_col="user_id")
 
 
+def _q_orders_semi_bloom(sf_dir: str):
+    """Bloom-filter semi-join cascade (round-5 addition): same BUILDING-
+    segment orders aggregate as orders_semi_building, but the keeper set
+    is broadcast as a CONSTANT 128 KiB bloom bitmap (not the exact key
+    set) and survivors are exact-verified through the partitioned semi
+    join -- the scale path when the keeper-key cardinality outgrows
+    driver memory. Output (and oracle) identical to the exact semi join
+    by construction."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import bloom_semi_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    filtered = bloom_semi_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", how="semi"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)["o_totalprice"].agg(
+            ["sum", "size"]
+        )
+        return g.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+    partials = filtered.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", sort=False).agg(
+            total_price=("s", "sum"), n_orders=("n", "sum")
+        ).reset_index()
+        out["total_price"] = out["total_price"].round(4)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return partials.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -2815,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top3_by_cust": _q_orders_top3_by_cust,
         "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "orders_semi_building": _q_orders_semi_building,
+        "orders_semi_bloom": _q_orders_semi_bloom,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
@@ -4613,6 +4660,7 @@ FROM events e JOIN sess x ON e.user_id = x.s_user_id
 """,
         "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,
+        "orders_semi_bloom": orders_semi_building,
         "orders_anti_building": """
 SELECT o.o_orderpriority,
        ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,

@@ -1600,3 +1600,41 @@ def test_rolling_distinct_wau(ray_session):
     }
     assert got_map == want
     assert got_map[30] == 2  # the isolated day sees only its own users
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import bloom_semi_join
+
+    rng = np.random.RandomState(12)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 500, 400).astype(np.int64), "lv": rng.randn(400)}
+    )
+    right = pd.DataFrame({"k": np.arange(0, 500, 7).astype(np.int64)})
+    lds, rds = rd.from_pandas(left).repartition(5), rd.from_pandas(right)
+    member = left["k"].isin(set(right["k"]))
+    # tiny filter (256 bits, 2 hashes) -> high false-positive rate, so
+    # the exact-verify stage is genuinely exercised
+    for how, want_mask in (("semi", member), ("anti", ~member)):
+        got = bloom_semi_join(
+            lds, rds, left_on="k", how=how, num_bits=256, num_hashes=2
+        ).to_pandas()
+        want = left[want_mask]
+        assert sorted(zip(got["k"], got["lv"])) == sorted(
+            zip(want["k"], want["lv"])
+        ), how
+    # no-verify semi: superset of the true semi (false positives only)
+    loose = bloom_semi_join(
+        lds, rds, left_on="k", how="semi", num_bits=256, num_hashes=2,
+        exact_verify=False,
+    ).to_pandas()
+    assert set(zip(left[member]["k"], left[member]["lv"])) <= set(
+        zip(loose["k"], loose["lv"])
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="anti without exact_verify"):
+        bloom_semi_join(lds, rds, left_on="k", how="anti", exact_verify=False)

@@ -233,3 +233,115 @@ def partitioned_join(
         return restore_dtypes(out)
 
     return both.groupby(_PART).map_groups(merge, batch_format="pandas")
+
+
+def bloom_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "semi",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    exact_verify: bool = True,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Semi/anti join through a BLOOM-FILTER prefilter: the right side's
+    keys are folded into a fixed ``num_bits`` bitmap (two-level OR
+    reduce; partial bitmaps are batch-bounded at bits/8 bytes each),
+    the bitmap is broadcast ONCE via ``ray.put``, and the left side
+    drops every key the filter rejects in a stateless per-batch pass.
+
+    This is the scale alternative to ``broadcast_join``'s exact key SET
+    when the right side's distinct keys outgrow driver memory: the
+    broadcast payload is CONSTANT (128 KiB at the default 2^20 bits)
+    regardless of key cardinality. Bloom rejections are exact (no false
+    negatives); acceptances are probabilistic, so with
+    ``exact_verify=True`` (default) survivors go through the exact
+    ``partitioned_join`` semi/anti -- the filter then only PRUNES the
+    exchange volume and the result is exactly the semi/anti join. With
+    ``exact_verify=False`` the caller accepts the false-positive rate
+    ((1 - e^{-kn/m})^k) in exchange for skipping the exchange entirely.
+
+    Hash positions use the engine's shared avalanche hash under
+    ``num_hashes`` salts -- deterministic across processes and oracles.
+    """
+    from .sampling import knuth_hash32
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
+    right_on = right_on or left_on
+    nb = np.uint64(num_bits)
+    nbytes = num_bits // 8
+
+    def positions(keys: np.ndarray) -> list[np.ndarray]:
+        return [
+            (knuth_hash32(keys, salt=1000 + s) % nb).astype(np.int64)
+            for s in range(num_hashes)
+        ]
+
+    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(num_bits, dtype=bool)
+        for pos in positions(df[right_on].to_numpy()):
+            bits[pos] = True
+        return pd.DataFrame({"bm": [np.packbits(bits).tobytes()], "__g": [0]})
+
+    def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in g["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    bm_rows = (
+        right.select_columns([right_on])
+        .map_batches(build_partial, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(lambda d: or_merge(d), batch_format="pandas")
+        .take_all()
+    )  # exactly one 128 KiB row -- driver-bounded by construction
+    bits = np.unpackbits(
+        np.frombuffer(bm_rows[0]["bm"], dtype=np.uint8)
+    ).astype(bool)
+    bits_ref = ray.put(bits)
+
+    def bloom_filter(anti: bool):
+        # plain tasks, not a fixed actor pool: the bitmap read is a
+        # ZERO-COPY local object-store get per task (bool array), and a
+        # fixed pool would reserve CPUs even when two filter stages run
+        # in one small session (observed deadlock at num_cpus=4)
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bits_ref)
+            keys = df[left_on].to_numpy()
+            hit = np.ones(len(df), dtype=bool)
+            for pos in positions(keys):
+                hit &= b[pos]
+            # bloom-definite misses: exact non-members
+            return df[~hit] if anti else df[hit]
+
+        return fn
+
+    if how == "anti" and not exact_verify:
+        raise ValueError(
+            "anti without exact_verify would drop false-positive keys "
+            "that are NOT in the right side -- exact_verify is required"
+        )
+    filtered = left.map_batches(
+        bloom_filter(how == "anti" and not exact_verify),
+        batch_format="pandas",
+    )
+    if not exact_verify:
+        return filtered
+    if how == "anti":
+        # definite misses (pruned by the filter) are already exact
+        # non-members; the exact pass only has to re-check the HITS,
+        # then the two disjoint sets union
+        misses = left.map_batches(bloom_filter(True), batch_format="pandas")
+        verified = partitioned_join(
+            filtered, right.select_columns([right_on]), left_on=left_on,
+            right_on=right_on, how="anti", num_parts=num_parts,
+        )
+        return misses.union(verified)
+    return partitioned_join(
+        filtered, right.select_columns([right_on]), left_on=left_on,
+        right_on=right_on, how="semi", num_parts=num_parts,
+    )
