@@ -2492,6 +2492,59 @@ def _q_orders_semi_bloom(sf_dir: str):
     )
 
 
+def _q_docs_source_overlap(sf_dir: str):
+    """Cross-source BOILERPLATE audit (round-5 addition): md5 of each
+    doc's first 100 chars, reporting fingerprints shared by >= 2
+    distinct sources -- the shared-header/template statistic between
+    corpora (this synthetic corpus has no byte-identical full texts,
+    but 21 cross-source prefix groups). Per-batch (hash, source) count
+    partials, one hash-keyed exchange, per-group distinct-source + doc
+    counts. Oracle: md5(substr) GROUP BY with a HAVING over
+    COUNT(DISTINCT source). Both sides hash the same UTF-8 bytes: the
+    synthetic corpus is ASCII, so substr's 100 CHARS == 100 bytes."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(t[:100].encode("utf-8")).hexdigest()
+            for t in df["text"]
+        ]
+        out = pd.DataFrame(
+            {"content_hash": h, "source": df["source"], "n_docs": 1}
+        )
+        out = out.groupby(["content_hash", "source"], sort=False).size()
+        out = out.rename("n_docs").reset_index()
+        out["__part"] = stable_part(out["content_hash"].to_numpy(), num_parts)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("content_hash", sort=False).agg(
+            n_sources=("source", "nunique"), n_docs=("n_docs", "sum")
+        )
+        m = m[m["n_sources"] >= 2].reset_index()
+        m["n_sources"] = m["n_sources"].astype("int64")
+        m["n_docs"] = m["n_docs"].astype("int64")
+        return m
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort("content_hash")
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -2862,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "orders_semi_building": _q_orders_semi_building,
         "orders_semi_bloom": _q_orders_semi_bloom,
+        "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
         "orders_revenue_by_priority": _q_orders_revenue_by_priority,
@@ -4661,6 +4715,18 @@ FROM events e JOIN sess x ON e.user_id = x.s_user_id
         "events_hopping_1h30m": events_hopping,
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "docs_source_overlap": """
+WITH h AS (
+    SELECT md5(substr(text, 1, 100)) AS content_hash, source FROM documents
+)
+SELECT content_hash,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h
+GROUP BY 1
+HAVING COUNT(DISTINCT source) >= 2
+ORDER BY 1
+""",
         "orders_anti_building": """
 SELECT o.o_orderpriority,
        ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE) + 0.0000001, 4) AS total_price,
