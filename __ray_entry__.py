@@ -2879,6 +2879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_gapfill_1h": _q_rollup_gapfill("1h"),
         "rollup_incremental_1h": _q_rollup_incremental_1h,
         "features_sql2_1m": _q_features_sql2_1m,
+        "features_sql_1m": _q_features_sql_1m,
+        "media_features": _q_media_features,
         "events_rollup_1d": _q_events_rollup("1d"),
         "series_stats_wide": _q_series_stats_wide,
         "embeddings_cosine_dups_lsh": _q_embeddings_cosine_dups_lsh,
