@@ -1638,3 +1638,26 @@ def test_bloom_semi_join_exact(ray_session):
 
     with _pytest.raises(ValueError, match="anti without exact_verify"):
         bloom_semi_join(lds, rds, left_on="k", how="anti", exact_verify=False)
+
+
+def test_theil_sen_giant_path_equals_cohort_path(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import theil_sen
+
+    rng = np.random.RandomState(31)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 2500  # above the GIANT=2048 routing threshold
+    t = base + np.arange(n) * np.timedelta64(60, "s")
+    y = 0.7 * np.arange(n) + rng.randn(n) * 5
+    df = pd.DataFrame({"conv_id": "g", "bucket": t, "token_len_sum": y})
+    got = theil_sen(rd.from_pandas(df), x_scale=60.0).to_pandas()
+    # brute full-pair median with np.quantile's interpolation
+    iu, ju = np.triu_indices(n, k=1)
+    x_us = t.astype("int64")
+    sl = (y[ju] - y[iu]) / ((x_us[ju] - x_us[iu]) / 1e6 / 60.0)
+    want = float(np.quantile(sl, 0.5))
+    assert got.loc[0, "n"] == n
+    assert got.loc[0, "ts_slope"] == want
