@@ -151,3 +151,49 @@ def test_dedup_components_transitive_cluster(ray_session):
     # keep-rule: doc_id == component retains exactly one doc per cluster
     keep = got[got["doc_id"] == got["component"]]
     assert list(keep["doc_id"]) == [1, 4]
+
+
+def test_dedup_components_minhash_scale_path(ray_session):
+    """The MinHash-LSH pair generator plugs into the same component
+    machinery; on near-identical duplicates (jaccard ~0.98, far above
+    the banding recall floor) it must produce the same clusters as the
+    exact path."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.graph import dedup_components
+
+    rng = np.random.RandomState(2)
+    base = "".join(
+        chr(ord("a") + c) if c < 26 else " " for c in rng.randint(0, 30, size=900)
+    )
+
+    def tweak(text, i, seed):
+        r = np.random.RandomState(seed)
+        chars = list(text)
+        chars[i] = chr(ord("a") + r.randint(26))
+        return "".join(chars)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                base, tweak(base, 100, 1), tweak(base, 700, 2),
+                "completely different " * 40,
+                "another unrelated text " * 40,
+                base,
+            ],
+        }
+    )
+    exact = (
+        dedup_components(rd.from_pandas(docs), threshold=0.8)
+        .to_pandas().sort_values("doc_id")["component"].tolist()
+    )
+    mh = (
+        dedup_components(rd.from_pandas(docs), threshold=0.8, method="minhash")
+        .to_pandas().sort_values("doc_id")["component"].tolist()
+    )
+    assert exact == [0, 0, 0, 3, 4, 0]
+    assert mh == exact
+
+    with pytest.raises(ValueError, match="method"):
+        dedup_components(rd.from_pandas(docs), method="simhashish")

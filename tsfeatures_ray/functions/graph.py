@@ -225,26 +225,40 @@ def dedup_components(
     text_col: str = "text",
     k: int = 5,
     num_parts: int | None = None,
+    method: str = "jaccard",
 ) -> "ray.data.Dataset":
-    """Duplicate-CLUSTER assignment for every document: exact n-gram
-    Jaccard near-dup pairs (``jaccard_near_dups``, the recall-1.0
-    oracle path -- swap in the MinHash-LSH pair generator at scale) ->
-    connected components -> one row per doc with ``component`` = min doc
-    id of its duplicate cluster (singletons map to themselves).
+    """Duplicate-CLUSTER assignment for every document: near-dup pairs
+    -> connected components -> one row per doc with ``component`` = min
+    doc id of its duplicate cluster (singletons map to themselves).
+
+    ``method="jaccard"`` (default) generates pairs with the EXACT
+    all-pairs n-gram Jaccard (``jaccard_near_dups``, recall 1.0 -- the
+    oracle path, O(N^2) compute); ``method="minhash"`` uses the banded
+    MinHash-LSH pipeline (``minhash_near_dups_distributed``, the 100-TB
+    scale path: precision 1.0 via exact verify, recall pytest-pinned
+    >= 0.9 at the default banding).
 
     ``component`` IS the keep-decision: keeping rows where
     ``doc_id == component`` retains exactly one canonical doc per
     transitive duplicate cluster, which pairwise purging cannot express
     (A~B, B~C with no A~C edge must still collapse to one survivor).
     """
-    from .dedup import jaccard_near_dups
+    from .dedup import jaccard_near_dups, minhash_near_dups_distributed
     from .join import partitioned_join
 
     if num_parts is None:
         num_parts = default_num_parts()
-    pairs = jaccard_near_dups(
-        ds, threshold=threshold, id_col=id_col, text_col=text_col, k=k
-    )
+    if method == "jaccard":
+        pairs = jaccard_near_dups(
+            ds, threshold=threshold, id_col=id_col, text_col=text_col, k=k
+        )
+    elif method == "minhash":
+        pairs = minhash_near_dups_distributed(
+            ds, threshold=threshold, id_col=id_col, text_col=text_col, k=k,
+            num_parts=num_parts,
+        )
+    else:
+        raise ValueError(f"method must be 'jaccard' or 'minhash', got {method!r}")
     comp = connected_components(
         pairs.drop_columns(["jaccard"]),
         src="id_a",
