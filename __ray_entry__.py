@@ -2545,6 +2545,58 @@ def _q_docs_source_overlap(sf_dir: str):
     return out.sort("content_hash")
 
 
+def _q_turns_sessions(sf_dir: str):
+    """Transcript sessionization (round-5 addition): split each
+    conversation into sub-sessions at >5-minute silences and aggregate
+    per session -- the transcripts-native reuse of the generic
+    gap-sessionizer the events table already gates (same operator, new
+    key/time/value columns: the operator surface is table-agnostic).
+    Oracle: the standard lag/gap-break window construction."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import sessionize
+    from tsfeatures_ray.sources.synth import transcripts_path
+
+    ds = rd.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "ts", "text"]
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"],
+                "ts": df["ts"],
+                "token_len": df["text"].str.len().astype("float64"),
+            }
+        )
+
+    out = sessionize(
+        ds.map_batches(derive, batch_format="pandas"),
+        key="conv_id", ts="ts", order="turn_idx", value="token_len",
+        gap_us=5 * 60 * 1_000_000,
+    )
+    return out.sort(["conv_id", "session_idx"])
+
+
+def _q_events_top_paths(sf_dir: str):
+    """Top-20 consecutive event-type triples across user streams
+    (round-5 addition): the path-analysis statistic. One key exchange,
+    per-partition vectorized shift counting, tiny fold with
+    deterministic (count DESC, path ASC) ties. Oracle: double-lag
+    window + QUALIFY-free ORDER/LIMIT."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import top_event_paths
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return top_event_paths(ds, k=20)
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -2917,6 +2969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_rolling3_1h": _q_rollup_rolling3_1h,
         "orders_semi_building": _q_orders_semi_building,
         "orders_semi_bloom": _q_orders_semi_bloom,
+        "turns_sessions": _q_turns_sessions,
+        "events_top_paths": _q_events_top_paths,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -4715,8 +4769,45 @@ FROM events e JOIN sess x ON e.user_id = x.s_user_id
   AND e.ts BETWEEN x.session_start AND x.session_end
 """,
         "events_hopping_1h30m": events_hopping,
+        "turns_sessions": f"""
+WITH o AS (
+    SELECT conv_id, turn_idx, ts,
+           CAST(length(text) AS DOUBLE) AS token_len,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 300000000
+                THEN 1 ELSE 0 END AS brk
+    FROM read_parquet('{path}')
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT conv_id, CAST(sid AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(token_len) AS DOUBLE) + 0.0000001, 6) AS value_sum
+FROM s GROUP BY conv_id, sid
+ORDER BY 1, 2
+""",
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "events_top_paths": """
+WITH o AS (
+    SELECT user_id, event_type AS t3,
+           lag(event_type, 1) OVER w AS t2,
+           lag(event_type, 2) OVER w AS t1,
+           lag(user_id, 2) OVER w AS u1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE u1 = user_id
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+""",
         "docs_source_overlap": """
 WITH h AS (
     SELECT md5(substr(text, 1, 100)) AS content_hash, source FROM documents

@@ -1661,3 +1661,36 @@ def test_theil_sen_giant_path_equals_cohort_path(ray_session):
     want = float(np.quantile(sl, 0.5))
     assert got.loc[0, "n"] == n
     assert got.loc[0, "ts_slope"] == want
+
+
+def test_top_event_paths(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import top_event_paths
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # user 1: a b c a b c  -> paths abc, bca, cab, abc
+    for i, t in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((1, t, base + np.timedelta64(i, "m"), i))
+    # user 2: a b c       -> abc
+    for i, t in enumerate(["a", "b", "c"]):
+        rows.append((2, t, base + np.timedelta64(i, "m"), 10 + i))
+    # user 3: single event -> no paths, and no cross-user leakage
+    rows.append((3, "z", base, 20))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    got = top_event_paths(
+        rd.from_pandas(df).repartition(3), k=10
+    ).to_pandas()
+    got_map = {
+        (r["t1"], r["t2"], r["t3"]): r["n"] for _, r in got.iterrows()
+    }
+    assert got_map == {
+        ("a", "b", "c"): 3,
+        ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1,
+    }
+    # deterministic order: count DESC then lexicographic
+    assert list(got.iloc[0][["t1", "t2", "t3"]]) == ["a", "b", "c"]

@@ -145,3 +145,74 @@ def cohort_retention(
         .groupby(["cohort_day", "day_offset"])
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def top_event_paths(
+    ds: "ray.data.Dataset",
+    k: int = 20,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    path_len: int = 3,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k most frequent consecutive event-type SEQUENCES of length
+    ``path_len`` across all per-key streams (the path-analysis /
+    navigation-pattern statistic). One key-hash exchange; each partition
+    reduces to its distinct path counts (vectorized shift comparison,
+    no per-key loop), a tiny fold sums and takes the global top-k with
+    deterministic ties (count DESC, then path lexicographic)."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df[key].to_numpy(), num_parts))
+
+    def count_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        cols = {}
+        ok = np.ones(len(g), dtype=bool)
+        for j in range(path_len):
+            shifted_key = g[key].shift(path_len - 1 - j)
+            cols[f"t{j+1}"] = g[type_col].shift(path_len - 1 - j)
+            ok &= (shifted_key == g[key]).to_numpy()
+        steps = pd.DataFrame(cols)[ok]
+        if len(steps) == 0:
+            out = pd.DataFrame(
+                {f"t{j+1}": pd.Series([], dtype="object")
+                 for j in range(path_len)}
+            )
+            out["n"] = pd.Series([], dtype="int64")
+            out["__g"] = pd.Series([], dtype="int64")
+            return out
+        out = (
+            steps.groupby(list(steps.columns), sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["__g"] = 0
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tcols = [c for c in g.columns if c.startswith("t")]
+        m = g.groupby(tcols, sort=False)["n"].sum().reset_index()
+        m = m.sort_values(
+            ["n"] + tcols, ascending=[False] + [True] * len(tcols),
+            kind="mergesort",
+        ).head(k)
+        m["n"] = m["n"].astype(np.int64)
+        return m.reset_index(drop=True)
+
+    return (
+        ds.select_columns([key, type_col, ts_col, order_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(count_paths, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(lambda d: fold(d.drop(columns=["__g"])),
+                    batch_format="pandas")
+    )
