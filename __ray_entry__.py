@@ -2597,6 +2597,38 @@ def _q_events_top_paths(sf_dir: str):
     return top_event_paths(ds, k=20)
 
 
+def _q_docs_hybrid_rrf(sf_dir: str):
+    """Hybrid lexical+dense retrieval via reciprocal rank fusion
+    (round-5 addition): BM25 top-50 for a fixed query fused with cosine
+    top-50 for a fixed query vector by rrf = sum 1/(60+rank) -- the
+    standard calibration-free hybrid-search combiner. Both ranks are
+    assigned over 6dp-ROUNDED scores with (score DESC, id) total order,
+    so SQL row_number reproduces them exactly; the k-bounded lists meet
+    in a full outer partitioned join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import hybrid_rrf
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qvec = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 7)],
+        )
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    return hybrid_rrf(docs, emb, "spark join merge window", qvec)
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -2971,6 +3003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_bloom": _q_orders_semi_bloom,
         "turns_sessions": _q_turns_sessions,
         "events_top_paths": _q_events_top_paths,
+        "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -4793,6 +4826,43 @@ ORDER BY 1, 2
 """,
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "docs_hybrid_rrf": """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ('spark', 'join', 'merge', 'window') GROUP BY 1, 2),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * dl.dl / (st.tot / st.n))))
+                  + 0.0000001, 6) AS s
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY 1),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY s DESC, doc_id) AS r
+       FROM sc QUALIFY r <= 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 7),
+cs AS (SELECT e.vec_id AS doc_id,
+              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.qe) + 0.0000001, 6) AS s
+       FROM embeddings e CROSS JOIN q),
+vec AS (SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM cs QUALIFY r <= 50)
+SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + bm.r), 0)
+             + COALESCE(1.0 / (60 + vec.r), 0) + 0.0000001, 6) AS rrf
+FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+ORDER BY rrf DESC, 1
+LIMIT 20
+""",
         "events_top_paths": """
 WITH o AS (
     SELECT user_id, event_type AS t3,

@@ -1694,3 +1694,59 @@ def test_top_event_paths(ray_session):
     }
     # deterministic order: count DESC then lexicographic
     assert list(got.iloc[0][["t1", "t2", "t3"]]) == ["a", "b", "c"]
+
+
+def test_hybrid_rrf(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import hybrid_rrf
+
+    # 6 docs; lexical relevance favors 0,1; vector favors 2,3 (and 1)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "spark join merge window spark join",   # strong lexical
+                "spark join other words here",          # medium lexical
+                "nothing relevant at all",
+                "completely unrelated text",
+                "merge window",                         # weak lexical
+                "filler filler filler",
+            ],
+        }
+    )
+    qv = np.array([1.0, 0.0, 0.0])
+    vecs = [
+        [0.0, 1.0, 0.0],   # 0: orthogonal
+        [0.7, 0.7, 0.0],   # 1: medium
+        [1.0, 0.0, 0.0],   # 2: perfect
+        [0.9, 0.1, 0.0],   # 3: high
+        [0.0, 0.0, 1.0],   # 4: orthogonal
+        [-1.0, 0.0, 0.0],  # 5: opposite
+    ]
+    emb = pd.DataFrame({"vec_id": np.arange(6, dtype=np.int64),
+                        "embedding": vecs})
+    got = hybrid_rrf(
+        rd.from_pandas(docs), rd.from_pandas(emb),
+        "spark join merge window", qv, k_lists=3, k_out=6,
+    ).to_pandas()
+    # brute reference
+    # BM25 length normalization puts the 2-token doc 4 above the
+    # 5-token doc 1 (same tf/idf, shorter doc wins)
+    bm_rank = {0: 1, 4: 2, 1: 3}       # lexical top-3
+    vec_rank = {2: 1, 3: 2, 1: 3}      # cosine top-3
+    want = {}
+    for d in set(bm_rank) | set(vec_rank):
+        want[d] = (1 / (60 + bm_rank[d]) if d in bm_rank else 0) + (
+            1 / (60 + vec_rank[d]) if d in vec_rank else 0
+        )
+    got_map = dict(zip(got["doc_id"], got["rrf"]))
+    assert set(got_map) == set(want)
+    for d, v in want.items():
+        v = np.sign(v + 1e-7) * np.floor(abs(v + 1e-7) * 1e6 + 0.5) / 1e6
+        assert abs(got_map[d] - v) < 1e-12, d
+    # doc 1 appears in BOTH lists (rank 3 + rank 3) -> fused above the
+    # lexical-only doc 4 at rank 2
+    assert got_map[1] > got_map[4]

@@ -795,3 +795,106 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(within_cluster, batch_format="pandas")
     )
+
+
+def hybrid_rrf(
+    docs_ds: "ray.data.Dataset",
+    emb_ds: "ray.data.Dataset",
+    query_text: str,
+    query_vec: np.ndarray,
+    k_lists: int = 50,
+    k_out: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack et al. 2009):
+    fuse a lexical BM25 top-``k_lists`` list with a dense cosine
+    top-``k_lists`` list into one ranking via
+    ``rrf = sum over lists of 1/(rrf_k + rank)`` -- the standard
+    score-free hybrid-search combiner (ranks only, so the two score
+    scales never need calibration). Docs present in only one list get
+    that list's contribution alone, exactly the retrieved-lists RRF
+    definition.
+
+    Conformance-grade construction: BOTH ranks are assigned over the
+    6dp-ROUNDED scores with (score DESC, id ASC) total order -- matching
+    a SQL ``row_number`` over the rounded score, so an engine-vs-oracle
+    score ULP can never flip a rank. The two k-bounded lists meet in a
+    FULL OUTER partitioned join; everything upstream is the existing
+    distributed machinery (bm25_score's pruned top-k pass, the
+    broadcast-query cosine scorer)."""
+    from ..stages.derive import default_num_parts  # noqa: F401 (doc parity)
+    from .grouped import grouped_top_k
+    from .join import partitioned_join
+    from .text import bm25_score
+
+    def _round6(v: np.ndarray) -> np.ndarray:
+        v = v + 1e-7
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    bm = bm25_score(docs_ds, query_text)
+
+    def bm_round(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col], "s": _round6(df["bm25"].to_numpy()),
+             "__g": 0}
+        )
+
+    bm_top = grouped_top_k(
+        bm.map_batches(bm_round, batch_format="pandas"),
+        "__g", "s", k=k_lists, descending=True, tie_cols=[id_col],
+    )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def cos_score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        m = _to_matrix(df[vec_col].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ qv
+        return pd.DataFrame(
+            {id_col: df[vec_id_col], "s": _round6(sims), "__g": 0}
+        )
+
+    cos_top = grouped_top_k(
+        emb_ds.map_batches(cos_score, batch_format="pandas"),
+        "__g", "s", k=k_lists, descending=True, tie_cols=[id_col],
+    )
+
+    def slim(rank_name: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {id_col: df[id_col], rank_name: df["rk"].astype(np.int64)}
+            )
+
+        return fn
+
+    import pyarrow as pa
+
+    joined = partitioned_join(
+        bm_top.map_batches(slim("r_bm25"), batch_format="pandas"),
+        cos_top.map_batches(slim("r_vec"), batch_format="pandas"),
+        left_on=id_col,
+        how="full",
+        left_schema=pa.schema([(id_col, pa.int64()), ("r_bm25", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("r_vec", pa.int64())]),
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        rb = df["r_bm25"].to_numpy(np.float64)
+        rv = df["r_vec"].to_numpy(np.float64)
+        c = np.where(np.isnan(rb), 0.0, 1.0 / (rrf_k + rb)) + np.where(
+            np.isnan(rv), 0.0, 1.0 / (rrf_k + rv)
+        )
+        return pd.DataFrame({id_col: df[id_col], "rrf": _round6(c)})
+
+    return (
+        joined.map_batches(fuse, batch_format="pandas")
+        .sort(["rrf", id_col], descending=[True, False])
+        .limit(k_out)
+    )
