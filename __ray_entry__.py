@@ -2629,6 +2629,38 @@ def _q_docs_hybrid_rrf(sf_dir: str):
     return hybrid_rrf(docs, emb, "spark join merge window", qvec)
 
 
+def _q_embeddings_knn_filtered(sf_dir: str):
+    """FILTERED vector search (round-5 addition): exact cosine top-10
+    restricted to a metadata predicate (label = 2) -- the
+    pre-filter-then-score shape every production vector store needs
+    (the predicate pushes down BEFORE scoring, so selectivity directly
+    cuts compute; scale path composes the same filter with IVF).
+    Oracle: the knn SQL with the WHERE clause."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import brute_knn
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 4)],
+    )
+    queries = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    ).filter(expr="label == 2")
+    out = brute_knn(ds.select_columns(["vec_id", "embedding"]), queries, k=10)
+    v = out["cosine"].to_numpy() + 1e-7  # same nudge+half-away as the oracle
+    out["cosine"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -3004,6 +3036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_sessions": _q_turns_sessions,
         "events_top_paths": _q_events_top_paths,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
+        "embeddings_knn_filtered": _q_embeddings_knn_filtered,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -4826,6 +4859,27 @@ ORDER BY 1, 2
 """,
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "embeddings_knn_filtered": """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 + 0.0000001, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label = 2
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
         "docs_hybrid_rrf": """
 WITH toks AS (SELECT doc_id,
                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
