@@ -2661,6 +2661,149 @@ def _q_embeddings_knn_filtered(sf_dir: str):
     return out[["query_id", "vec_id", "cosine", "rank"]]
 
 
+def _q_docs_top_tokens_cms(sf_dir: str):
+    """Count-min sketch point estimates (round-5 addition): the
+    mergeable fixed-size frequency summary (depth 4 x width 65536;
+    est >= true, overshoot <= 2N/width w.h.p.) queried at the exact
+    top-50 tokens. At this width the sketch is collision-free on this
+    corpus, so the estimates equal the exact counts and the EXACT
+    top-tokens SQL is the oracle -- the determinism argument of the
+    minhash/simhash gates (every hash is the fixed-key siphash). The
+    epsilon-bound itself is pinned by pytest on an undersized sketch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import cms_estimate, count_min_sketch
+    from tsfeatures_ray.functions.text import top_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    sketch = count_min_sketch(ds)
+    cand = top_tokens(ds, k=50)  # 50 rows -- bounded
+    if not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas()
+    out = pd.DataFrame(
+        {
+            "token": cand["token"],
+            "cnt": cms_estimate(sketch, cand["token"]).astype("int64"),
+        }
+    )
+    return out.sort_values(["cnt", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def _q_events_burstiness(sf_dir: str):
+    """Inter-event-time burstiness per user (round-5 addition):
+    B = (sigma - mu)/(sigma + mu) over consecutive-event gaps (Goh &
+    Barabasi 2008; -1 = periodic, 0 = Poisson, ->1 = bursty). One key
+    exchange, vectorized lag gaps + grouped sample moments. Oracle:
+    lag window + STDDEV_SAMP/AVG with the same n>=3 / denominator
+    guards."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df["user_id"].to_numpy(), num_parts))
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = (
+            g["ts"].astype("datetime64[us]").astype("int64").diff().astype("float64")
+        )
+        gap[~same] = np.nan
+        g = g.assign(_gap=gap)
+        grp = g.groupby("user_id", sort=False)["_gap"]
+        n = grp.count()
+        mu = grp.mean()
+        sd = grp.std()  # ddof=1
+        b = np.where(
+            (n >= 3) & ((sd + mu) > 0), (sd - mu) / (sd + mu), np.nan
+        )
+        return pd.DataFrame(
+            {
+                "user_id": n.index,
+                "n_gaps": n.to_numpy(np.int64),
+                "burstiness": b,
+            }
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(burst, batch_format="pandas")
+    )
+    return _round_floats(out.sort("user_id"), 6)
+
+
+def _q_events_type_entropy_rate(sf_dir: str):
+    """Markov conditional entropy of the event-type process (round-5
+    addition): H(next|prev) = -sum p(a,b) ln p(b|a) over consecutive
+    per-user transitions -- the predictability statistic of the event
+    stream (0 = deterministic chains). Computed from the bounded
+    transition-count table (one key exchange + |types|^2 fold). Oracle:
+    lag counts + the same log arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import top_event_paths  # noqa: F401
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df["user_id"].to_numpy(), num_parts))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        out = pd.DataFrame(
+            {"a": g["event_type"].shift()[same], "b": g["event_type"][same]}
+        )
+        out = out.groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        out["__g"] = 0
+        return out
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        total = m["n"].sum()
+        row = m.groupby("a", sort=False)["n"].transform("sum")
+        p_ab = m["n"].to_numpy(np.float64) / total
+        p_b_given_a = m["n"].to_numpy(np.float64) / row.to_numpy(np.float64)
+        h = float(-(p_ab * np.log(p_b_given_a)).sum())
+        return pd.DataFrame(
+            {"n_transitions": np.array([total], dtype=np.int64),
+             "entropy_rate": [h]}
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(
+            lambda d: entropy(d.drop(columns=["__g"])), batch_format="pandas"
+        )
+    )
+    return _round_floats(out, 6)
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -3037,6 +3180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": _q_events_top_paths,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "embeddings_knn_filtered": _q_embeddings_knn_filtered,
+        "docs_top_tokens_cms": _q_docs_top_tokens_cms,
+        "events_burstiness": _q_events_burstiness,
+        "events_type_entropy_rate": _q_events_type_entropy_rate,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -4859,6 +5005,51 @@ ORDER BY 1, 2
 """,
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "events_burstiness": """
+WITH o AS (
+    SELECT user_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS DOUBLE) AS gap
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CASE WHEN COUNT(gap) >= 3
+                 AND STDDEV_SAMP(gap) + AVG(gap) > 0
+            THEN ROUND((STDDEV_SAMP(gap) - AVG(gap))
+                       / (STDDEV_SAMP(gap) + AVG(gap)) + 0.0000001, 6)
+            ELSE NULL END AS burstiness
+FROM o
+GROUP BY 1
+ORDER BY 1
+""",
+        "events_type_entropy_rate": """
+WITH o AS (
+    SELECT event_type AS b,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS a
+    FROM events
+),
+c AS (SELECT a, b, COUNT(*) AS n FROM o WHERE a IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+r AS (SELECT a, CAST(SUM(n) AS DOUBLE) AS row_n FROM c GROUP BY 1)
+SELECT CAST(t.total AS BIGINT) AS n_transitions,
+       ROUND(-SUM((c.n / t.total) * LN(c.n / r.row_n)) + 0.0000001, 6)
+           AS entropy_rate
+FROM c JOIN r USING (a) CROSS JOIN t
+GROUP BY 1
+""",
+        "docs_top_tokens_cms": """
+SELECT token, cnt FROM (
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+          FROM documents)
+    GROUP BY 1
+)
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
         "embeddings_knn_filtered": """
 WITH q AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

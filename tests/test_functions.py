@@ -1750,3 +1750,49 @@ def test_hybrid_rrf(ray_session):
     # doc 1 appears in BOTH lists (rank 3 + rank 3) -> fused above the
     # lexical-only doc 4 at rank 2
     assert got_map[1] > got_map[4]
+
+
+def test_count_min_sketch_bounds_and_merge(ray_session):
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import cms_estimate, count_min_sketch
+
+    rng = np.random.RandomState(14)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    probs = 1.0 / np.arange(1, 301)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 60), p=probs))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"text": texts})
+    # the engine tokenizer is [a-z]+ (splits w007 into 'w'); build the
+    # truth with the same tokenizer
+    true = Counter()
+    for t in texts:
+        true.update(re.findall(r"[a-z]+", t.lower()))
+    N = sum(true.values())
+
+    # deliberately undersized sketch -> collisions happen, bounds hold
+    sk = count_min_sketch(rd.from_pandas(df).repartition(5), width=64, depth=4)
+    toks = list(true)
+    est = cms_estimate(sk, toks)
+    tv = np.array([true[t] for t in toks])
+    # one-sided: NEVER undercounts
+    assert (est >= tv).all()
+    # epsilon bound est - true <= 2N/width holds w.p. 1-(1/16) per token;
+    # assert the failure fraction stays far below a generous 20%
+    eps = 2 * N / 64
+    assert (est - tv > eps).mean() < 0.2
+    # every row's total equals N (counter conservation)
+    assert (sk.sum(axis=1) == N).all()
+
+    # mergeable by addition: sketch(full) == sketch(half1) + sketch(half2)
+    sk1 = count_min_sketch(rd.from_pandas(df.iloc[:60]), width=64, depth=4)
+    sk2 = count_min_sketch(rd.from_pandas(df.iloc[60:]), width=64, depth=4)
+    assert (sk == sk1 + sk2).all()

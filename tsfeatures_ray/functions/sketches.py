@@ -14,6 +14,8 @@ carries 2^p bytes per (group, batch) regardless of row count.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -503,3 +505,73 @@ def rolling_distinct(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _cms_hash_positions(tokens: np.ndarray, depth: int, width: int):
+    """Deterministic per-row hash positions: pandas' fixed-key siphash
+    salted by row index (same family as every other engine hash)."""
+    out = []
+    for d in range(depth):
+        salted = np.char.add(np.asarray(tokens, dtype=str), f"\x1f{d}")
+        h = pd.util.hash_array(salted.astype(object)) % np.uint64(width)
+        out.append(h.astype(np.int64))
+    return out
+
+
+def count_min_sketch(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 16,
+    num_parts: int | None = None,
+) -> np.ndarray:
+    """Build a corpus-wide COUNT-MIN sketch of [a-z]+ token frequencies:
+    a (depth x width) int64 counter matrix, mergeable by ADDITION --
+    the fixed-size frequency summary for unbounded vocabularies
+    (Cormode & Muthukrishnan 2005). Per-batch partial matrices reduce by
+    sum through one single-group exchange; only depth x width x 8 bytes
+    ever move per batch regardless of vocabulary.
+
+    Guarantee (one-sided, opposite of Misra-Gries): est >= true, and
+    est - true <= 2N/width with probability 1 - (1/2)^depth. Query with
+    ``cms_estimate``. Returns the matrix (driver-held: it IS the
+    bounded summary object, like a trained centroid table)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    rx = re.compile(r"[a-z]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df[text_col]:
+            toks.extend(rx.findall(t.lower()))
+        mat = np.zeros((depth, width), dtype=np.int64)
+        if toks:
+            arr = np.asarray(toks)
+            uniq, cnt = np.unique(arr, return_counts=True)
+            for d, pos in enumerate(_cms_hash_positions(uniq, depth, width)):
+                np.add.at(mat[d], pos, cnt)
+        return pd.DataFrame({"m": [mat.tobytes()], "__g": [0]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for b in g["m"]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pd.DataFrame({"m": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(lambda d: merge(d), batch_format="pandas")
+        .take_all()
+    )
+    return np.frombuffer(rows[0]["m"], dtype=np.int64).reshape(depth, width)
+
+
+def cms_estimate(sketch: np.ndarray, tokens) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for ``tokens``."""
+    depth, width = sketch.shape
+    toks = np.asarray(list(tokens), dtype=str)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, pos in enumerate(_cms_hash_positions(toks, depth, width)):
+        est = np.minimum(est, sketch[d][pos])
+    return est
