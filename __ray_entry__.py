@@ -2758,7 +2758,6 @@ def _q_events_type_entropy_rate(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    from tsfeatures_ray.functions.events import top_event_paths  # noqa: F401
     from tsfeatures_ray.stages.derive import default_num_parts, stable_part
 
     num_parts = default_num_parts()
@@ -2802,6 +2801,25 @@ def _q_events_type_entropy_rate(sf_dir: str):
         )
     )
     return _round_floats(out, 6)
+
+
+def _q_events_session_lift(sf_dir: str):
+    """Session co-occurrence lift (round-5 addition): market-basket
+    analysis over 30-min gap-sessions -- for each unordered event-type
+    pair, p(ab)/(p(a)p(b)) over sessions. One key exchange (sessions
+    are per-user, pairs expand in-partition over tiny per-session type
+    sets), |types|^2 fold. Oracle: the sessionize CTE + distinct-set
+    self-join."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import session_cooccurrence
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = session_cooccurrence(ds)
+    return _round_floats(out.sort(["type_a", "type_b"]), 6)
 
 
 def _q_orders_semi_building(sf_dir: str):
@@ -3183,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens_cms": _q_docs_top_tokens_cms,
         "events_burstiness": _q_events_burstiness,
         "events_type_entropy_rate": _q_events_type_entropy_rate,
+        "events_session_lift": _q_events_session_lift,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -5005,6 +5024,39 @@ ORDER BY 1, 2
 """,
         "orders_semi_building": orders_semi_building,
         "orders_semi_bloom": orders_semi_building,
+        "events_session_lift": """
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+),
+st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+        FROM (SELECT DISTINCT user_id, sid FROM st)),
+singles AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n_t FROM st GROUP BY 1),
+prs AS (
+    SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_ab
+    FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+                        AND a.t < b.t
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_sessions_ab,
+       ROUND((p.n_ab / tot.n) / ((sa.n_t / tot.n) * (sb.n_t / tot.n))
+             + 0.0000001, 6) AS lift
+FROM prs p
+JOIN singles sa ON sa.t = p.type_a
+JOIN singles sb ON sb.t = p.type_b
+CROSS JOIN tot
+ORDER BY 1, 2
+""",
         "events_burstiness": """
 WITH o AS (
     SELECT user_id,

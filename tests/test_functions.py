@@ -1796,3 +1796,33 @@ def test_count_min_sketch_bounds_and_merge(ray_session):
     sk1 = count_min_sketch(rd.from_pandas(df.iloc[:60]), width=64, depth=4)
     sk2 = count_min_sketch(rd.from_pandas(df.iloc[60:]), width=64, depth=4)
     assert (sk == sk1 + sk2).all()
+
+
+def test_session_cooccurrence_lift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import session_cooccurrence
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # user 1, session 1: {a, b}; session 2 (after 2h gap): {a}
+    for i, t in enumerate(["a", "b", "a"]):
+        rows.append((1, t, base + np.timedelta64(i, "m"), i))
+    rows.append((1, "a", base + np.timedelta64(3, "h"), 9))
+    # user 2, one session: {a, b, c} (b appears twice -> still one set)
+    for i, t in enumerate(["a", "b", "c", "b"]):
+        rows.append((2, t, base + np.timedelta64(i, "m"), 20 + i))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    got = (
+        session_cooccurrence(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["type_a", "type_b"])
+    )
+    # 3 sessions total; a in 3, b in 2, c in 1; ab in 2, ac in 1, bc in 1
+    n = 3
+    assert got.loc[("a", "b"), "n_sessions_ab"] == 2
+    assert abs(got.loc[("a", "b"), "lift"] - (2 / n) / ((3 / n) * (2 / n))) < 1e-12
+    assert got.loc[("a", "c"), "n_sessions_ab"] == 1
+    assert abs(got.loc[("b", "c"), "lift"] - (1 / n) / ((2 / n) * (1 / n))) < 1e-12

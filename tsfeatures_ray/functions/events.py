@@ -216,3 +216,100 @@ def top_event_paths(
         .map_groups(lambda d: fold(d.drop(columns=["__g"])),
                     batch_format="pandas")
     )
+
+
+def session_cooccurrence(
+    ds: "ray.data.Dataset",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Market-basket analysis over GAP-SESSIONS: for every unordered
+    pair of event types that co-occur in a session, the co-occurrence
+    count and the LIFT = p(ab) / (p(a) p(b)) over sessions -- lift > 1
+    means the two event types cluster in the same sessions more than
+    independence predicts.
+
+    One key-hash exchange: sessions are per-key, so session membership,
+    the per-session distinct type sets, and all in-session pairs are
+    computed inside the partition (types per session is tiny, so the
+    pair expansion is bounded); a |types|^2-bounded fold merges counts
+    and computes lift against per-type session counts."""
+    from ..stages.derive import default_num_parts, stable_part
+    from ..stages._util import ts_to_us  # same unit normalization as sessionize
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=stable_part(df[key].to_numpy(), num_parts))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        ts_us = ts_to_us(g[ts_col]).to_numpy()
+        keys = g[key].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        brk = np.r_[True, (ts_us[1:] - ts_us[:-1]) > gap_us]
+        sid = np.cumsum(new_key | brk)
+        st = (
+            pd.DataFrame({"sid": sid, "t": g[type_col].to_numpy()})
+            .drop_duplicates()
+        )
+        # per-session unordered type pairs via an in-partition self-merge
+        m = st.merge(st, on="sid")
+        m = m[m["t_x"] < m["t_y"]]
+        pc = (
+            m.groupby(["t_x", "t_y"], sort=False)
+            .size()
+            .rename("n_ab")
+            .reset_index()
+            .rename(columns={"t_x": "type_a", "t_y": "type_b"})
+        )
+        tc = (
+            st.groupby("t", sort=False)["sid"]
+            .size()
+            .rename("n_t")
+            .reset_index()
+            .rename(columns={"t": "type_a"})
+        )
+        tc["type_b"] = ""
+        tc = tc.rename(columns={"n_t": "n_ab"})[["type_a", "type_b", "n_ab"]]
+        ns = pd.DataFrame(
+            {"type_a": ["\x00total"], "type_b": [""],
+             "n_ab": [int(st["sid"].nunique())]}
+        )
+        out = pd.concat([pc, tc, ns], ignore_index=True)
+        out["__g"] = 0
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["type_a", "type_b"], sort=False)["n_ab"].sum().reset_index()
+        total = float(m.loc[m["type_a"] == "\x00total", "n_ab"].sum())
+        singles = m[(m["type_b"] == "") & (m["type_a"] != "\x00total")]
+        per_type = dict(zip(singles["type_a"], singles["n_ab"]))
+        p = m[(m["type_b"] != "")].copy()
+        na = p["type_a"].map(per_type).to_numpy(np.float64)
+        nb = p["type_b"].map(per_type).to_numpy(np.float64)
+        nab = p["n_ab"].to_numpy(np.float64)
+        lift = (nab / total) / ((na / total) * (nb / total))
+        return pd.DataFrame(
+            {
+                "type_a": p["type_a"],
+                "type_b": p["type_b"],
+                "n_sessions_ab": p["n_ab"].astype(np.int64),
+                "lift": lift,
+            }
+        )
+
+    return (
+        ds.select_columns([key, type_col, ts_col, order_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(lambda d: fold(d.drop(columns=["__g"])),
+                    batch_format="pandas")
+    )
