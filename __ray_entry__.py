@@ -2822,6 +2822,30 @@ def _q_events_session_lift(sf_dir: str):
     return _round_floats(out.sort(["type_a", "type_b"]), 6)
 
 
+def _q_embeddings_knn_sq8(sf_dir: str):
+    """int8 scalar-quantized vector search (round-5 addition): per-dim
+    [min,max] codebook trained in one bounded pass, corpus scored on
+    dequantized uint8 codes (4x memory reduction, FAISS-style SQ8) --
+    brute_knn's skeleton over the quantized representation. Recall vs
+    exact kNN pinned >= 0.9 by pytest; fixture-gated for determinism
+    (same argument as the LSH/IVF rows)."""
+    import numpy as np
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import sq8_knn, sq8_train
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries, qids = _knn_queries(path)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    mins, maxs = sq8_train(ds)
+    out = sq8_knn(ds, queries, mins, maxs, k=10)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    v = out["cosine"].to_numpy() + 1e-7  # same nudge+half-away as the oracle
+    out["cosine"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -3202,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": _q_events_burstiness,
         "events_type_entropy_rate": _q_events_type_entropy_rate,
         "events_session_lift": _q_events_session_lift,
+        "embeddings_knn_sq8": _q_embeddings_knn_sq8,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -5211,6 +5236,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "docs_fingerprint": fixture("docs_fingerprint"),
         "docs_bpe_tokens": fixture("docs_bpe_tokens"),
         "rollup_dtw_pairs_1m": fixture("rollup_dtw_pairs_1m"),
+        "embeddings_knn_sq8": fixture("embeddings_knn_sq8"),
         "docs_simhash": fixture("docs_simhash"),
         "docs_simhash_dups": fixture("docs_simhash_dups"),
         "docs_near_dups": fixture("docs_near_dups"),

@@ -1826,3 +1826,52 @@ def test_session_cooccurrence_lift(ray_session):
     assert abs(got.loc[("a", "b"), "lift"] - (2 / n) / ((3 / n) * (2 / n))) < 1e-12
     assert got.loc[("a", "c"), "n_sessions_ab"] == 1
     assert abs(got.loc[("b", "c"), "lift"] - (1 / n) / ((2 / n) * (1 / n))) < 1e-12
+
+
+def test_sq8_quantized_knn_recall(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import (
+        brute_knn,
+        sq8_dequantize,
+        sq8_knn,
+        sq8_quantize,
+        sq8_train,
+    )
+
+    rng = np.random.RandomState(19)
+    n, d = 400, 16
+    vecs = rng.randn(n, d) * rng.uniform(0.5, 3, size=d)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    mins, maxs = sq8_train(ds)
+    # codebook == exact per-dim extrema
+    assert np.allclose(mins, vecs.min(axis=0))
+    assert np.allclose(maxs, vecs.max(axis=0))
+    # quantization round-trip error bounded by half a step per dim
+    codes = sq8_quantize(vecs, mins, maxs)
+    assert codes.dtype == np.uint8
+    deq = sq8_dequantize(codes, mins, maxs)
+    step = (maxs - mins) / 255.0
+    assert (np.abs(deq - vecs) <= step / 2 + 1e-12).all()
+
+    queries = vecs[:5]
+    approx = sq8_knn(ds, queries, mins, maxs, k=10)
+    exact = brute_knn(ds, queries, k=10)
+    recalls = []
+    for qi in range(5):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    # int8 quantization at 16 dims keeps recall@10 high
+    assert np.mean(recalls) >= 0.9, recalls
+    # constant dimension doesn't blow up (span==0 guard)
+    vc = vecs.copy()
+    vc[:, 3] = 7.0
+    m2, x2 = vc.min(axis=0), vc.max(axis=0)
+    c2 = sq8_quantize(vc, m2, x2)
+    assert (sq8_dequantize(c2, m2, x2)[:, 3] == 7.0).all()

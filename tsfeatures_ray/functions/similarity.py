@@ -898,3 +898,109 @@ def hybrid_rrf(
         .sort(["rrf", id_col], descending=[True, False])
         .limit(k_out)
     )
+
+
+def sq8_train(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train a scalar (int8) quantizer: per-dimension [min, max] over
+    the corpus via per-batch partial extrema + one tiny fold -- the
+    4x-memory-reduction codebook for embedding storage (FAISS-style SQ8;
+    public method). Returns (mins, maxs) float64 arrays (driver-held,
+    dimension-bounded -- the same positioning as IVF centroids)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df[vec_col].to_numpy())
+        return pd.DataFrame(
+            {"mn": [m.min(axis=0).tobytes()], "mx": [m.max(axis=0).tobytes()],
+             "__g": [0]}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        mns = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["mn"]])
+        mxs = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["mx"]])
+        return pd.DataFrame(
+            {"mn": [mns.min(axis=0).tobytes()], "mx": [mxs.max(axis=0).tobytes()]}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(lambda d: fold(d), batch_format="pandas")
+        .take_all()
+    )
+    mins = np.frombuffer(rows[0]["mn"], dtype=np.float64)
+    maxs = np.frombuffer(rows[0]["mx"], dtype=np.float64)
+    return mins, maxs
+
+
+def sq8_quantize(vecs: np.ndarray, mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
+    """float vectors -> uint8 codes: round(255 * (v - min) / (max - min)),
+    constant dimensions collapse to code 0."""
+    span = maxs - mins
+    span[span == 0] = 1.0
+    q = np.rint(255.0 * (vecs - mins) / span)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def sq8_dequantize(codes: np.ndarray, mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
+    span = maxs - mins
+    span[span == 0] = 1.0
+    return mins + codes.astype(np.float64) * span / 255.0
+
+
+def sq8_knn(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k over the QUANTIZED corpus: each batch
+    quantizes to uint8 and scores against the float queries on the
+    DEQUANTIZED values (exactly what a store serving int8 vectors
+    computes), per-batch partial top-k + tiny merge -- the brute_knn
+    skeleton with 4x less vector memory. Recall vs exact kNN is the
+    quality gate (``ann_recall``-style; pytest-pinned floor)."""
+    mref = ray.put((np.asarray(mins), np.asarray(maxs)))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = ray.get(mref)
+        qv = ray.get(qref)
+        m = _to_matrix(df[vec_col].to_numpy())
+        codes = sq8_quantize(m, mn, mx)
+        deq = sq8_dequantize(codes, mn, mx)
+        norms = np.linalg.norm(deq, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (deq / norms) @ qv.T
+        ids = df[id_col].to_numpy()
+        out = []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[top],
+                     "cosine": s[top].astype("float64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    allp = ds.map_batches(score, batch_format="pandas", batch_size=8192).to_pandas()
+    out = []
+    for qi, grp in allp.groupby("query_id"):
+        top = (
+            grp.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top["rank"] = np.arange(1, len(top) + 1)
+        out.append(top)
+    return pd.concat(out, ignore_index=True)
