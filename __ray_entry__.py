@@ -2284,6 +2284,51 @@ def _q_rollup_snaive_1h(sf_dir: str):
     return _round_floats(out.sort("conv_id"), 6)
 
 
+def _q_events_asof_nearest(sf_dir: str):
+    """NEAREST-direction as-of join (round-5 addition): every event
+    picks the order of the same user CLOSEST in absolute time, before
+    or after -- the symmetric-matching variant (backward/forward were
+    already gated). Equidistant ties prefer backward (pandas
+    merge_asof semantics, probed). Oracle: backward + forward ASOF
+    candidates combined with the same tie rule (DuckDB ASOF supports
+    only one direction natively)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import asof_join
+    from tsfeatures_ray.functions.grouped import grouped_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    agg = grouped_agg(
+        orders, ["o_custkey", "o_orderdate"],
+        {"o_totalprice": ["max", "count"]},
+    )
+
+    def rename(df):
+        return df.rename(columns={"o_totalprice_max": "last_price",
+                                  "o_totalprice_count": "n_ord"})
+
+    import pyarrow as pa
+
+    out = asof_join(
+        ev,
+        agg.map_batches(rename, batch_format="pandas"),
+        on="ts", by="user_id", right_on="o_orderdate",
+        right_by="o_custkey", direction="nearest",
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("last_price", pa.float64()), ("n_ord", pa.int64())]
+        ),
+    )
+    return out.sort("event_id")
+
+
 def _q_events_asof_order(sf_dir: str):
     """Distributed as-of join (SURVEY.md §2.4 engine-scope): every
     event picks the latest order of the same user at or before the
@@ -2846,6 +2891,27 @@ def _q_embeddings_knn_sq8(sf_dir: str):
     return out[["query_id", "vec_id", "cosine", "rank"]]
 
 
+def _q_docs_packed_bins(sf_dir: str):
+    """Whole-document bin packing (round-5 addition): first-fit-
+    decreasing into 4096-char bins WITHOUT splitting any document --
+    the example-boundary-preserving packing mode (pack_sequences is the
+    concat-and-chunk mode). Partition-parallel FFD with reshard-stable
+    partition-local bin ids; oversize docs get dedicated flagged bins.
+    Deterministic by construction -> fixture-gated; capacity / FFD-bound
+    / reshard-stability pytests are the independent correctness basis
+    (tests/test_training_prep_ops.py)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.pack import pack_bins
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    out = pack_bins(ds, capacity=4096, size_col="n_chars")
+    return out.sort("doc_id")
+
+
 def _q_orders_semi_building(sf_dir: str):
     """Semi join (broadcast key-set filter) + aggregate: orders from
     BUILDING-segment customers per priority."""
@@ -3227,6 +3293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_entropy_rate": _q_events_type_entropy_rate,
         "events_session_lift": _q_events_session_lift,
         "embeddings_knn_sq8": _q_embeddings_knn_sq8,
+        "docs_packed_bins": _q_docs_packed_bins,
+        "events_asof_nearest": _q_events_asof_nearest,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -4978,6 +5046,50 @@ FROM (
     FROM orders
 ) WHERE rk <= 3
 """,
+        "events_asof_nearest": """
+WITH agg AS (
+    SELECT o_custkey, o_orderdate,
+           max(o_totalprice) AS last_price,
+           CAST(count(*) AS DOUBLE) AS n_ord
+    FROM orders GROUP BY 1, 2
+),
+b AS (
+    SELECT e.event_id, a.o_custkey, a.o_orderdate, a.last_price, a.n_ord
+    FROM events e ASOF LEFT JOIN agg a
+      ON e.user_id = a.o_custkey AND e.ts >= a.o_orderdate
+),
+f AS (
+    SELECT e.event_id, a.o_custkey, a.o_orderdate, a.last_price, a.n_ord
+    FROM events e ASOF LEFT JOIN agg a
+      ON e.user_id = a.o_custkey AND e.ts <= a.o_orderdate
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       CAST(CASE WHEN f.o_orderdate IS NULL THEN b.o_custkey
+                 WHEN b.o_orderdate IS NULL THEN f.o_custkey
+                 WHEN date_diff('microsecond', b.o_orderdate, e.ts)
+                      <= date_diff('microsecond', e.ts, f.o_orderdate)
+                 THEN b.o_custkey ELSE f.o_custkey END AS DOUBLE)
+           AS o_custkey,
+       CASE WHEN f.o_orderdate IS NULL THEN b.o_orderdate
+            WHEN b.o_orderdate IS NULL THEN f.o_orderdate
+            WHEN date_diff('microsecond', b.o_orderdate, e.ts)
+                 <= date_diff('microsecond', e.ts, f.o_orderdate)
+            THEN b.o_orderdate ELSE f.o_orderdate END AS o_orderdate,
+       CASE WHEN f.o_orderdate IS NULL THEN b.last_price
+            WHEN b.o_orderdate IS NULL THEN f.last_price
+            WHEN date_diff('microsecond', b.o_orderdate, e.ts)
+                 <= date_diff('microsecond', e.ts, f.o_orderdate)
+            THEN b.last_price ELSE f.last_price END AS last_price,
+       CASE WHEN f.o_orderdate IS NULL THEN b.n_ord
+            WHEN b.o_orderdate IS NULL THEN f.n_ord
+            WHEN date_diff('microsecond', b.o_orderdate, e.ts)
+                 <= date_diff('microsecond', e.ts, f.o_orderdate)
+            THEN b.n_ord ELSE f.n_ord END AS n_ord
+FROM events e
+JOIN b ON b.event_id = e.event_id
+JOIN f ON f.event_id = e.event_id
+ORDER BY 1
+""",
         "events_asof_order": """
 WITH agg AS (
     SELECT o_custkey, o_orderdate,
@@ -5237,6 +5349,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         "docs_bpe_tokens": fixture("docs_bpe_tokens"),
         "rollup_dtw_pairs_1m": fixture("rollup_dtw_pairs_1m"),
         "embeddings_knn_sq8": fixture("embeddings_knn_sq8"),
+        "docs_packed_bins": fixture("docs_packed_bins"),
         "docs_simhash": fixture("docs_simhash"),
         "docs_simhash_dups": fixture("docs_simhash_dups"),
         "docs_near_dups": fixture("docs_near_dups"),

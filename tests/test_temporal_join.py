@@ -317,3 +317,50 @@ class TestIntervalJoinSkewedBucket:
         assert len(got) == len(brute) and len(got) > 100_000
         assert (got["l_id"].to_numpy() == brute["l_id"].to_numpy()).all()
         assert (got["r_id"].to_numpy() == brute["r_id"].to_numpy()).all()
+
+
+def test_asof_join_nearest(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.temporal_join import asof_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "t": [base + np.timedelta64(m, "m") for m in (10, 29, 90, 5)],
+            "lv": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [1, 1, 2],
+            "rt": [base + np.timedelta64(m, "m") for m in (0, 30, 60)],
+            "rv": [100.0, 200.0, 300.0],
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="t", by="k", right_on="rt", right_by="rk",
+            direction="nearest",
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("t"), right.sort_values("rt"),
+            left_on="t", right_on="rt", left_by="k", right_by="rk",
+            direction="nearest",
+        )
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(got["rv"]) == list(want["rv"])
+    # t=10 -> nearest is rt=0 (10 vs 20 away); t=29 -> rt=30; t=90 -> rt=30;
+    # k=2 t=5 -> only future rt=60 exists: nearest still matches FORWARD
+    assert list(got["rv"]) == [100.0, 200.0, 200.0, 300.0]

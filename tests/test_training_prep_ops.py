@@ -420,3 +420,52 @@ def test_weighted_sample(ray_session):
     assert set(range(10)) <= want
     zero = df[df["w"] == 0]["doc_id"]
     assert not (set(zero) & want)
+
+
+def test_pack_bins_ffd(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.pack import pack_bins
+
+    rng = np.random.RandomState(3)
+    sizes = np.r_[rng.randint(50, 900, size=200), [1500, 2000]]  # 2 oversize
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(sizes), dtype=np.int64),
+         "n_chars": sizes.astype(np.int64)}
+    )
+    cap = 1024
+    got = (
+        pack_bins(rd.from_pandas(df).repartition(5), capacity=cap,
+                  size_col="n_chars", num_parts=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every doc assigned exactly once
+    assert len(got) == len(df)
+    assert set(got["doc_id"]) == set(df["doc_id"])
+    # capacity respected for every non-oversize bin
+    fills = got[got["oversize"] == 0].groupby("bin_id")["size"].sum()
+    assert (fills <= cap).all()
+    # oversize docs sit alone in their bins
+    over = got[got["oversize"] == 1]
+    assert len(over) == 2
+    for b in over["bin_id"]:
+        assert (got["bin_id"] == b).sum() == 1
+    # FFD guarantee per partition: bins <= ceil(11/9 * LB) + 1
+    got["part"] = got["bin_id"].to_numpy() >> 32
+    for p, sub in got[got["oversize"] == 0].groupby("part"):
+        lb = int(np.ceil(sub["size"].sum() / cap))
+        used = sub["bin_id"].nunique()
+        assert used <= int(np.ceil(11 / 9 * lb)) + 1, (p, used, lb)
+    # reshard-stable: a different layout yields the identical assignment
+    got2 = (
+        pack_bins(rd.from_pandas(df.sample(frac=1.0, random_state=8)),
+                  capacity=cap, size_col="n_chars", num_parts=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got.drop(columns=["part"]).to_numpy() == got2.to_numpy()).all()

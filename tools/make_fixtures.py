@@ -41,6 +41,7 @@ RECORDED: dict[str, list[str] | None] = {
     "docs_bpe_tokens": ["doc_id"],
     "rollup_dtw_pairs_1m": ["id_a", "id_b"],
     "embeddings_knn_sq8": ["query_id", "rank"],
+    "docs_packed_bins": ["doc_id"],
     "docs_simhash": ["doc_id"],
     "docs_simhash_dups": ["id_a", "id_b"],
     "docs_near_dups": ["id_a", "id_b"],

@@ -206,3 +206,87 @@ def _key_range(ds: "rd.Dataset", id_col: str) -> tuple[int, int] | None:
     if not agg or agg.get(f"min({id_col})") is None:  # empty input
         return None
     return int(agg[f"min({id_col})"]), int(agg[f"max({id_col})"])
+
+
+def pack_bins(
+    ds: "ray.data.Dataset",
+    capacity: int,
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Whole-document BIN PACKING: assign each document to a
+    fixed-capacity bin WITHOUT splitting it -- the no-truncation
+    counterpart of ``pack_sequences`` (which concatenates and chunks).
+    This is the packing mode for example-boundary-preserving training
+    (SFT-style), where a document must never straddle sequences.
+
+    First-fit-decreasing per hash partition: docs sort by (size DESC,
+    id), each doc takes the first open bin it fits (the classic 11/9
+    OPT + 6/9 guarantee holds per partition). Bins are partition-local
+    -- ``bin_id = part * 2^32 + local`` -- so no cross-partition state
+    exists and the assignment is reshard-stable (partition membership
+    is the content hash, the in-partition order is total). Docs LARGER
+    than the capacity each get a dedicated bin and ``oversize = 1``
+    (the caller's policy decision; nothing is silently truncated).
+
+    The greedy loop is per-document WITHIN a partition -- inherent to
+    bin packing's sequential decision structure; the distributed shape
+    is partition-parallel with a documented per-partition bound.
+
+    Output: ``(id, size:int64, bin_id:int64, oversize:int64)``.
+    """
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        if size_col is not None:
+            size = df[size_col].to_numpy(np.int64)
+        else:
+            size = df[text_col].str.len().to_numpy(np.int64)
+        out = pd.DataFrame({id_col: df[id_col], "size": size})
+        out["__part"] = stable_part(out[id_col].to_numpy(), num_parts)
+        return out
+
+    def ffd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["size", id_col], ascending=[False, True],
+                          kind="mergesort")
+        part = int(g["__part"].iloc[0])
+        base = part << 32
+        sizes = g["size"].to_numpy(np.int64)
+        fills: list[int] = []  # open-bin fill levels, index = local bin id
+        bin_of = np.empty(len(g), dtype=np.int64)
+        oversize = np.zeros(len(g), dtype=np.int64)
+        for i, s in enumerate(sizes):
+            if s > capacity:
+                bin_of[i] = base + len(fills)
+                fills.append(int(s))  # full -- nothing else fits
+                oversize[i] = 1
+                continue
+            for b, f in enumerate(fills):
+                if f + s <= capacity:
+                    bin_of[i] = base + b
+                    fills[b] = f + s
+                    break
+            else:
+                bin_of[i] = base + len(fills)
+                fills.append(int(s))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "size": sizes,
+                "bin_id": bin_of,
+                "oversize": oversize,
+            }
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(ffd, batch_format="pandas")
+    )

@@ -135,8 +135,9 @@ def asof_join(
     right_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Distributed as-of join: each left row picks the nearest-previous
-    (direction='backward') or nearest-next ('forward') right row per
-    key. All column names must be disjoint between the sides. Ties on
+    (direction='backward'), nearest-next ('forward'), or closest-in-
+    absolute-distance ('nearest'; equidistant ties prefer BACKWARD --
+    pandas merge_asof semantics, probed) right row per key. All column names must be disjoint between the sides. Ties on
     ``right_on`` resolve to the LAST right row in (key, ts, input) order
     -- make the right side unique per (key, ts) upstream when the
     contract needs full determinism (DuckDB's ASOF JOIN picks an
@@ -151,8 +152,8 @@ def asof_join(
         SELECT l.*, r.* FROM l ASOF LEFT JOIN r
           ON l.by = r.right_by AND l.on >= r.right_on
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if num_parts is None:
         num_parts = default_num_parts()
     both, lnames, rnames, types = _tag_union(
