@@ -2035,6 +2035,52 @@ def _q_compress_roundtrip(sf_dir: str):
     return blocks.map_batches(decode, batch_format="pandas")
 
 
+def _q_orders_by_segment_skew(sf_dir: str):
+    """Skew-aware join (round-5 addition): the orders->customer join
+    with hot custkeys (>= 20 orders; 6 at sf0.01, max 25) routed around
+    the hash exchange through a broadcast of their right slice -- the
+    power-law hot-key mitigation. Result equals the plain join exactly
+    (the split is by key), so the oracle is the same segment-aggregate
+    SQL as orders_by_segment."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import skew_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    joined = skew_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        hot_threshold=20, how="inner",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"].agg(
+            ["sum", "size"]
+        )
+        return g.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_mktsegment", sort=False).agg(
+            total_price=("s", "sum"), n_orders=("n", "sum")
+        ).reset_index()
+        out["total_price"] = out["total_price"].round(4)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return partials.groupby("c_mktsegment").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Broadcast hash join (orders -> small customer dim) + partial
     aggregation before the tiny final groupby (SURVEY.md §2.4/§2.5)."""
@@ -3295,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_sq8": _q_embeddings_knn_sq8,
         "docs_packed_bins": _q_docs_packed_bins,
         "events_asof_nearest": _q_events_asof_nearest,
+        "orders_by_segment_skew": _q_orders_by_segment_skew,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -5015,6 +5062,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
         "orders_by_segment": orders_by_segment,
+        "orders_by_segment_skew": orders_by_segment,
         "q3_top_orders": """
 WITH li AS (
     SELECT l_orderkey,

@@ -1875,3 +1875,51 @@ def test_sq8_quantized_knn_recall(ray_session):
     m2, x2 = vc.min(axis=0), vc.max(axis=0)
     c2 = sq8_quantize(vc, m2, x2)
     assert (sq8_dequantize(c2, m2, x2)[:, 3] == 7.0).all()
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import skew_join
+
+    rng = np.random.RandomState(23)
+    # key 7 holds half the rows -> hot; everything else cold
+    keys = np.r_[np.full(300, 7), rng.randint(100, 140, size=300)]
+    left = pd.DataFrame(
+        {"k": keys.astype(np.int64), "lv": rng.randn(len(keys))}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(0, 150, 3).astype(np.int64),
+         "rv": np.arange(50) * 1.5}
+    )
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right)
+    for how in ("inner", "left", "semi", "anti"):
+        got = skew_join(
+            lds, rds, left_on="k", how=how, hot_threshold=100
+        ).to_pandas()
+        if how in ("semi", "anti"):
+            mask = left["k"].isin(set(right["k"]))
+            want = left[mask if how == "semi" else ~mask]
+            assert sorted(zip(got["k"], got["lv"])) == sorted(
+                zip(want["k"], want["lv"])
+            ), how
+        else:
+            want = left.merge(right, on="k", how=how)
+            assert sorted(
+                zip(got["k"], got["lv"], got["rv"].fillna(-1))
+            ) == sorted(
+                zip(want["k"], want["lv"], want["rv"].fillna(-1))
+            ), how
+    # threshold higher than any count -> pure partitioned path, same rows
+    got = skew_join(lds, rds, left_on="k", how="inner",
+                    hot_threshold=10_000).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert len(got) == len(want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hot keys"):
+        skew_join(lds, rds, left_on="k", hot_threshold=2, max_hot_keys=3)

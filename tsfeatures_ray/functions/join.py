@@ -345,3 +345,115 @@ def bloom_semi_join(
         filtered, right.select_columns([right_on]), left_on=left_on,
         right_on=right_on, how="semi", num_parts=num_parts,
     )
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    hot_threshold: int = 250_000,
+    max_hot_keys: int = 1024,
+    num_parts: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Skew-aware join: LEFT keys whose row count reaches
+    ``hot_threshold`` are routed around the hash exchange -- their right-
+    side slice is broadcast once (``ray.put``) and joined per batch,
+    while every cold key takes the normal ``partitioned_join``. This is
+    the classic hot-key mitigation: a power-law key (one conversation
+    with millions of rows, one customer with most orders) otherwise
+    lands its ENTIRE row set in one partition and serializes the stage.
+
+    Assumptions (documented per the custom-operator rule): the hot-key
+    LIST is bounded (``max_hot_keys`` guards it -- more hot keys than
+    that means the threshold is mis-set, raise rather than degrade) and
+    the right-side slice OF THE HOT KEYS fits in the object store (the
+    standard skew-join contract; the hot LEFT side -- the big one --
+    streams and never materializes).
+
+    ``how`` in {'inner', 'left', 'semi', 'anti'}: result rows equal the
+    plain join's exactly (the split is by key, so no row can appear in
+    both halves)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"skew_join supports inner/left/semi/anti, got {how!r}")
+    right_on = right_on or left_on
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    # 1. distributed per-key counts on the left; collect ONLY keys over
+    # the threshold (bounded by max_hot_keys)
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[left_on].value_counts()
+        out = pd.DataFrame({"k": vc.index, "c": vc.to_numpy(np.int64)})
+        out["__part"] = stable_part(out["k"].to_numpy(), num_parts)
+        return out
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("k", sort=False)["c"].sum().reset_index()
+        return m[m["c"] >= hot_threshold]
+
+    hot_rows = (
+        left.select_columns([left_on])
+        .map_batches(count_partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(count_merge, batch_format="pandas")
+        .take_all()
+    )
+    hot_keys = {r["k"] for r in hot_rows}
+    if len(hot_keys) > max_hot_keys:
+        raise ValueError(
+            f"skew_join found {len(hot_keys)} hot keys (> max_hot_keys="
+            f"{max_hot_keys}); raise hot_threshold"
+        )
+    if not hot_keys:
+        return partitioned_join(
+            left, right, left_on=left_on, right_on=right_on, how=how,
+            num_parts=num_parts, left_schema=left_schema,
+            right_schema=right_schema,
+        )
+
+    hot_ref = ray.put(hot_keys)
+
+    def split(keep_hot: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            hk = ray.get(hot_ref)
+            m = df[left_on].isin(hk)
+            return df[m] if keep_hot else df[~m]
+
+        return fn
+
+    cold_left = left.map_batches(split(False), batch_format="pandas")
+    hot_left = left.map_batches(split(True), batch_format="pandas")
+
+    def rsplit(df: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hot_ref)
+        return df[~df[right_on].isin(hk)]
+
+    cold_right = right.map_batches(rsplit, batch_format="pandas")
+    # the hot right SLICE is bounded by assumption: materialize + broadcast
+    hot_right = right.filter(
+        lambda r, hk=hot_keys: r[right_on] in hk
+    ).to_pandas()
+    if len(hot_right) == 0:
+        # an empty Ray->pandas round trip drops the schema; rebuild the
+        # columns so the broadcast merge keeps its join key (a hot LEFT
+        # key with no right rows is perfectly legal)
+        rnames = list(
+            (right_schema.names if right_schema is not None
+             else right.schema().names)
+        )
+        hot_right = pd.DataFrame({c: pd.Series([], dtype="object")
+                                  for c in rnames})
+
+    cold_out = partitioned_join(
+        cold_left, cold_right, left_on=left_on, right_on=right_on, how=how,
+        num_parts=num_parts, left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    hot_out = broadcast_join(
+        hot_left, hot_right, left_on=left_on, right_on=right_on, how=how
+    )
+    return cold_out.union(hot_out)
