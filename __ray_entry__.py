@@ -2035,6 +2035,38 @@ def _q_compress_roundtrip(sf_dir: str):
     return blocks.map_batches(decode, batch_format="pandas")
 
 
+def _q_events_upserted(sf_dir: str):
+    """CDC upsert compaction (round-5 addition): the events base table
+    merged with a deterministic update stream (every 10th event gets
+    value*2 at version 1) keeping the highest version per key, update
+    wins ties -- the last-writer-wins merge-on-read primitive. One
+    key-hash exchange of the union. Oracle: UNION ALL + QUALIFY
+    row_number over (version DESC, src DESC)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import upsert_merge
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(version=np.int64(0))
+
+    def as_update(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["event_id"] % 10 == 0].copy()
+        u["value"] = u["value"] * 2.0
+        u["version"] = np.int64(1)
+        return u
+
+    base = ev.map_batches(as_base, batch_format="pandas")
+    updates = ev.map_batches(as_update, batch_format="pandas")
+    out = upsert_merge(base, updates, key="event_id", version_col="version")
+    return _round_floats(out.sort("event_id"), 6)
+
+
 def _q_orders_by_segment_skew(sf_dir: str):
     """Skew-aware join (round-5 addition): the orders->customer join
     with hot custkeys (>= 20 orders; 6 at sf0.01, max 25) routed around
@@ -3342,6 +3374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packed_bins": _q_docs_packed_bins,
         "events_asof_nearest": _q_events_asof_nearest,
         "orders_by_segment_skew": _q_orders_by_segment_skew,
+        "events_upserted": _q_events_upserted,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_anti_building": _q_orders_anti_building,
         "orders_by_segment": _q_orders_by_segment,
@@ -5063,6 +5096,25 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
         "orders_by_segment": orders_by_segment,
         "orders_by_segment_skew": orders_by_segment,
+        "events_upserted": """
+WITH u AS (
+    SELECT event_id, user_id, event_type, value * 2 AS value,
+           CAST(1 AS BIGINT) AS version, 1 AS src
+    FROM events WHERE event_id % 10 = 0
+),
+b AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(0 AS BIGINT) AS version, 0 AS src
+    FROM events
+),
+all_rows AS (SELECT * FROM b UNION ALL SELECT * FROM u)
+SELECT event_id, user_id, event_type,
+       ROUND(value + 0.0000001, 6) AS value, version
+FROM all_rows
+QUALIFY row_number() OVER (PARTITION BY event_id
+                           ORDER BY version DESC, src DESC) = 1
+ORDER BY 1
+""",
         "q3_top_orders": """
 WITH li AS (
     SELECT l_orderkey,

@@ -1923,3 +1923,45 @@ def test_skew_join_matches_plain_join(ray_session):
 
     with _pytest.raises(ValueError, match="hot keys"):
         skew_join(lds, rds, left_on="k", hot_threshold=2, max_hot_keys=3)
+
+
+def test_upsert_merge(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import upsert_merge
+
+    base = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0],
+         "version": np.int64(0)}
+    )
+    updates = pd.DataFrame(
+        {
+            "k": [2, 3, 3, 5],
+            "v": [21.0, 31.0, 32.0, 50.0],
+            "version": np.array([1, 2, 1, 1], dtype=np.int64),
+        }
+    )
+    got = (
+        upsert_merge(
+            rd.from_pandas(base).repartition(3), rd.from_pandas(updates),
+            key="k", version_col="version", num_parts=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1,4 keep base; k=2 -> v1 update; k=3 -> HIGHEST version (v2, 31.0);
+    # k=5 is a pure insert
+    assert list(got["k"]) == [1, 2, 3, 4, 5]
+    assert list(got["v"]) == [10.0, 21.0, 31.0, 40.0, 50.0]
+    assert list(got["version"]) == [0, 1, 2, 0, 1]
+
+    # version TIE prefers the update side
+    b2 = pd.DataFrame({"k": [9], "v": [1.0], "version": np.int64(5)})
+    u2 = pd.DataFrame({"k": [9], "v": [2.0], "version": np.int64(5)})
+    got2 = upsert_merge(
+        rd.from_pandas(b2), rd.from_pandas(u2), key="k", version_col="version"
+    ).to_pandas()
+    assert list(got2["v"]) == [2.0]

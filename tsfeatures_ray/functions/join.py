@@ -457,3 +457,48 @@ def skew_join(
         hot_left, hot_right, left_on=left_on, right_on=right_on, how=how
     )
     return cold_out.union(hot_out)
+
+
+def upsert_merge(
+    base: "ray.data.Dataset",
+    updates: "ray.data.Dataset",
+    key: str,
+    version_col: str,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """CDC-style UPSERT compaction: merge a base table with an update
+    stream, keeping for every key the row with the highest
+    ``version_col`` (ties prefer the UPDATE side -- the
+    last-writer-wins contract of every merge-on-read table format).
+    Both sides must share one schema.
+
+    One key-hash exchange of the union; per partition a single stable
+    sort + first-per-key pick -- no driver materialization, so the
+    "table" side can be arbitrarily large (this is the compaction step
+    a snapshot maintenance job runs over partitioned Parquet)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def tag(src: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(__src=np.int8(src))
+            df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+            return df
+
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        g = g.sort_values(
+            [key, version_col, "__src"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        out = g.drop_duplicates(subset=[key], keep="first")
+        return out.drop(columns=["__src"])
+
+    return both.groupby("__part").map_groups(pick, batch_format="pandas")
