@@ -32,6 +32,8 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from .spans import duplicated_span_stats  # noqa: F401
+from .concurrency import interval_concurrency  # noqa: F401
+from .drift import distribution_drift  # noqa: F401
 from .graph import connected_components, dedup_components  # noqa: F401
 from .events import cohort_retention, funnel_conversion  # noqa: F401
 from .temporal_join import asof_join, interval_join, range_join  # noqa: F401

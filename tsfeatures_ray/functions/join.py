@@ -502,3 +502,88 @@ def upsert_merge(
         return out.drop(columns=["__src"])
 
     return both.groupby("__part").map_groups(pick, batch_format="pandas")
+
+
+def reconcile_tables(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    compare_cols: list[str],
+    group_col: str | None = None,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Anti-entropy table reconciliation (dataset diff): classify every
+    key as 'added' (right only), 'removed' (left only), 'changed' (both
+    sides, any compare_col differs) or 'same', and return counts per
+    (group_col, status). The validation primitive behind CDC/upsert
+    pipelines (pairs with upsert_merge above); no reference analog (the
+    reference has no table maintenance surface).
+
+    Scale shape: both sides stream through ONE key-hash exchange of the
+    union; per partition a vectorized outer merge + column compare
+    collapses immediately to (group, status) count partials, so the
+    final exchange is a tiny groupby over |groups| x 4 rows. Full rows
+    never reach the driver. NaN == NaN counts as 'same' (documented
+    one-sided choice; both oracle and engine pin it).
+    """
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def tag(src: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(__src=np.int8(src))
+            df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+            return df
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    gcol = group_col if group_col is not None else "__all"
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__src"] == 0].drop(columns=["__src", "__part"])
+        r = g[g["__src"] == 1].drop(columns=["__src", "__part"])
+        m = l.merge(
+            r, on=key, how="outer", suffixes=("_l", "_r"), indicator=True
+        )
+        changed = np.zeros(len(m), dtype=bool)
+        for c in compare_cols:
+            a, b = m[f"{c}_l"], m[f"{c}_r"]
+            changed |= (a.ne(b) & ~(a.isna() & b.isna())).to_numpy()
+        status = np.where(
+            m["_merge"].to_numpy() == "right_only",
+            "added",
+            np.where(
+                m["_merge"].to_numpy() == "left_only",
+                "removed",
+                np.where(changed, "changed", "same"),
+            ),
+        )
+        if group_col is None:
+            grp = np.repeat("all", len(m))
+        else:
+            grp = (
+                m[f"{group_col}_r"]
+                .where(m[f"{group_col}_r"].notna(), m[f"{group_col}_l"])
+                .to_numpy()
+            )
+        out = (
+            pd.DataFrame({gcol: grp, "status": status})
+            .groupby([gcol, "status"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = both.groupby("__part").map_groups(diff, batch_format="pandas")
+    merged = partials.groupby([gcol, "status"]).sum("n")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(n)": "n"}).astype({"n": np.int64})
+
+    return merged.map_batches(finish, batch_format="pandas")
