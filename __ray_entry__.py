@@ -2113,6 +2113,83 @@ def _q_orders_by_segment_skew(sf_dir: str):
     )
 
 
+def _q_rollup_ewma_1h(sf_dir: str):
+    """Per-series EWMA smoothing (round-5 addition): the adjust=False
+    recursion y_t = (1-a) y_{t-1} + a x_t over each conversation's 1h
+    rollup series, alpha=0.5, seeded at the first bucket. Engine runs
+    pandas' C ewm kernel inside ONE key-hash exchange; the oracle is a
+    recursive CTE iterating the identical two-term recurrence (IEEE
+    commutativity makes the evaluation orders bit-equal)."""
+    from tsfeatures_ray.functions.windows import ewma
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"]).select_columns(
+        ["conv_id", "bucket", "token_len_count"]
+    )
+    return ewma(
+        ds, key="conv_id", order="bucket", col="token_len_count", alpha=0.5
+    ).sort(["conv_id", "bucket"])
+
+
+def _q_embeddings_mutual_knn(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs (round-5 addition): mutual
+    top-1 by cosine via the partition-pair block-nested-loop emitting
+    per-row ARGMAX partials (O(n*P) slim rows, never O(n^2) pairs),
+    groupby-merge under the pinned (cos DESC, id ASC) tie rule, one
+    pair-keyed exchange for the mutuality check. Oracle: window
+    row_number over the cross join + self-join on reciprocity."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import mutual_top1
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return mutual_top1(emb).sort(["id_a", "id_b"])
+
+
+def _q_customer_fuzzy_pairs(sf_dir: str):
+    """Fuzzy string self-join (round-5 addition): all customer-name
+    pairs within Levenshtein distance 1 via the symmetric-delete
+    (SymSpell) candidate scheme -- each string emits itself + its
+    single-deletion variants, candidates form in a variant-keyed
+    exchange (complete for d<=1), a pair-keyed exchange dedups, and an
+    O(len) two-pointer check verifies exactly. No O(N^2) cross join
+    anywhere in the engine; the oracle pays it (levenshtein over the
+    length-filtered cross join)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.fuzzy import edit1_pairs
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    return edit1_pairs(cust, id_col="c_custkey", str_col="c_name").sort(
+        ["id_a", "id_b"]
+    )
+
+
+def _q_docs_vocab_stats(sf_dir: str):
+    """Per-source vocabulary statistics (round-5 addition): total
+    tokens, distinct types, hapax count, type-token ratio, hapax ratio.
+    Hapax needs GLOBAL per-(source, token) counts, so the one
+    vocabulary-bounded token-hash exchange is irreducible -- text never
+    moves, and per-part group partials merge in a tiny final groupby.
+    Tokenizer = the shared byte-level [a-z]+ rule (oracle parity pinned
+    by docs_top_tokens)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import vocab_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return vocab_stats(docs).sort("source")
+
+
 def _q_events_concurrency(sf_dir: str):
     """Sweep-line interval concurrency (round-5 addition): max number of
     simultaneously-open 30-min-gap sessions per hour. The global ordered
@@ -3501,6 +3578,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift": _q_events_drift,
         "q5_asia_revenue": _q_q5_asia_revenue,
         "events_reconciled": _q_events_reconciled,
+        "rollup_ewma_1h": _q_rollup_ewma_1h,
+        "embeddings_mutual_knn": _q_embeddings_mutual_knn,
+        "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
+        "docs_vocab_stats": _q_docs_vocab_stats,
         "q3_top_orders": _q_q3_top_orders,
         "rollup_1m": _q_rollup("1m"),
         "rollup_1d": _q_rollup("1d"),
@@ -5740,6 +5821,62 @@ WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
+""",
+        "rollup_ewma_1h": "WITH RECURSIVE " + turns.lstrip()[len("WITH "):]
+        + """
+, base AS (
+""" + _ROLLUP_AGG.format(unit="hour") + """
+),
+o AS (SELECT conv_id, bucket, token_len_count,
+             CAST(token_len_count AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY conv_id ORDER BY bucket) AS rn
+      FROM base),
+r AS (
+  SELECT conv_id, bucket, token_len_count, rn, x AS ew FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.conv_id, o.bucket, o.token_len_count, o.rn,
+         0.5 * o.x + 0.5 * r.ew
+  FROM o JOIN r ON o.conv_id = r.conv_id AND o.rn = r.rn + 1
+)
+SELECT conv_id, bucket, token_len_count,
+       ROUND(ew + 0.0000001, 6) AS ewma
+FROM r
+""",
+        "embeddings_mutual_knn": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.v, b.v) AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+best AS (SELECT ia, ib, c,
+                row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib)
+                    AS rn
+         FROM s),
+t AS (SELECT ia, ib, c FROM best WHERE rn = 1)
+SELECT t1.ia AS id_a, t1.ib AS id_b, ROUND(t1.c + 0.0000001, 6) AS cosine
+FROM t t1 JOIN t t2 ON t1.ib = t2.ia AND t2.ib = t1.ia
+WHERE t1.ia < t1.ib
+""",
+        "customer_fuzzy_pairs": """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE abs(length(a.s) - length(b.s)) <= 1
+  AND levenshtein(a.s, b.s) <= 1
+""",
+        "docs_vocab_stats": """
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents),
+tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c) + 0.0000001, 6) AS ttr,
+  ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+        + 0.0000001, 6) AS hapax_ratio
+FROM tc GROUP BY 1
 """,
         "events_reconciled": """
 WITH l AS (SELECT event_id, event_type, value FROM events),

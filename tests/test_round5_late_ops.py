@@ -1,0 +1,161 @@
+"""Unit gates: EWMA, mutual top-1, SymSpell edit-1 pairs, vocab stats."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_ewma_matches_recursion(ray_session):
+    from tsfeatures_ray.functions.windows import ewma
+
+    rng = np.random.default_rng(11)
+    keys = np.repeat(np.arange(20, dtype=np.int64), 30)
+    order = np.tile(np.arange(30, dtype=np.int64), 20)
+    x = rng.normal(10, 3, 600)
+    df = pd.DataFrame({"k": keys, "o": order, "x": x})
+    got = (
+        ewma(_ds(df), key="k", order="o", col="x", alpha=0.3, num_parts=5)
+        .sort(["k", "o"])
+        .to_pandas()
+    )
+    want = np.empty(600)
+    for k in range(20):
+        seg = x[k * 30 : (k + 1) * 30]
+        y = seg[0]
+        want[k * 30] = y
+        for i in range(1, 30):
+            y = 0.7 * y + 0.3 * seg[i]
+            want[k * 30 + i] = y
+    w = want + 1e-7
+    w = np.sign(w) * np.floor(np.abs(w) * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(got["ewma"].to_numpy(), w)
+
+
+def test_ewma_alpha_validation(ray_session):
+    from tsfeatures_ray.functions.windows import ewma
+
+    with pytest.raises(ValueError):
+        ewma(None, key="k", order="o", col="x", alpha=0.0)
+
+
+def test_mutual_top1_brute(ray_session):
+    from tsfeatures_ray.functions.similarity import mutual_top1
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 8
+    m = rng.normal(size=(n, d))
+    # plant exact duplicates to exercise the cosine tie rule
+    m[7] = m[3]
+    m[50] = m[3]
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m)}
+    )
+    got = (
+        mutual_top1(_ds(df), num_parts=5).sort(["id_a", "id_b"]).to_pandas()
+    )
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    best = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        bc = sims[i].max()
+        cands = np.flatnonzero(sims[i] == bc)
+        best[i] = cands.min()
+    pairs = sorted(
+        (i, int(best[i]))
+        for i in range(n)
+        if best[best[i]] == i and i < best[i]
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == pairs
+    for _, r in got.iterrows():
+        want_c = sims[int(r["id_a"]), int(r["id_b"])] + 1e-7
+        want_c = np.sign(want_c) * np.floor(np.abs(want_c) * 1e6 + 0.5) / 1e6
+        assert r["cosine"] == pytest.approx(want_c, abs=2e-6)
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_edit1_pairs_complete_and_exact(ray_session):
+    from tsfeatures_ray.functions.fuzzy import edit1_pairs
+
+    rng = np.random.default_rng(9)
+    base = ["".join(rng.choice(list("abcd"), 6)) for _ in range(40)]
+    muts = []
+    for s in base[:15]:
+        k = int(rng.integers(0, len(s)))
+        muts.append(s[:k] + "x" + s[k + 1 :])  # substitution
+        muts.append(s[:k] + s[k + 1 :])  # deletion
+    strs = base + muts + [base[0]]  # one exact duplicate (dist 0)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(len(strs), dtype=np.int64),
+            "s": np.asarray(strs, dtype=object),
+        }
+    )
+    got = (
+        edit1_pairs(_ds(df), id_col="id", str_col="s", num_parts=4)
+        .sort(["id_a", "id_b"])
+        .to_pandas()
+    )
+    want = []
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            d = _lev(strs[i], strs[j])
+            if d <= 1:
+                want.append((i, j, d))
+    assert (
+        list(zip(got["id_a"], got["id_b"], got["dist"]))
+        == sorted(want)
+    )
+
+
+def test_vocab_stats_brute(ray_session):
+    from tsfeatures_ray.functions.text import vocab_stats
+
+    docs = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b", "b"],
+            "text": [
+                "The cat sat on the mat",
+                "a cat and a dog",
+                "unique words only here",
+                "words repeat words repeat",
+                "",
+            ],
+        }
+    )
+    got = vocab_stats(_ds(docs), num_parts=3).sort("source").to_pandas()
+    for _, r in got.iterrows():
+        toks = []
+        for t in docs[docs["source"] == r["source"]]["text"]:
+            toks.extend(re.findall(r"[a-z]+", t.lower()))
+        vc = pd.Series(toks).value_counts() if toks else pd.Series(dtype=int)
+        assert r["n_tokens"] == len(toks)
+        assert r["vocab"] == len(vc)
+        assert r["hapax"] == int((vc == 1).sum())
+        assert r["ttr"] == pytest.approx(len(vc) / len(toks), abs=2e-6)
+        assert r["hapax_ratio"] == pytest.approx(
+            (vc == 1).sum() / len(vc), abs=2e-6
+        )

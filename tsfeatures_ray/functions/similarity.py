@@ -1004,3 +1004,139 @@ def sq8_knn(
         top["rank"] = np.arange(1, len(top) + 1)
         out.append(top)
     return pd.concat(out, ignore_index=True)
+
+
+def mutual_top1(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int = 8,
+):
+    """Reciprocal nearest-neighbor pairs (mutual top-1 by cosine): pairs
+    (id_a < id_b) where each vector is the other's single nearest
+    neighbor -- the alignment/anchor-mining primitive. Tie rule (pinned
+    on both sides): highest cosine, then SMALLEST candidate id (the SQL
+    oracle's ORDER BY c DESC, ib).
+
+    Scale shape: the same partition-pair block-nested-loop as
+    cosine_near_dups (every unordered pair of rows meets in exactly one
+    of the P*(P+1)/2 buckets), but each bucket emits only its per-row
+    ARGMAX partial (id, candidate nn, cosine) -- O(n * P) slim rows, not
+    O(n^2) pairs. A groupby(id) merge picks the global top-1 under the
+    same tie rule, and one pair-keyed exchange keeps groups where both
+    directions chose each other. The driver never sees vectors."""
+    import pandas as pd
+
+    from ..stages.derive import stable_part
+
+    P = num_parts
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        p = stable_part(df[id_col].to_numpy(), P)
+        rep = df.iloc[np.repeat(np.arange(len(df)), P)].reset_index(drop=True)
+        p_rep = np.repeat(p, P)
+        k = np.tile(np.arange(P, dtype=np.int64), len(df))
+        lo, hi = np.minimum(p_rep, k), np.maximum(p_rep, k)
+        rep["side"] = p_rep
+        rep["pairb"] = lo * P + hi
+        return rep
+
+    _EMPTY = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype="int64"),
+            "nn": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _best(sims: np.ndarray, cand_ids: np.ndarray):
+        """Per-row (best cosine, smallest candidate id among exact
+        ties); sims rows may be all -inf (no candidate)."""
+        bc = sims.max(axis=1)
+        tie = sims == bc[:, None]
+        ids_m = np.where(tie, cand_ids[None, :], np.iinfo(np.int64).max)
+        return bc, ids_m.min(axis=1)
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(g["pairb"].iloc[0]), P)
+        g = g.drop_duplicates(subset=[id_col, "side"])
+        a = g[g["side"] == i]
+        if len(a) == 0 or (i == j and len(a) < 2):
+            return _EMPTY.copy()
+        m_a = _to_matrix(a[vec_col].to_numpy())
+        m_a /= np.maximum(np.linalg.norm(m_a, axis=1, keepdims=True), 1e-12)
+        ids_a = a[id_col].to_numpy().astype(np.int64)
+        if i == j:
+            sims = m_a @ m_a.T
+            np.fill_diagonal(sims, -np.inf)
+            bc, bid = _best(sims, ids_a)
+            return pd.DataFrame(
+                {id_col: ids_a, "nn": bid, "cosine": bc.astype("float64")}
+            )
+        b = g[g["side"] == j]
+        if len(b) == 0:
+            return _EMPTY.copy()
+        m_b = _to_matrix(b[vec_col].to_numpy())
+        m_b /= np.maximum(np.linalg.norm(m_b, axis=1, keepdims=True), 1e-12)
+        ids_b = b[id_col].to_numpy().astype(np.int64)
+        sims = m_a @ m_b.T
+        bc_a, bid_a = _best(sims, ids_b)
+        bc_b, bid_b = _best(sims.T, ids_a)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([ids_a, ids_b]),
+                "nn": np.concatenate([bid_a, bid_b]),
+                "cosine": np.concatenate([bc_a, bc_b]).astype("float64"),
+            }
+        )
+
+    partials = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pairb")
+        .map_groups(bucket_best, batch_format="pandas")
+    )
+
+    def merge_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "nn"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(1)
+
+    top1 = partials.groupby(id_col).map_groups(
+        merge_best, batch_format="pandas"
+    )
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        u = df[id_col].to_numpy()
+        v = df["nn"].to_numpy()
+        df["lo"] = np.minimum(u, v)
+        df["hi"] = np.maximum(u, v)
+        return df
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        # two rows under one unordered pair key == both directions chose
+        # each other (each row's key is (min(id, nn), max(id, nn)))
+        if len(g) != 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        c = g["cosine"].to_numpy()[0] + 1e-7
+        c = float(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {
+                "id_a": g["lo"].to_numpy()[:1].astype("int64"),
+                "id_b": g["hi"].to_numpy()[:1].astype("int64"),
+                "cosine": np.array([c], dtype="float64"),
+            }
+        )
+
+    return (
+        top1.map_batches(pair_key, batch_format="pandas")
+        .groupby(["lo", "hi"])
+        .map_groups(mutual, batch_format="pandas")
+    )

@@ -1225,3 +1225,106 @@ def bm25_score(
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def vocab_stats(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_parts: int | None = None,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Per-group vocabulary statistics: total tokens, distinct types,
+    hapax count, type-token ratio and hapax ratio (the corpus-health
+    profile behind Zipf/novelty checks). Tokenizer is the shared
+    byte-level [a-z]+ rule of top_tokens (oracle parity pinned there).
+
+    Scale shape: each batch collapses to (group, token, count) partials
+    via the vectorized Arrow tokenizer (one call per group slice in the
+    batch, groups are few), ONE token-hash exchange makes per-
+    (group, token) counts global-exact -- hapax needs GLOBAL counts, so
+    this exchange is irreducible but vocabulary-bounded (text never
+    moves) -- then per-part group partials (sum/rows/hapax) merge in a
+    tiny final groupby."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        gvals = batch[group_col]
+        if isinstance(gvals, pa.ChunkedArray):
+            gvals = gvals.combine_chunks()
+        uniq = pc.unique(gvals)
+        frames = []
+        for gv in uniq:
+            mask = pc.equal(gvals, gv)
+            toks, cnts = _tokenize_counts(batch.filter(mask)[text_col])
+            frames.append(
+                pd.DataFrame(
+                    {"grp": gv.as_py(), "token": toks, "cnt": cnts}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "grp": pd.Series([], dtype="object"),
+                    "token": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "part": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = stable_part(out["token"].to_numpy(), num_parts)
+        return out
+
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["grp", "token"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out = (
+            tot.assign(hap=(tot["cnt"] == 1).astype(np.int64), ty=1)
+            .groupby("grp", sort=False)
+            .agg(
+                n_tokens=("cnt", "sum"),
+                vocab=("ty", "sum"),
+                hapax=("hap", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n_tokens", "vocab", "hapax"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1,
+    )
+    per_part = partials.groupby("part").map_groups(
+        part_stats, batch_format="pandas"
+    )
+    merged = per_part.groupby("grp").sum(
+        ["n_tokens", "vocab", "hapax"]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum(n_tokens)"].to_numpy(dtype=np.float64)
+        v = df["sum(vocab)"].to_numpy(dtype=np.float64)
+        h = df["sum(hapax)"].to_numpy(dtype=np.float64)
+        ttr = v / n + 1e-7
+        hr = h / v + 1e-7
+        return pd.DataFrame(
+            {
+                group_col: df["grp"],
+                "n_tokens": df["sum(n_tokens)"].astype(np.int64),
+                "vocab": df["sum(vocab)"].astype(np.int64),
+                "hapax": df["sum(hapax)"].astype(np.int64),
+                "ttr": np.sign(ttr) * np.floor(np.abs(ttr) * 1e6 + 0.5) / 1e6,
+                "hapax_ratio": np.sign(hr)
+                * np.floor(np.abs(hr) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -720,3 +720,57 @@ def theil_sen(
         .groupby("__part")
         .map_groups(slopes, batch_format="pandas")
     )
+
+
+def ewma(
+    ds,
+    key: str,
+    order: str,
+    col: str,
+    alpha: float = 0.5,
+    num_parts: int | None = None,
+):
+    """Per-key exponentially weighted moving average with the
+    adjust=False recursion ``y_t = (1-alpha) * y_{t-1} + alpha * x_t``,
+    seeded at the key's first value -- exactly the recursive-CTE SQL
+    shape (the oracle iterates the same two-term recurrence, and IEEE
+    addition/multiplication make the two evaluation orders bit-equal).
+
+    Scale shape: ONE bounded exchange on ``stable_part(key)``; inside
+    the sorted partition the recursion runs in pandas' C ewm kernel per
+    key (sequential within a series is inherent to EWMA; series never
+    straddle partitions). Output: (key, order, col, ewma 6dp-rounded).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(
+            columns="__part"
+        )
+        y = (
+            g.groupby(key, sort=False)[col]
+            .transform(
+                lambda s: s.astype("float64")
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+            )
+            .to_numpy()
+        )
+        y = y + 1e-7
+        g["ewma"] = np.sign(y) * np.floor(np.abs(y) * 1e6 + 0.5) / 1e6
+        return g
+
+    return (
+        ds.select_columns([key, order, col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(smooth, batch_format="pandas")
+    )
