@@ -2113,6 +2113,85 @@ def _q_orders_by_segment_skew(sf_dir: str):
     )
 
 
+def _q_events_attribution(sf_dir: str):
+    """First-touch session attribution (round-5 addition): every
+    purchase conversion credited to the FIRST event type of its 30-min-
+    gap session; per first-touch type: n_sessions, total conversions,
+    share of converting sessions. ONE key-hash exchange, batches
+    collapse to per-type partials. Oracle: session CTE + row_number
+    first-touch + session-level join."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import session_attribution
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return session_attribution(ev).sort("first_touch")
+
+
+def _q_orders_benford(sf_dir: str):
+    """Benford first-digit audit of order totals (round-5 addition):
+    digits from EXACT integer-cents division (no float log in the digit
+    path; the oracle reads the integer's first character), expected
+    counts N*log10(1+1/d), per-digit chi-square contributions. The
+    exchange is 9 rows regardless of table size."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import benford_audit
+
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    return benford_audit(od, "o_totalprice").sort("digit")
+
+
+def _q_events_chi2_hour(sf_dir: str):
+    """Chi-square independence of event_type x hour-of-day (round-5
+    addition): dense contingency table (zero cells contribute their
+    expectation), e = row*col/n in pinned float order, dof =
+    (|A|-1)(|B|-1). Batches collapse to (a, b) cell partials; the
+    exchange is |A| x |B| rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import chi2_independence
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        return df
+
+    return chi2_independence(
+        ev.map_batches(add_hour, batch_format="pandas").select_columns(
+            ["event_type", "hour"]
+        ),
+        "event_type",
+        "hour",
+    )
+
+
+def _q_docs_zipf(sf_dir: str):
+    """Zipf's-law slope over the exact global top-100 token frequencies
+    (round-5 addition): OLS of ln(count) on ln(rank) under the pinned
+    (count DESC, token ASC) ranking; closed-form slope evaluated
+    identically in SQL. Rides top_tokens' vocabulary-bounded exchange."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import zipf_slope
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return zipf_slope(docs)
+
+
 def _q_rollup_ewma_1h(sf_dir: str):
     """Per-series EWMA smoothing (round-5 addition): the adjust=False
     recursion y_t = (1-a) y_{t-1} + a x_t over each conversation's 1h
@@ -3582,6 +3661,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mutual_knn": _q_embeddings_mutual_knn,
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "docs_vocab_stats": _q_docs_vocab_stats,
+        "events_attribution": _q_events_attribution,
+        "orders_benford": _q_orders_benford,
+        "events_chi2_hour": _q_events_chi2_hour,
+        "docs_zipf": _q_docs_zipf,
         "q3_top_orders": _q_q3_top_orders,
         "rollup_1m": _q_rollup("1m"),
         "rollup_1d": _q_rollup("1d"),
@@ -5877,6 +5960,73 @@ SELECT source,
   ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
         + 0.0000001, 6) AS hapax_ratio
 FROM tc GROUP BY 1
+""",
+        "events_attribution": """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+r AS (SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+ft AS (SELECT user_id, sid, event_type AS first_touch FROM r WHERE rn = 1),
+agg AS (SELECT user_id, sid,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_p
+        FROM s GROUP BY 1, 2)
+SELECT ft.first_touch,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(agg.n_p) AS BIGINT) AS n_conversions,
+       ROUND(SUM(CASE WHEN agg.n_p > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) + 0.0000001, 6) AS conv_rate
+FROM ft JOIN agg USING (user_id, sid) GROUP BY 1
+""",
+        "orders_benford": """
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_totalprice > 0),
+d AS (SELECT CAST(LEFT(CAST(v AS VARCHAR), 1) AS BIGINT) AS digit FROM c),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  ROUND(tot * LOG10(1 + 1.0/digit) + 0.0000001, 6) AS expected,
+  ROUND(POWER(n - tot * LOG10(1 + 1.0/digit), 2)
+        / (tot * LOG10(1 + 1.0/digit)) + 0.0000001, 6) AS chi2_contrib
+FROM g CROSS JOIN t
+""",
+        "events_chi2_hour": """
+WITH c AS (SELECT event_type AS a,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS b,
+                  COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT a, SUM(n) AS ra FROM c GROUP BY 1),
+col AS (SELECT b, SUM(n) AS cb FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+dense AS (SELECT r.a, col.b, r.ra, col.cb, COALESCE(c.n, 0) AS n
+          FROM r CROSS JOIN col LEFT JOIN c ON c.a = r.a AND c.b = col.b)
+SELECT ROUND(SUM(POWER(n - CAST(ra * cb AS DOUBLE) / t, 2)
+                 / (CAST(ra * cb AS DOUBLE) / t)) + 0.0000001, 6) AS chi2,
+       CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+           * CAST((SELECT COUNT(*) FROM col) - 1 AS BIGINT) AS dof,
+       CAST(MAX(t) AS BIGINT) AS n
+FROM dense CROSS JOIN tot
+""",
+        "docs_zipf": """
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS tok
+              FROM documents),
+tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+rk AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r
+       FROM tc QUALIFY r <= 100),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(LN(r)) AS sx,
+             SUM(LN(c)) AS sy, SUM(LN(r)*LN(c)) AS sxy,
+             SUM(LN(r)*LN(r)) AS sxx FROM rk)
+SELECT ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx) + 0.0000001, 6) AS zipf_slope,
+       CAST(n AS BIGINT) AS n_ranks FROM s
 """,
         "events_reconciled": """
 WITH l AS (SELECT event_id, event_type, value FROM events),

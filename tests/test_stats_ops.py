@@ -1,0 +1,122 @@
+"""Unit gates: session attribution, Benford audit, chi-square
+independence, Zipf slope."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_attribution_hand_case(ray_session):
+    from tsfeatures_ray.functions.events import session_attribution
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    h = pd.Timedelta(hours=2)
+    rows = [
+        # user 1, session 1: view -> purchase (converts, first=view)
+        (1, t0, 1, "view"),
+        (1, t0 + m, 2, "purchase"),
+        # user 1, session 2 (after a 2h gap): click only
+        (1, t0 + h, 3, "click"),
+        # user 2, session 1: purchase first (converts, first=purchase)
+        (2, t0, 4, "purchase"),
+        (2, t0 + m, 5, "purchase"),
+        # user 3: view only
+        (3, t0, 6, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (
+        session_attribution(_ds(df), num_parts=3)
+        .sort("first_touch")
+        .to_pandas()
+    )
+    want = pd.DataFrame(
+        {
+            "first_touch": ["click", "purchase", "view"],
+            "n_sessions": np.array([1, 1, 2], dtype=np.int64),
+            "n_conversions": np.array([0, 2, 1], dtype=np.int64),
+            "conv_rate": [0.0, 1.0, 0.5],
+        }
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_benford_digits_and_formula(ray_session):
+    from tsfeatures_ray.functions.stats import benford_audit
+
+    rng = np.random.default_rng(2)
+    # log-uniform values follow Benford closely
+    v = 10 ** rng.uniform(0, 4, 5000)
+    df = pd.DataFrame({"x": np.r_[v, [-5.0, 0.0]]})  # non-positive dropped
+    got = benford_audit(_ds(df), "x").sort("digit").to_pandas()
+    assert got["n"].sum() == 5000
+    assert list(got["digit"]) == list(range(1, 10))
+    # brute digit extraction from exact cents
+    c = np.rint(v * 100).astype(np.int64)
+    c = c[c > 0]
+    digs = np.array([int(str(x)[0]) for x in c])
+    want_n = pd.Series(digs).value_counts().sort_index()
+    assert list(got["n"]) == list(want_n)
+    tot = float(len(c))
+    e = tot * np.log10(1 + 1.0 / got["digit"].to_numpy(dtype=float))
+    np.testing.assert_allclose(got["expected"], e, atol=2e-6)
+    np.testing.assert_allclose(
+        got["chi2_contrib"],
+        (got["n"].to_numpy(dtype=float) - e) ** 2 / e,
+        atol=2e-6,
+    )
+    # a Benford-consistent sample: every per-digit contribution is small
+    assert got["chi2_contrib"].sum() < 30
+
+
+def test_chi2_independent_and_dependent(ray_session):
+    from tsfeatures_ray.functions.stats import chi2_independence
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    a = rng.choice(list("xyz"), n)
+    b_ind = rng.choice(list("pq"), n)
+    got = chi2_independence(
+        _ds(pd.DataFrame({"a": a, "b": b_ind})), "a", "b"
+    ).to_pandas()
+    assert got.loc[0, "dof"] == 2 and got.loc[0, "n"] == n
+    assert got.loc[0, "chi2"] < 12  # independent -> small statistic
+
+    b_dep = np.where(a == "x", "p", "q")  # fully dependent
+    got2 = chi2_independence(
+        _ds(pd.DataFrame({"a": a, "b": b_dep})), "a", "b"
+    ).to_pandas()
+    assert got2.loc[0, "chi2"] == pytest.approx(n, rel=1e-6)
+
+    # brute parity on the independent sample
+    piv = (
+        pd.DataFrame({"a": a, "b": b_ind})
+        .groupby(["a", "b"])
+        .size()
+        .unstack(fill_value=0)
+    )
+    obs = piv.to_numpy(dtype=float)
+    e = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    chi2 = ((obs - e) ** 2 / e).sum()
+    assert got.loc[0, "chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_zipf_slope_on_planted_powerlaw(ray_session):
+    from tsfeatures_ray.functions.text import zipf_slope
+
+    # counts exactly proportional to 1/rank -> slope == -1
+    words = []
+    for r in range(1, 41):
+        w = "w" + chr(97 + (r - 1) // 26) + chr(97 + (r - 1) % 26)
+        words.extend([w] * (4000 // r))
+    text = " ".join(words)
+    got = zipf_slope(_ds(pd.DataFrame({"text": [text]})), k=40)
+    assert got.loc[0, "n_ranks"] == 40
+    assert got.loc[0, "zipf_slope"] == pytest.approx(-1.0, abs=0.02)

@@ -313,3 +313,99 @@ def session_cooccurrence(
         .map_groups(lambda d: fold(d.drop(columns=["__g"])),
                     batch_format="pandas")
     )
+
+
+def session_attribution(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    order: str = "event_id",
+    event_col: str = "event_type",
+    target: str = "purchase",
+    gap_us: int = 30 * 60 * 1_000_000,
+    num_parts: int | None = None,
+):
+    """First-touch attribution: credit every ``target`` conversion to
+    the FIRST event type of its session (sessions = maximal runs with
+    consecutive gaps <= gap_us, the sessionize rule). Output: one row
+    per first-touch type with n_sessions, n_conversions (total target
+    events in those sessions) and conv_rate (share of sessions
+    containing >= 1 target), 6dp-rounded.
+
+    Scale shape: ONE key-hash exchange; inside the sorted partition the
+    session assignment is the vectorized cumsum-of-breaks, the first
+    touch is the first row of each (key, session) run, and the batch
+    collapses straight to per-first-touch partials -- the final
+    exchange is |event types| rows."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "first_touch": pd.Series([], dtype="object"),
+                    "ns": pd.Series([], dtype="int64"),
+                    "nc": pd.Series([], dtype="int64"),
+                    "nconv": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key, ts, order], kind="mergesort")
+        ts_us = ts_to_us(g[ts]).to_numpy()
+        keys = g[key].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        brk = new_key | np.r_[True, (ts_us[1:] - ts_us[:-1]) > gap_us]
+        sid = np.cumsum(brk)  # globally unique within the partition
+        ev = g[event_col].to_numpy()
+        starts = np.flatnonzero(brk)
+        first_touch = np.repeat(ev[starts], np.diff(np.r_[starts, len(ev)]))
+        hit = (ev == target).astype(np.int64)
+        sess = (
+            pd.DataFrame({"sid": sid, "ft": first_touch, "hit": hit})
+            .groupby("sid", sort=False)
+            .agg(ft=("ft", "first"), n_hits=("hit", "sum"))
+        )
+        out = (
+            sess.assign(converted=(sess["n_hits"] > 0).astype(np.int64), one=1)
+            .groupby("ft", sort=False)
+            .agg(
+                ns=("one", "sum"),
+                nc=("converted", "sum"),
+                nconv=("n_hits", "sum"),
+            )
+            .reset_index()
+            .rename(columns={"ft": "first_touch"})
+        )
+        for c in ("ns", "nc", "nconv"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partial, batch_format="pandas")
+    )
+    merged = partials.groupby("first_touch").sum(["ns", "nc", "nconv"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rate = (
+            df["sum(nc)"].to_numpy(dtype=np.float64)
+            / df["sum(ns)"].to_numpy(dtype=np.float64)
+            + 1e-7
+        )
+        return pd.DataFrame(
+            {
+                "first_touch": df["first_touch"],
+                "n_sessions": df["sum(ns)"].astype(np.int64),
+                "n_conversions": df["sum(nconv)"].astype(np.int64),
+                "conv_rate": np.sign(rate)
+                * np.floor(np.abs(rate) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -1328,3 +1328,37 @@ def vocab_stats(
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def zipf_slope(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 100,
+    num_parts: int | None = None,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Zipf's-law fit over the exact global top-k token frequencies:
+    OLS slope of ln(count) on ln(rank), ranks assigned by the pinned
+    (count DESC, token ASC) order of top_tokens (same as the oracle's
+    row_number). Healthy natural-language corpora sit near -1; the
+    closed-form slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is evaluated
+    identically in the SQL oracle. Returns a 1-row DataFrame
+    (zipf_slope, n_ranks) -- the heavy lifting is top_tokens'
+    vocabulary-bounded exchange."""
+    top = top_tokens(
+        ds, text_col=text_col, k=k, num_parts=num_parts,
+        concurrency=concurrency,
+    )
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    c = top["cnt"].to_numpy(dtype=np.float64)
+    x, y = np.log(r), np.log(c)
+    n = float(len(top))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-7
+    slope = float(np.sign(slope) * np.floor(np.abs(slope) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "zipf_slope": np.array([slope], dtype=np.float64),
+            "n_ranks": np.array([len(top)], dtype=np.int64),
+        }
+    )
