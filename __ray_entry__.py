@@ -2250,6 +2250,27 @@ def _q_customer_fuzzy_pairs(sf_dir: str):
     )
 
 
+def _q_customer_fuzzy_triangles(sf_dir: str):
+    """Exact triangle count (round-5 addition) over the edit-distance-1
+    customer-name graph: degree-oriented wedge counting (each triangle
+    counted once at its unique two-out-edge node; out-degrees bounded
+    O(sqrt(m)) under the (degree, id) orientation). Degrees join back
+    through the partitioned hash join -- no |V|-sized driver pull.
+    Composes edit1_pairs -> triangle_count. Oracle: 3-way self-join
+    over the levenshtein pair table."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.fuzzy import edit1_pairs
+    from tsfeatures_ray.functions.graph import triangle_count
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    pairs = edit1_pairs(cust, id_col="c_custkey", str_col="c_name")
+    return triangle_count(pairs)
+
+
 def _q_docs_vocab_stats(sf_dir: str):
     """Per-source vocabulary statistics (round-5 addition): total
     tokens, distinct types, hapax count, type-token ratio, hapax ratio.
@@ -3661,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mutual_knn": _q_embeddings_mutual_knn,
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "docs_vocab_stats": _q_docs_vocab_stats,
+        "customer_fuzzy_triangles": _q_customer_fuzzy_triangles,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -5960,6 +5982,19 @@ SELECT source,
   ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
         + 0.0000001, 6) AS hapax_ratio
 FROM tc GROUP BY 1
+""",
+        "customer_fuzzy_triangles": """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+e AS (SELECT a.id AS x, b.id AS y FROM c a JOIN c b ON a.id < b.id
+      WHERE abs(length(a.s) - length(b.s)) <= 1
+        AND levenshtein(a.s, b.s) <= 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(DISTINCT id) AS BIGINT)
+        FROM (SELECT x AS id FROM e UNION ALL SELECT y FROM e)) AS n_nodes
+FROM e e1
+JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """,
         "events_attribution": """
 WITH o AS (

@@ -120,3 +120,52 @@ def test_zipf_slope_on_planted_powerlaw(ray_session):
     got = zipf_slope(_ds(pd.DataFrame({"text": [text]})), k=40)
     assert got.loc[0, "n_ranks"] == 40
     assert got.loc[0, "zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+
+
+def test_triangle_count_brute(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(13)
+    n, m = 60, 300
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    got = (
+        triangle_count(
+            rd.from_pandas(pd.DataFrame({"id_a": a, "id_b": b})),
+            num_parts=5,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    adj = np.zeros((n, n), bool)
+    for x, y in zip(a, b):
+        if x != y:
+            adj[min(x, y), max(x, y)] = True
+    tri = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if adj[i, j]
+        for k in range(j + 1, n)
+        if adj[i, k] and adj[j, k]
+    )
+    assert got["n_triangles"] == tri
+    assert got["n_edges"] == int(adj.sum())
+    assert got["n_nodes"] == len(set(np.r_[a[a != b], b[a != b]]))
+
+
+def test_triangle_count_known_shapes(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.graph import triangle_count
+
+    # K4 has 4 triangles; self-loops and duplicate edges are ignored
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (2, 2), (1, 0)]
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype(np.int64)
+    got = triangle_count(rd.from_pandas(df), num_parts=3).to_pandas().iloc[0]
+    assert got["n_triangles"] == 4
+    assert got["n_edges"] == 6
+    assert got["n_nodes"] == 4

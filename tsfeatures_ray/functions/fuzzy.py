@@ -111,10 +111,17 @@ def edit1_pairs(
             )
         if not outs:
             return _EMPTY.copy()
-        # within-part dedup shrinks the second exchange
-        return pd.concat(outs, ignore_index=True).drop_duplicates(
+        out = pd.concat(outs, ignore_index=True).drop_duplicates(
             subset=["id_a", "id_b"]
         )
+        # the same pair can surface under several shared variants that
+        # hash to DIFFERENT variant partitions: route by pair hash so the
+        # second exchange makes the dedup global
+        out["ppart"] = stable_part(
+            out["id_a"].to_numpy() * 1_000_003 + out["id_b"].to_numpy(),
+            num_parts,
+        )
+        return out
 
     cand = (
         ds.map_batches(variants, batch_format="pandas")
@@ -123,9 +130,8 @@ def edit1_pairs(
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.iloc[0]
-        d = _edit_le1(str(r["s_a"]), str(r["s_b"]))
-        if d > 1:
+        g = g.drop_duplicates(subset=["id_a", "id_b"])
+        if len(g) == 0:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series([], dtype="int64"),
@@ -133,14 +139,21 @@ def edit1_pairs(
                     "dist": pd.Series([], dtype="int64"),
                 }
             )
+        d = np.fromiter(
+            (
+                _edit_le1(str(a), str(b))
+                for a, b in zip(g["s_a"].to_numpy(), g["s_b"].to_numpy())
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        keep = d <= 1
         return pd.DataFrame(
             {
-                "id_a": np.array([r["id_a"]], dtype=np.int64),
-                "id_b": np.array([r["id_b"]], dtype=np.int64),
-                "dist": np.array([d], dtype=np.int64),
+                "id_a": g["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": g["id_b"].to_numpy()[keep].astype(np.int64),
+                "dist": d[keep],
             }
         )
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        verify, batch_format="pandas"
-    )
+    return cand.groupby("ppart").map_groups(verify, batch_format="pandas")

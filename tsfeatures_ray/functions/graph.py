@@ -292,3 +292,187 @@ def dedup_components(
 def _edge_id_type(edges: "ray.data.Dataset", src: str) -> pa.DataType:
     sch = edges.schema()
     return sch.types[sch.names.index(src)]
+
+
+def triangle_count(
+    edges,
+    src: str = "id_a",
+    dst: str = "id_b",
+    num_parts: int | None = None,
+):
+    """Exact triangle count of an undirected simple graph given as an
+    edge Dataset (src < dst rows; duplicates tolerated, self-loops
+    dropped). Returns a 1-row Dataset: (n_triangles, n_edges, n_nodes).
+
+    Classic scale algorithm (degree-oriented wedge counting): orient
+    every edge from the lower-(degree, id) endpoint to the higher one --
+    each triangle then has exactly ONE node with two out-edges, so
+    counting wedges (v <- u -> w) that close with an oriented edge
+    (v -> w) counts each triangle exactly once, and out-degrees are
+    bounded by O(sqrt(m)) on skewed graphs (the hub explosion the
+    naive per-node wedge join suffers).
+
+    Three bounded exchanges: (1) degree count (node, partial) groupby;
+    (2) wedge generation co-partitioned on the pivot u; (3) wedge-edge
+    semi join hash-partitioned on the closing pair (v, w). Only (v, w)
+    pairs and 16-byte edges move; the driver sees one row.
+    """
+    import ray
+    import ray.data as rd
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy(dtype=np.int64)
+        b = df[dst].to_numpy(dtype=np.int64)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        out["part"] = stable_part(out["a"].to_numpy(), num_parts)
+        return out
+
+    # block-level dedup; exact dedup happens inside the per-a partition
+    e = (
+        edges.map_batches(clean, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: g.drop(columns=["part"]).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    # pass 1: degrees (node, n) -- bounded by |V|
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+        out = (
+            pd.Series(n, name="node").value_counts().rename("n").reset_index()
+        )
+        out.columns = ["node", "n"]
+        return out.astype({"node": np.int64, "n": np.int64})
+
+    def deg_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": df["node"].astype(np.int64), "da": df["sum(n)"].astype(np.int64)}
+        )
+
+    def deg_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"b": df["node"].astype(np.int64), "db": df["sum(n)"].astype(np.int64)}
+        )
+
+    # degrees stay a Dataset: joined back onto the edges through the
+    # partitioned hash join, never pulled to the driver (|V| can be huge)
+    deg = (
+        e.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .sum("n")
+        .materialize()
+    )
+    n_nodes = deg.count()
+
+    from .join import partitioned_join
+
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    dega_schema = pa.schema([("a", pa.int64()), ("da", pa.int64())])
+    degb_schema = pa.schema([("b", pa.int64()), ("db", pa.int64())])
+    ed = partitioned_join(
+        e,
+        deg.map_batches(deg_a, batch_format="pandas"),
+        left_on="a",
+        num_parts=num_parts,
+        left_schema=e_schema,
+        right_schema=dega_schema,
+    )
+    ed = partitioned_join(
+        ed,
+        deg.map_batches(deg_b, batch_format="pandas"),
+        left_on="b",
+        num_parts=num_parts,
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("da", pa.int64())]
+        ),
+        right_schema=degb_schema,
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        da = df["da"].to_numpy(dtype=np.int64)
+        db = df["db"].to_numpy(dtype=np.int64)
+        # orient from the lexicographically lower (degree, id) endpoint
+        swap = (da > db) | ((da == db) & (a > b))
+        u = np.where(swap, b, a)
+        v = np.where(swap, a, b)
+        out = pd.DataFrame({"u": u, "v": v})
+        out["part"] = stable_part(out["u"].to_numpy(), num_parts)
+        return out
+
+    oriented = ed.map_batches(orient, batch_format="pandas").materialize()
+
+    # pass 2: wedges (v, w) per pivot u, co-partitioned on u
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("u", sort=False):
+            vs = np.sort(grp["v"].to_numpy())
+            k = len(vs)
+            if k < 2:
+                continue
+            ia, ib = np.triu_indices(k, k=1)
+            outs.append(pd.DataFrame({"x": vs[ia], "y": vs[ib]}))
+        if not outs:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype="int64"),
+                 "y": pd.Series([], dtype="int64"),
+                 "is_edge": pd.Series([], dtype="int8")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["is_edge"] = np.int8(0)
+        return out
+
+    w = oriented.groupby("part").map_groups(wedges, batch_format="pandas")
+
+    # pass 3: close wedges against the UNDIRECTED edge set, partitioned
+    # on the unordered closing pair
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"x": df["a"], "y": df["b"], "is_edge": np.int8(1)}
+        )
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        lo = np.minimum(df["x"].to_numpy(), df["y"].to_numpy())
+        hi = np.maximum(df["x"].to_numpy(), df["y"].to_numpy())
+        df["x"], df["y"] = lo, hi
+        df["ppart"] = stable_part(lo * 1_000_003 + hi, num_parts)
+        return df
+
+    both = w.union(e.map_batches(edge_rows, batch_format="pandas"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["ppart"])
+        key = g["x"].to_numpy() * (1 << 32) + g["y"].to_numpy()
+        is_e = g["is_edge"].to_numpy() == 1
+        edge_keys = np.unique(key[is_e])
+        hits = np.isin(key[~is_e], edge_keys)
+        return pd.DataFrame({"t": np.array([int(hits.sum())], dtype=np.int64)})
+
+    parts = (
+        both.map_batches(pair_part, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(close, batch_format="pandas")
+    )
+    total = parts.sum("t")
+    n_edges = e.count()
+
+    return rd.from_items(
+        [
+            {
+                "n_triangles": int(total),
+                "n_edges": int(n_edges),
+                "n_nodes": int(n_nodes),
+            }
+        ]
+    )
