@@ -2309,6 +2309,26 @@ def _q_events_concurrency(sf_dir: str):
     return interval_concurrency(sessionize(ds)).sort("bucket")
 
 
+def _q_events_coverage_1d(sf_dir: str):
+    """Interval-union coverage per day (round-5 addition): microseconds
+    covered by >= 1 active 30-min-gap session -- utilization over the
+    session log, overlaps counted once. Same two-pass sweep-line
+    exchange as events_concurrency plus per-partition segment emission
+    (tail segments close against the next partition's first boundary,
+    carried with the broadcast bases). Oracle: window LEAD segments +
+    day-splitting UNNEST(range)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.concurrency import interval_coverage
+    from tsfeatures_ray.functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return interval_coverage(sessionize(ds)).sort("bucket")
+
+
 def _q_events_drift(sf_dir: str):
     """PSI + Jensen-Shannon distribution drift per event_type between
     the first and second half of the month (round-5 addition): one
@@ -3683,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "docs_vocab_stats": _q_docs_vocab_stats,
         "customer_fuzzy_triangles": _q_customer_fuzzy_triangles,
+        "events_coverage_1d": _q_events_coverage_1d,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -5982,6 +6003,36 @@ SELECT source,
   ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
         + 0.0000001, 6) AS hapax_ratio
 FROM tc GROUP BY 1
+""",
+        "events_coverage_1d": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+         FROM s GROUP BY 1, 2),
+b AS (SELECT epoch_us(st) AS eus, 1 AS d FROM sess
+      UNION ALL SELECT epoch_us(en), -1 FROM sess),
+r AS (SELECT eus, d,
+        SUM(d) OVER (ORDER BY eus, d ROWS UNBOUNDED PRECEDING) AS conc,
+        LEAD(eus) OVER (ORDER BY eus, d) AS nxt
+      FROM b),
+seg AS (SELECT eus AS s, nxt AS e FROM r
+        WHERE conc > 0 AND nxt IS NOT NULL AND nxt > eus),
+days AS (SELECT s, e,
+                UNNEST(range(CAST(s // 86400000000 AS BIGINT),
+                             CAST((e - 1) // 86400000000 AS BIGINT) + 1))
+                    AS day
+         FROM seg)
+SELECT make_timestamp(day * 86400000000) AS bucket,
+       CAST(SUM(LEAST(e, (day + 1) * 86400000000)
+                - GREATEST(s, day * 86400000000)) AS BIGINT) AS covered_us
+FROM days GROUP BY 1
 """,
         "customer_fuzzy_triangles": """
 WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),

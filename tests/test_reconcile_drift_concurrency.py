@@ -221,3 +221,64 @@ def test_reconcile_no_group(ray_session):
         "removed": 1,
         "same": 1,
     }
+
+
+def test_coverage_brute(ray_session):
+    """Engine union-length == brute per-microsecond-free sweep on random
+    intervals, including overlaps and multi-bucket spans."""
+    from tsfeatures_ray.functions.concurrency import interval_coverage
+
+    rng = np.random.default_rng(21)
+    n = 300
+    day = 86_400_000_000
+    start = rng.integers(0, 10 * day, n)
+    dur = rng.integers(1, 2 * day, n)
+    df = pd.DataFrame(
+        {
+            "session_start": pd.to_datetime(start, unit="us"),
+            "session_end": pd.to_datetime(start + dur, unit="us"),
+        }
+    ).astype({"session_start": "datetime64[us]", "session_end": "datetime64[us]"})
+    got = (
+        interval_coverage(_ds(df), num_parts=7).sort("bucket").to_pandas()
+    )
+
+    # brute: merge intervals, clip to days
+    iv = sorted(zip(start, start + dur))
+    merged = []
+    for s, e in iv:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    cov: dict = {}
+    for s, e in merged:
+        for d in range(s // day, (e - 1) // day + 1):
+            cov[d] = cov.get(d, 0) + min(e, (d + 1) * day) - max(s, d * day)
+    want = pd.DataFrame(
+        {
+            "bucket": pd.to_datetime(
+                np.array(sorted(cov)) * day, unit="us"
+            ).astype("datetime64[us]"),
+            "covered_us": np.array(
+                [cov[d] for d in sorted(cov)], dtype=np.int64
+            ),
+        }
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_coverage_overlap_counted_once(ray_session):
+    from tsfeatures_ray.functions.concurrency import interval_coverage
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    hr = pd.Timedelta(hours=1)
+    df = pd.DataFrame(
+        {
+            "session_start": pd.Series([t, t], dtype="datetime64[us]"),
+            "session_end": pd.Series([t + hr, t + hr], dtype="datetime64[us]"),
+        }
+    )
+    got = interval_coverage(_ds(df)).to_pandas()
+    assert len(got) == 1
+    assert int(got.loc[0, "covered_us"]) == 3_600_000_000
