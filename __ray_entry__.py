@@ -2113,6 +2113,26 @@ def _q_orders_by_segment_skew(sf_dir: str):
     )
 
 
+def _q_events_type_overlap(sf_dir: str):
+    """Exact pairwise audience overlap between event types (round-5
+    addition): distinct users in BOTH types, each side's distinct count
+    and the Jaccard overlap -- the exact counterpart of theta-sketch
+    intersections. Batches dedup to (user, type) pairs; one user-hash
+    exchange; final exchange is category-pair-bounded. Oracle: distinct
+    self-join + size join."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import distinct_overlap
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return distinct_overlap(ev, "user_id", "event_type").sort(
+        ["cat_a", "cat_b"]
+    )
+
+
 def _q_events_attribution(sf_dir: str):
     """First-touch session attribution (round-5 addition): every
     purchase conversion credited to the FIRST event type of its 30-min-
@@ -3704,6 +3724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_stats": _q_docs_vocab_stats,
         "customer_fuzzy_triangles": _q_customer_fuzzy_triangles,
         "events_coverage_1d": _q_events_coverage_1d,
+        "events_type_overlap": _q_events_type_overlap,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -6046,6 +6067,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
 FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+""",
+        "events_type_overlap": """
+WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY 1),
+p AS (SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+             COUNT(*) AS n_both
+      FROM m a JOIN m b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.cat_a, p.cat_b, p.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE)
+             + 0.0000001, 6) AS jaccard
+FROM p JOIN sz sa ON sa.event_type = p.cat_a
+       JOIN sz sb ON sb.event_type = p.cat_b
 """,
         "events_attribution": """
 WITH o AS (

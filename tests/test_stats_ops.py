@@ -169,3 +169,35 @@ def test_triangle_count_known_shapes(ray_session):
     assert got["n_triangles"] == 4
     assert got["n_edges"] == 6
     assert got["n_nodes"] == 4
+
+
+def test_distinct_overlap_brute(ray_session):
+    from tsfeatures_ray.functions.sketches import distinct_overlap
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 200, n),
+            "c": rng.choice(list("abcd"), n),
+        }
+    )
+    got = (
+        distinct_overlap(_ds(df), "u", "c", num_parts=5)
+        .sort(["cat_a", "cat_b"])
+        .to_pandas()
+    )
+    sets = {c: set(df[df["c"] == c]["u"]) for c in "abcd"}
+    rows = []
+    for i, a in enumerate("abcd"):
+        for b in "abcd"[i + 1:]:
+            both = len(sets[a] & sets[b])
+            if both:
+                rows.append(
+                    (a, b, both, len(sets[a]), len(sets[b]),
+                     both / len(sets[a] | sets[b]))
+                )
+    assert len(got) == len(rows)
+    for r, (a, b, both, na, nb, j) in zip(got.itertuples(index=False), rows):
+        assert (r.cat_a, r.cat_b, r.n_both, r.n_a, r.n_b) == (a, b, both, na, nb)
+        assert r.jaccard == pytest.approx(j, abs=2e-6)

@@ -575,3 +575,99 @@ def cms_estimate(sketch: np.ndarray, tokens) -> np.ndarray:
     for d, pos in enumerate(_cms_hash_positions(toks, depth, width)):
         est = np.minimum(est, sketch[d][pos])
     return est
+
+
+def distinct_overlap(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    cat_col: str,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact pairwise set overlap between categories: for every
+    unordered category pair (cat_a < cat_b), how many distinct
+    ``value_col`` members appear in BOTH, each side's distinct count,
+    and the Jaccard overlap -- co-engagement / audience-overlap
+    analysis (the exact counterpart of theta-sketch intersections).
+
+    Scale shape: batches dedup to distinct (value, cat) pairs, ONE
+    value-hash exchange co-locates each member's category set, and the
+    per-partition merge emits that member's category-pair memberships
+    (bounded by |C| choose 2 per member) plus per-category singleton
+    partials -- the final exchange is category-pair-bounded, never row-
+    or member-bounded."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"value": df[value_col], "cat": df[cat_col]}
+        ).drop_duplicates()
+        out["part"] = stable_part(out["value"].to_numpy(), num_parts)
+        return out
+
+    def member_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["value", "cat"])
+        outs = []
+        for _, grp in g.groupby("value", sort=False):
+            cats = np.sort(grp["cat"].to_numpy())
+            k = len(cats)
+            # singleton rows carry the per-category distinct partials
+            outs.append(
+                pd.DataFrame(
+                    {"cat_a": cats, "cat_b": cats, "n": np.int64(1)}
+                )
+            )
+            if k >= 2:
+                ia, ib = np.triu_indices(k, k=1)
+                outs.append(
+                    pd.DataFrame(
+                        {"cat_a": cats[ia], "cat_b": cats[ib],
+                         "n": np.int64(1)}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"cat_a": pd.Series([], dtype="object"),
+                 "cat_b": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return (
+            out.groupby(["cat_a", "cat_b"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .astype({"n": np.int64})
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(member_pairs, batch_format="pandas")
+        .groupby(["cat_a", "cat_b"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        singles = df[df["cat_a"] == df["cat_b"]]
+        sizes = dict(zip(singles["cat_a"], singles["sum(n)"]))
+        pairs = df[df["cat_a"] != df["cat_b"]]
+        na = pairs["cat_a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = pairs["cat_b"].map(sizes).to_numpy(dtype=np.float64)
+        nboth = pairs["sum(n)"].to_numpy(dtype=np.float64)
+        jac = nboth / (na + nb - nboth) + 1e-7
+        return pd.DataFrame(
+            {
+                "cat_a": pairs["cat_a"],
+                "cat_b": pairs["cat_b"],
+                "n_both": pairs["sum(n)"].astype(np.int64),
+                "n_a": na.astype(np.int64),
+                "n_b": nb.astype(np.int64),
+                "jaccard": np.sign(jac)
+                * np.floor(np.abs(jac) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    # pair rows need the singleton sizes: |C|^2-bounded, one block
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
