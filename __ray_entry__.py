@@ -504,6 +504,36 @@ def _q_turns_dialogue_stats(sf_dir: str):
     return _round_floats(dialogue_stats(ds).sort("conv_id"), 6)
 
 
+def _q_turns_tool_streaks(sf_dir: str):
+    """Gaps-and-islands tool-call streaks per conversation (round-5
+    addition): maximal runs of consecutive tool-using turns (ordered by
+    ts, turn_idx) -> flagged-turn count, streak count, longest streak.
+    ONE conv_id-hash exchange, vectorized start-mask run detection.
+    Oracle: the classic rn - row_number() islands SQL."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import run_length_stats
+    from tsfeatures_ray.sources.synth import transcripts_path
+
+    ds = rd.read_parquet(
+        transcripts_path(sf_dir),
+        columns=["conv_id", "ts", "turn_idx", "tool"],
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_tool"] = (df["tool"].fillna("") != "").to_numpy()
+        return df.drop(columns=["tool"])
+
+    return run_length_stats(
+        ds.map_batches(flag, batch_format="pandas"),
+        key="conv_id",
+        order=["ts", "turn_idx"],
+        flag_col="is_tool",
+    ).sort("conv_id")
+
+
 def _q_turns_corr(sf_dir: str):
     """Per-conversation Pearson correlation between the two derived
     per-turn metrics (token_len vs inter-turn latency) -- the
@@ -3725,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_triangles": _q_customer_fuzzy_triangles,
         "events_coverage_1d": _q_events_coverage_1d,
         "events_type_overlap": _q_events_type_overlap,
+        "turns_tool_streaks": _q_turns_tool_streaks,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -4804,6 +4835,23 @@ GROUP BY 1, 2, 3
 ORDER BY 1, 2
 """
         ),
+        "turns_tool_streaks": f"""
+WITH t AS (SELECT conv_id, tool,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                 AS rn
+           FROM read_parquet('{path}')),
+tool_turns AS (SELECT conv_id, rn,
+                 rn - row_number() OVER (PARTITION BY conv_id ORDER BY rn)
+                     AS grp
+               FROM t WHERE tool IS NOT NULL AND tool <> ''),
+streaks AS (SELECT conv_id, grp, COUNT(*) AS len
+            FROM tool_turns GROUP BY 1, 2)
+SELECT conv_id,
+       CAST(SUM(len) AS BIGINT) AS n_flagged,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM streaks GROUP BY 1
+""",
         "turns_dialogue_stats": f"""
 WITH t AS (
     SELECT conv_id, turn_idx, role, tool, ts,

@@ -159,3 +159,72 @@ def test_vocab_stats_brute(ray_session):
         assert r["hapax_ratio"] == pytest.approx(
             (vc == 1).sum() / len(vc), abs=2e-6
         )
+
+
+def test_run_length_stats_hand_case(ray_session):
+    from tsfeatures_ray.functions.windows import run_length_stats
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "o": np.array([1, 2, 3, 4, 5, 1, 2, 1], dtype=np.int64),
+            # key 1: runs T,T | F | T,T -> n=4, streaks=2, max=2
+            # key 2: T,T               -> n=2, streaks=1, max=2
+            # key 3: F                 -> omitted
+            "f": [True, True, False, True, True, True, True, False],
+        }
+    )
+    got = (
+        run_length_stats(_ds(df), key="k", order="o", flag_col="f",
+                         num_parts=3)
+        .sort("k")
+        .to_pandas()
+    )
+    want = pd.DataFrame(
+        {
+            "k": np.array([1, 2], dtype=np.int64),
+            "n_flagged": np.array([4, 2], dtype=np.int64),
+            "n_streaks": np.array([2, 1], dtype=np.int64),
+            "max_streak": np.array([2, 2], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_run_length_stats_brute(ray_session):
+    from tsfeatures_ray.functions.windows import run_length_stats
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "f": rng.random(n) < 0.4,
+        }
+    )
+    got = (
+        run_length_stats(_ds(df), key="k", order="o", flag_col="f",
+                         num_parts=5)
+        .sort("k")
+        .to_pandas()
+    )
+    rows = []
+    for k, grp in df.sort_values(["k", "o"]).groupby("k"):
+        f = grp["f"].to_numpy()
+        runs = []
+        cur = 0
+        for x in f:
+            if x:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            rows.append((k, sum(runs), len(runs), max(runs)))
+    want = pd.DataFrame(
+        rows, columns=["k", "n_flagged", "n_streaks", "max_streak"]
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)

@@ -774,3 +774,66 @@ def ewma(
         .groupby("__part")
         .map_groups(smooth, batch_format="pandas")
     )
+
+
+def run_length_stats(
+    ds,
+    key: str,
+    order,
+    flag_col: str,
+    num_parts: int | None = None,
+):
+    """Gaps-and-islands run-length statistics: per key, over rows sorted
+    by ``order`` (str or list), the maximal runs of consecutive rows
+    whose boolean ``flag_col`` is true -> (key, n_flagged, n_streaks,
+    max_streak). Keys with zero flagged rows are omitted.
+
+    ONE key-hash exchange; run detection inside the sorted partition is
+    the vectorized start-mask + cumsum trick (a run starts at a flagged
+    row whose predecessor is a different key or unflagged), no per-key
+    Python loop."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=g[key].dtype),
+                "n_flagged": pd.Series([], dtype="int64"),
+                "n_streaks": pd.Series([], dtype="int64"),
+                "max_streak": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key] + order_cols, kind="mergesort")
+        keys = g[key].to_numpy()
+        f = g[flag_col].to_numpy(dtype=bool)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        starts = f & (new_key | np.r_[True, ~f[:-1]])
+        if not f.any():
+            return empty
+        rid = np.cumsum(starts)[f] - 1  # 0-based run id over flagged rows
+        lengths = np.bincount(rid)
+        run_key = keys[starts]  # one entry per run, aligned with rid
+        out = (
+            pd.DataFrame({key: run_key, "len": lengths})
+            .groupby(key, sort=False)["len"]
+            .agg(n_flagged="sum", n_streaks="size", max_streak="max")
+            .reset_index()
+        )
+        for c in ("n_flagged", "n_streaks", "max_streak"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(streaks, batch_format="pandas")
+    )
