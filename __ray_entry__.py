@@ -2143,6 +2143,23 @@ def _q_orders_by_segment_skew(sf_dir: str):
     )
 
 
+def _q_events_skew_report(sf_dir: str):
+    """Exchange-skew diagnostic (round-5 addition): simulate a 16-way
+    hash exchange on user_id with the shared knuth_hash32 avalanche
+    hash and report per-partition rows / distinct keys / hottest-key
+    rows -- the pre-join report that decides salting vs broadcast
+    bypass (join.skew_join). Key-bounded partials; 16 output rows.
+    Oracle: hash_sql_expr % 16 reproduces the assignment bit-exactly."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.profile import partition_skew
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return partition_skew(ev, "user_id", num_parts=16).sort("part")
+
+
 def _q_events_type_overlap(sf_dir: str):
     """Exact pairwise audience overlap between event types (round-5
     addition): distinct users in BOTH types, each side's distinct count
@@ -3756,6 +3773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coverage_1d": _q_events_coverage_1d,
         "events_type_overlap": _q_events_type_overlap,
         "turns_tool_streaks": _q_turns_tool_streaks,
+        "events_skew_report": _q_events_skew_report,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -3883,6 +3901,7 @@ _ROLLUP_AGG = """
 
 def oracle_sql() -> dict[str, str]:
     path = _transcripts_path("/root/testdata/sf0.01")
+    skew_h = _sampling_sql().hash_sql_expr("user_id")
 
     turns = _TURNS_CTE.format(path=path)
 
@@ -6115,6 +6134,15 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
 FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+""",
+        "events_skew_report": f"""
+WITH p AS (SELECT CAST({skew_h} % 16 AS BIGINT) AS part, user_id
+           FROM events),
+kc AS (SELECT part, user_id, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT part, CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows
+FROM kc GROUP BY 1
 """,
         "events_type_overlap": """
 WITH m AS (SELECT DISTINCT user_id, event_type FROM events),

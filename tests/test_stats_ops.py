@@ -201,3 +201,27 @@ def test_distinct_overlap_brute(ray_session):
     for r, (a, b, both, na, nb, j) in zip(got.itertuples(index=False), rows):
         assert (r.cat_a, r.cat_b, r.n_both, r.n_a, r.n_b) == (a, b, both, na, nb)
         assert r.jaccard == pytest.approx(j, abs=2e-6)
+
+
+def test_partition_skew_brute(ray_session):
+    from tsfeatures_ray.functions.profile import partition_skew
+    from tsfeatures_ray.functions.sampling import knuth_hash32
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 40, 5000).astype(np.int64)
+    got = (
+        partition_skew(_ds(pd.DataFrame({"k": keys})), "k", num_parts=8)
+        .sort("part")
+        .to_pandas()
+    )
+    part = (knuth_hash32(keys) % np.uint64(8)).astype(np.int64)
+    df = pd.DataFrame({"part": part, "k": keys})
+    kc = df.groupby(["part", "k"]).size().rename("n").reset_index()
+    want = (
+        kc.groupby("part")["n"]
+        .agg(n_rows="sum", n_keys="size", max_key_rows="max")
+        .reset_index()
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    assert got["n_rows"].sum() == 5000

@@ -134,3 +134,82 @@ def profile_table(
         .map_groups(lambda d: final(d.drop(columns=["__g"])),
                     batch_format="pandas")
     )
+
+
+def partition_skew(
+    ds,
+    key: str,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Exchange-skew diagnostic: simulate a ``num_parts``-way hash
+    exchange on ``key`` (the shared knuth_hash32 avalanche hash, so the
+    DuckDB oracle reproduces the assignment bit-exactly) and report per
+    partition: row count, distinct-key count, and the hottest key's row
+    count -- the pre-join report that tells you whether a key needs
+    salting or a broadcast bypass (see join.skew_join).
+
+    Batches collapse to (part, key, count) partials, one key-bounded
+    exchange makes them global, a second tiny groupby reduces to
+    ``num_parts`` rows."""
+    import pandas as pd
+
+    from ..stages.derive import default_num_parts, stable_part
+    from .sampling import knuth_hash32
+
+    inner = default_num_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        part = (knuth_hash32(k.astype(np.int64)) % np.uint64(num_parts)).astype(
+            np.int64
+        )
+        out = (
+            pd.DataFrame({"part": part, "key": k})
+            .groupby(["part", "key"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["xpart"] = stable_part(out["key"].to_numpy(), inner)
+        return out
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["part", "key"], sort=False)["n"].sum().reset_index()
+        )
+        out = (
+            tot.groupby("part", sort=False)["n"]
+            .agg(n_rows="sum", n_keys="size", max_key_rows="max")
+            .reset_index()
+        )
+        for c in ("n_rows", "n_keys", "max_key_rows"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("xpart")
+        .map_groups(per_key, batch_format="pandas")
+    )
+    import ray.data as rd
+
+    # keys are disjoint across xparts (xpart hashes the key), so the
+    # per-xpart n_keys counts sum without double-counting
+    merged = partials.groupby("part").aggregate(
+        rd.aggregate.Sum("n_rows"),
+        rd.aggregate.Sum("n_keys"),
+        rd.aggregate.Max("max_key_rows"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part": df["part"].astype(np.int64),
+                "n_rows": df["sum(n_rows)"].astype(np.int64),
+                "n_keys": df["sum(n_keys)"].astype(np.int64),
+                "max_key_rows": df["max(max_key_rows)"].astype(np.int64),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
