@@ -2338,6 +2338,27 @@ def _q_customer_fuzzy_triangles(sf_dir: str):
     return triangle_count(pairs)
 
 
+def _q_customer_name_pagerank(sf_dir: str):
+    """Distributed PageRank (round-5 addition) over the edit-distance-1
+    customer-name graph: 5 fixed power iterations (bit-deterministic --
+    no epsilon test), per round ONE partitioned hash join ships ranks to
+    edge partitions, contributions pre-aggregate per batch, and the
+    rank table repartitions+materializes per round (the block-growth
+    gotcha). Oracle: 5 unrolled join+groupby CTEs replaying the same
+    r' = (1-d)/N + d*sum(r/deg) recurrence."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.fuzzy import edit1_pairs
+    from tsfeatures_ray.functions.graph import pagerank
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    pairs = edit1_pairs(cust, id_col="c_custkey", str_col="c_name")
+    return pagerank(pairs, iters=5, num_parts=8).sort("node")
+
+
 def _q_docs_vocab_stats(sf_dir: str):
     """Per-source vocabulary statistics (round-5 addition): total
     tokens, distinct types, hapax count, type-token ratio, hapax ratio.
@@ -3770,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "docs_vocab_stats": _q_docs_vocab_stats,
         "customer_fuzzy_triangles": _q_customer_fuzzy_triangles,
+        "customer_name_pagerank": _q_customer_name_pagerank,
         "events_coverage_1d": _q_events_coverage_1d,
         "events_type_overlap": _q_events_type_overlap,
         "turns_tool_streaks": _q_turns_tool_streaks,
@@ -3897,6 +3919,34 @@ _ROLLUP_AGG = """
     FROM turns
     GROUP BY 1, 2
 """
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled power-iteration CTE chain (standard SQL forbids
+    aggregation in a recursive term, so each iteration is its own CTE):
+    replays pagerank()'s r' = (1-d)/N + d*SUM(r/deg) exactly."""
+    sql = """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+eu AS (SELECT a.id AS x, b.id AS y FROM c a JOIN c b ON a.id < b.id
+       WHERE abs(length(a.s) - length(b.s)) <= 1
+         AND levenshtein(a.s, b.s) <= 1),
+e AS (SELECT x AS u, y AS v FROM eu UNION ALL SELECT y, x FROM eu),
+deg AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM deg),
+pr0 AS (SELECT u AS node, 1.0 / cnt AS r FROM deg CROSS JOIN n)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+pr{k} AS (
+  SELECT e.v AS node,
+         (1 - 0.85) / MAX(n.cnt) + 0.85 * SUM(p.r / deg.dg) AS r
+  FROM e JOIN pr{k - 1} p ON p.node = e.u
+         JOIN deg ON deg.u = e.u
+         CROSS JOIN n
+  GROUP BY e.v)"""
+    sql += (
+        f"\nSELECT node, ROUND(r + 0.0000001, 6) AS rank FROM pr{iters}"
+    )
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6092,6 +6142,7 @@ SELECT source,
         + 0.0000001, 6) AS hapax_ratio
 FROM tc GROUP BY 1
 """,
+        "customer_name_pagerank": _pagerank_sql(5),
         "events_coverage_1d": """
 WITH o AS (
   SELECT user_id, event_id, ts,

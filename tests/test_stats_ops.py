@@ -225,3 +225,50 @@ def test_partition_skew_brute(ray_session):
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
     assert got["n_rows"].sum() == 5000
+
+
+def test_pagerank_brute(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    n, m = 80, 400
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    got = (
+        pagerank(
+            rd.from_pandas(pd.DataFrame({"id_a": a, "id_b": b})),
+            iters=10,
+            num_parts=5,
+        )
+        .sort("node")
+        .to_pandas()
+    )
+    E = set()
+    for x, y in zip(a, b):
+        if x != y:
+            E.add((min(x, y), max(x, y)))
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    adj = [[] for _ in range(N)]
+    for x, y in E:
+        deg[idx[x]] += 1
+        deg[idx[y]] += 1
+        adj[idx[x]].append(idx[y])
+        adj[idx[y]].append(idx[x])
+    r = np.full(N, 1.0 / N)
+    for _ in range(10):
+        nr = np.zeros(N)
+        for i in range(N):
+            for j in adj[i]:
+                nr[j] += r[i] / deg[i]
+        r = (1 - 0.85) / N + 0.85 * nr
+    r6 = r + 1e-7
+    r6 = np.sign(r6) * np.floor(np.abs(r6) * 1e6 + 0.5) / 1e6
+    assert list(got["node"]) == nodes
+    np.testing.assert_allclose(got["rank"].to_numpy(), r6, atol=2e-6)
+    # ranks form a distribution over the N edge-connected nodes
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-3)

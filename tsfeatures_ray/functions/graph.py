@@ -476,3 +476,171 @@ def triangle_count(
             }
         ]
     )
+
+
+def pagerank(
+    edges,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_parts: int | None = None,
+):
+    """PageRank over the undirected simple graph of ``edges`` (each
+    edge walks both ways), K fixed power iterations (fixed count, not an
+    epsilon test, so the output is bit-deterministic and the unrolled
+    SQL oracle can replay it):
+    ``r'(v) = (1-d)/N + d * sum_{u~v} r(u)/deg(u)``, ranks seeded 1/N
+    over the N nodes that appear in edges. Returns (node, rank 6dp).
+
+    Scale shape (same contract as connected_components above): per
+    round ONE partitioned hash join ships ranks to their edge
+    partitions, contributions pre-aggregate per batch before the ONE
+    node-hash reduce that also carries the degree rows, and the rank
+    table is repartitioned + materialized per round (groupby output
+    block count tracks input blocks -- without the cap blocks multiply
+    per round). Nothing driver-side except N."""
+    import ray.data as rd
+
+    from .join import partitioned_join
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy(dtype=np.int64)
+        b = df[dst].to_numpy(dtype=np.int64)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        out = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+        out["part"] = stable_part(out["lo"].to_numpy(), num_parts)
+        return out
+
+    def sym(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["part"]).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([g["lo"].to_numpy(), g["hi"].to_numpy()]),
+                "v": np.concatenate([g["hi"].to_numpy(), g["lo"].to_numpy()]),
+            }
+        )
+
+    e = (
+        edges.map_batches(clean, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sym, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.Series(df["u"].to_numpy(), name="node")
+            .value_counts()
+            .rename("dg")
+            .reset_index()
+        )
+        out.columns = ["node", "dg"]
+        return out.astype({"node": np.int64, "dg": np.int64})
+
+    deg = (
+        e.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .sum("dg")
+        .materialize()
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+            .empty_table()
+        )
+    base = (1.0 - damping) / n_nodes
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": df["node"].astype(np.int64),
+                "r": np.full(len(df), 1.0 / n_nodes),
+                "dg": df["sum(dg)"].astype(np.int64),
+            }
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pandas").materialize()
+    e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    r_schema = pa.schema(
+        [("u", pa.int64()), ("r", pa.float64()), ("dg", pa.int64())]
+    )
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["r"].to_numpy() / df["dg"].to_numpy()
+        out = (
+            pd.DataFrame({"node": df["v"].to_numpy(), "val": w})
+            .groupby("node", sort=False)["val"]
+            .sum()
+            .reset_index()
+        )
+        out["kind"] = np.int8(0)
+        out["part"] = stable_part(out["node"].to_numpy(), num_parts)
+        return out
+
+    def deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": df["node"].astype(np.int64),
+                "val": df["sum(dg)"].to_numpy(dtype=np.float64),
+            }
+        )
+        out["kind"] = np.int8(1)
+        out["part"] = stable_part(out["node"].to_numpy(), num_parts)
+        return out
+
+    deg_tagged = deg.map_batches(deg_rows, batch_format="pandas").materialize()
+
+    def reduce_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["part"])
+        k = g["kind"].to_numpy()
+        s = (
+            g[k == 0]
+            .groupby("node", sort=False)["val"]
+            .sum()
+        )
+        d = g[k == 1].set_index("node")["val"]
+        s = s.reindex(d.index, fill_value=0.0)
+        return pd.DataFrame(
+            {
+                "u": d.index.to_numpy().astype(np.int64),
+                "r": base + damping * s.to_numpy(),
+                "dg": d.to_numpy().astype(np.int64),
+            }
+        )
+
+    for _ in range(iters):
+        joined = partitioned_join(
+            e,
+            ranks,
+            left_on="u",
+            num_parts=num_parts,
+            left_schema=e_schema,
+            right_schema=r_schema,
+        )
+        cand = joined.map_batches(contrib, batch_format="pandas").union(
+            deg_tagged
+        )
+        ranks = (
+            cand.groupby("part")
+            .map_groups(reduce_ranks, batch_format="pandas")
+            .repartition(num_parts)
+            .materialize()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r"].to_numpy() + 1e-7
+        return pd.DataFrame(
+            {
+                "node": df["u"].astype(np.int64),
+                "rank": np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pandas")
