@@ -2180,6 +2180,63 @@ def _q_events_type_overlap(sf_dir: str):
     )
 
 
+def _q_events_value_deciles(sf_dir: str):
+    """Global equal-frequency discretization (round-5 addition): bin
+    every event by the EXACT global deciles of value (rank-k boundary
+    elements via the iterative-histogram selection, sketches.py) and
+    count per (event_type, decile). The 9 boundary probes are bounded
+    passes; at scale they batch into one refinement (documented knob).
+    Oracle: ORDER BY LIMIT OFFSET rank-k boundaries + strict-less bin."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import exact_quantile
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    vals = ds.select_columns(["value"])
+    n = vals.count()
+    bounds = np.array(
+        [exact_quantile(vals, "value", k / 10, n=n) for k in range(1, 10)]
+    )
+
+    def binb(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        # decile = count of boundaries strictly below v (0..9)
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "decile": b})
+            .groupby(["event_type", "decile"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = (
+        ds.map_batches(binb, batch_format="pandas")
+        .groupby(["event_type", "decile"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "decile": df["decile"].astype(np.int64),
+                "n": df["sum(n)"].astype(np.int64),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas").sort(
+        ["event_type", "decile"]
+    )
+
+
 def _q_events_attribution(sf_dir: str):
     """First-touch session attribution (round-5 addition): every
     purchase conversion credited to the FIRST event type of its 30-min-
@@ -3796,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": _q_events_type_overlap,
         "turns_tool_streaks": _q_turns_tool_streaks,
         "events_skew_report": _q_events_skew_report,
+        "events_value_deciles": _q_events_value_deciles,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -6185,6 +6243,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
 FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+""",
+        "events_value_deciles": """
+WITH v AS (SELECT event_type, value FROM events),
+n AS (SELECT COUNT(*) AS cnt FROM v),
+r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+ks AS (SELECT UNNEST(range(1, 10)) AS k),
+b AS (SELECT r.value AS bv
+      FROM r JOIN (SELECT CAST(CEIL(k * 0.1 * cnt) AS BIGINT) AS rk
+                   FROM ks CROSS JOIN n) t ON r.rn = t.rk),
+binned AS (SELECT event_type,
+             (SELECT COUNT(*) FROM b WHERE b.bv < v.value) AS decile
+           FROM v)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n
+FROM binned GROUP BY 1, 2
 """,
         "events_skew_report": f"""
 WITH p AS (SELECT CAST({skew_h} % 16 AS BIGINT) AS part, user_id

@@ -272,3 +272,26 @@ def test_pagerank_brute(ray_session):
     np.testing.assert_allclose(got["rank"].to_numpy(), r6, atol=2e-6)
     # ranks form a distribution over the N edge-connected nodes
     assert got["rank"].sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_value_deciles_brute(ray_session):
+    import __ray_entry__ as entry
+
+    got = entry._q_events_value_deciles("/root/testdata/sf0.001").to_pandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    v = np.sort(ev["value"].to_numpy())
+    n = len(v)
+    bounds = np.array(
+        [v[max(1, int(np.ceil(k / 10 * n))) - 1] for k in range(1, 10)]
+    )
+    dec = np.searchsorted(bounds, ev["value"].to_numpy(), side="left")
+    want = (
+        pd.DataFrame({"event_type": ev["event_type"], "decile": dec})
+        .groupby(["event_type", "decile"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .astype({"decile": np.int64, "n": np.int64})
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
