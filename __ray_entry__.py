@@ -2180,6 +2180,23 @@ def _q_events_type_overlap(sf_dir: str):
     )
 
 
+def _q_events_value_ks(sf_dir: str):
+    """Distributed one-sample Kolmogorov-Smirnov test (round-5
+    addition): events.value against an MLE-fitted exponential. Global
+    ranks via the contiguous range-partition + broadcast-base prefix
+    sum (the third use of the pack-style pattern); only per-partition
+    D+ / D- maxima reach the final reduce. Oracle: window row_number
+    ECDF + GREATEST of the two sups."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import ks_exponential
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return ks_exponential(ev, "value")
+
+
 def _q_events_value_deciles(sf_dir: str):
     """Global equal-frequency discretization (round-5 addition): bin
     every event by the EXACT global deciles of value (rank-k boundary
@@ -3854,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_tool_streaks": _q_turns_tool_streaks,
         "events_skew_report": _q_events_skew_report,
         "events_value_deciles": _q_events_value_deciles,
+        "events_value_ks": _q_events_value_ks,
         "events_attribution": _q_events_attribution,
         "orders_benford": _q_orders_benford,
         "events_chi2_hour": _q_events_chi2_hour,
@@ -6243,6 +6261,18 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
 FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+""",
+        "events_value_ks": """
+WITH v AS (SELECT value AS x FROM events),
+st AS (SELECT COUNT(*) AS n, SUM(x) / COUNT(*) AS mu FROM v),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM v)
+SELECT CAST(MAX(st.n) AS BIGINT) AS n,
+       ROUND(MAX(st.mu) + 0.0000001, 6) AS mean_value,
+       ROUND(GREATEST(
+         MAX(i / CAST(st.n AS DOUBLE) - (1 - EXP(-x / st.mu))),
+         MAX((1 - EXP(-x / st.mu)) - (i - 1) / CAST(st.n AS DOUBLE))
+       ) + 0.0000001, 6) AS ks_d
+FROM r CROSS JOIN st
 """,
         "events_value_deciles": """
 WITH v AS (SELECT event_type, value FROM events),

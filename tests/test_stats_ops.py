@@ -295,3 +295,30 @@ def test_value_deciles_brute(ray_session):
         .astype({"decile": np.int64, "n": np.int64})
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_ks_exponential_brute(ray_session):
+    from tsfeatures_ray.functions.stats import ks_exponential
+
+    rng = np.random.default_rng(31)
+    # true exponential sample -> small D; shifted uniform -> large D
+    x = rng.exponential(5.0, 4000)
+    got = ks_exponential(
+        _ds(pd.DataFrame({"x": x})), "x", num_parts=6
+    ).to_pandas()
+    n = len(x)
+    mu = x.sum() / n
+    xs = np.sort(x)
+    i = np.arange(1, n + 1, dtype=float)
+    f = 1 - np.exp(-xs / mu)
+    d = max((i / n - f).max(), (f - (i - 1) / n).max())
+    assert got.loc[0, "n"] == n
+    assert got.loc[0, "mean_value"] == pytest.approx(mu, abs=2e-6)
+    assert got.loc[0, "ks_d"] == pytest.approx(d, abs=2e-6)
+    assert got.loc[0, "ks_d"] < 0.05  # a true exponential fits
+
+    u = rng.uniform(4, 6, 4000)
+    got2 = ks_exponential(
+        _ds(pd.DataFrame({"x": u})), "x", num_parts=6
+    ).to_pandas()
+    assert got2.loc[0, "ks_d"] > 0.3  # a uniform blob does not

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _round6(v: np.ndarray) -> np.ndarray:
@@ -125,3 +126,94 @@ def chi2_independence(ds, col_a: str, col_b: str):
     return merged.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def ks_exponential(ds, col: str, num_parts: int | None = None):
+    """Distributed one-sample Kolmogorov-Smirnov goodness-of-fit test of
+    ``col`` against an exponential with MLE rate (1/mean): ONE row
+    (n, mean_value, ks_d) with D = sup_i max(i/n - F(x_i),
+    F(x_i) - (i-1)/n). Global ranks come from the contiguous
+    range-partition + broadcast-base prefix-sum (equal values share a
+    partition, and the sup over tied rows is attained at the tie's
+    extreme ranks, so tie order cannot change D). Only per-partition
+    maxima reach the final reduce."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    agg = ds.aggregate(
+        rd.aggregate.Count(),
+        rd.aggregate.Sum(col),
+        rd.aggregate.Min(col),
+        rd.aggregate.Max(col),
+    )
+    n = int(agg["count()"])
+    if n == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("n", pa.int64()), ("mean_value", pa.float64()),
+                 ("ks_d", pa.float64())]
+            ).empty_table()
+        )
+    mu = float(agg[f"sum({col})"]) / n
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    span = max((hi - lo) / num_parts, 1e-300)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        p = np.minimum(
+            np.floor((v - lo) / span), num_parts - 1
+        ).astype(np.int64)
+        return pd.DataFrame({"x": v, "part": p})
+
+    parted = ds.map_batches(add_part, batch_format="pandas").materialize()
+    counts = (
+        parted.groupby("part")
+        .count()
+        .to_pandas()
+        .sort_values("part")
+    )
+    base = dict(
+        zip(
+            counts["part"].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(counts["count()"].to_numpy())[:-1])
+            ),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def local_d(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"dp": pd.Series([], dtype="float64"),
+                 "dm": pd.Series([], dtype="float64")}
+            )
+        b = ray.get(base_ref)[int(g["part"].iloc[0])]
+        x = np.sort(g["x"].to_numpy())
+        i = b + np.arange(1, len(x) + 1, dtype=np.float64)
+        f = 1.0 - np.exp(-x / mu)
+        return pd.DataFrame(
+            {
+                "dp": [float(np.max(i / n - f))],
+                "dm": [float(np.max(f - (i - 1) / n))],
+            }
+        )
+
+    parts = parted.groupby("part").map_groups(local_d, batch_format="pandas")
+    m = parts.aggregate(
+        rd.aggregate.Max("dp"), rd.aggregate.Max("dm")
+    )
+    d = max(float(m["max(dp)"]), float(m["max(dm)"]))
+    out = pd.DataFrame(
+        {
+            "n": np.array([n], dtype=np.int64),
+            "mean_value": _round6(np.array([mu])),
+            "ks_d": _round6(np.array([d])),
+        }
+    )
+    return rd.from_arrow(pa.Table.from_pandas(out))
