@@ -32,10 +32,25 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from .spans import duplicated_span_stats  # noqa: F401
-from .concurrency import interval_concurrency  # noqa: F401
+from .concurrency import interval_concurrency, interval_coverage  # noqa: F401
 from .drift import distribution_drift  # noqa: F401
-from .graph import connected_components, dedup_components  # noqa: F401
-from .events import cohort_retention, funnel_conversion  # noqa: F401
+from .fuzzy import edit1_pairs  # noqa: F401
+from .stats import (  # noqa: F401
+    benford_audit,
+    chi2_independence,
+    ks_exponential,
+)
+from .graph import (  # noqa: F401
+    connected_components,
+    dedup_components,
+    pagerank,
+    triangle_count,
+)
+from .events import (  # noqa: F401
+    cohort_retention,
+    funnel_conversion,
+    session_attribution,
+)
 from .temporal_join import asof_join, interval_join, range_join  # noqa: F401
 from .grouped import (  # noqa: F401
     grouped_agg,
@@ -45,7 +60,7 @@ from .grouped import (  # noqa: F401
     grouped_top_k,
     winsorize,
 )
-from .sketches import approx_top_tokens  # noqa: F401
+from .sketches import approx_top_tokens, distinct_overlap  # noqa: F401
 from .changepoint import cusum_changepoint  # noqa: F401
 from .windows import (  # noqa: F401
     interpolate_gaps,
@@ -53,7 +68,9 @@ from .windows import (  # noqa: F401
     rolling_agg,
     rolling_corr,
     rolling_zscore,
+    run_length_stats,
     seasonal_naive_error,
+    ewma,
 )
 from .similarity import (  # noqa: F401
     ann_recall,
@@ -62,5 +79,6 @@ from .similarity import (  # noqa: F401
     kmeans_cluster,
     kmeans_fit,
     lsh_bucketed_knn,
+    mutual_top1,
     semantic_dedup,
 )
