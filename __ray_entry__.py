@@ -3650,6 +3650,57 @@ def _q_docs_dup_spans(sf_dir: str):
     return duplicated_span_stats(docs, k=24)
 
 
+def _q_events_mannwhitney(sf_dir: str):
+    """Distributed Mann-Whitney U rank-sum test (round-5 addition):
+    purchase vs error event values, average-rank ties, tie-corrected
+    normal z. Global ranks via the value-pure range partition +
+    broadcast prefix-sum (ties never straddle partitions); only
+    (rank_sum, tie-term) partials leave each partition. Oracle:
+    RANK() + per-value tie window replays the same formula."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import mann_whitney_u
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "error")
+
+
+def _q_events_ks2(sf_dir: str):
+    """Distributed two-sample Kolmogorov-Smirnov test (round-5
+    addition): purchase vs error value ECDFs, D = sup|F_a - F_b|
+    evaluated at every data point via per-partition cumulative counts
+    + broadcast per-cohort offsets. Oracle: window cumulative counts
+    over distinct values."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import ks_two_sample
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return ks_two_sample(ev, "value", "event_type", "purchase", "error")
+
+
+def _q_events_mutual_info(sf_dir: str):
+    """Categorical mutual information (round-5 addition): event_type x
+    user_id in nats, marginal entropies, sqrt-normalized NMI. Bounded
+    exchange (per-batch joint-count partials -> |A| x |B| merge).
+    Oracle: joint/marginal count CTEs + the same p*ln(p/(pa*pb)) sum."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import mutual_information
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return mutual_information(ev, "event_type", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3953,6 +4004,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "events_props_rollup": _q_events_props_rollup,
         "docs_sample_64": _q_docs_sample_64,
+        "events_mannwhitney": _q_events_mannwhitney,
+        "events_ks2": _q_events_ks2,
+        "events_mutual_info": _q_events_mutual_info,
     }
 
 
@@ -6400,5 +6454,64 @@ j AS (
   FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
 )
 SELECT event_type, status, COUNT(*) AS n FROM j GROUP BY 1, 2
+""",
+        "events_mannwhitney": """
+WITH v AS (SELECT value AS x,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+           FROM events WHERE event_type IN ('purchase', 'error')),
+r AS (SELECT ga,
+             RANK() OVER (ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS ar
+      FROM v),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM v GROUP BY x),
+s AS (SELECT SUM(CASE WHEN ga = 1 THEN ar ELSE 0 END) AS r1,
+             CAST(SUM(ga) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r),
+tt AS (SELECT SUM(c * c * c - c) AS ties FROM t)
+SELECT n1 AS n_a, n - n1 AS n_b,
+       ROUND(r1 + 0.0000001, 6) AS rank_sum_a,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0 + 0.0000001, 6) AS u_a,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+             / SQRT(n1 * (n - n1) / 12.0
+                    * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1))))
+             + 0.0000001, 6) AS z
+FROM s CROSS JOIN tt
+""",
+        "events_ks2": """
+WITH v AS (SELECT value AS x,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+           FROM events WHERE event_type IN ('purchase', 'error')),
+nn AS (SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+              CAST(COUNT(*) - SUM(ga) AS BIGINT) AS n2 FROM v),
+d AS (SELECT x, SUM(ga) AS c1, COUNT(*) - SUM(ga) AS c2
+      FROM v GROUP BY x),
+c AS (SELECT SUM(c1) OVER (ORDER BY x) AS k1,
+             SUM(c2) OVER (ORDER BY x) AS k2 FROM d)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(MAX(ABS(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2))
+             + 0.0000001, 6) AS ks_d
+FROM c CROSS JOIN nn GROUP BY n1, n2
+""",
+        "events_mutual_info": """
+WITH j AS (SELECT event_type AS a, user_id AS b, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n FROM j),
+ma AS (SELECT a, CAST(SUM(n) AS DOUBLE) AS na FROM j GROUP BY a),
+mb AS (SELECT b, CAST(SUM(n) AS DOUBLE) AS nb FROM j GROUP BY b),
+mi AS (SELECT SUM(j.n / tot.n
+                  * LN(j.n * tot.n / (ma.na * mb.nb))) AS mi
+       FROM j CROSS JOIN tot
+            JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b),
+ha AS (SELECT -SUM(na / tot.n * LN(na / tot.n)) AS h_a
+       FROM ma CROSS JOIN tot),
+hb AS (SELECT -SUM(nb / tot.n * LN(nb / tot.n)) AS h_b
+       FROM mb CROSS JOIN tot)
+SELECT ROUND(mi + 0.0000001, 6) AS mi,
+       ROUND(h_a + 0.0000001, 6) AS h_a,
+       ROUND(h_b + 0.0000001, 6) AS h_b,
+       ROUND(mi / SQRT(h_a * h_b) + 0.0000001, 6) AS nmi,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n
+FROM mi CROSS JOIN ha CROSS JOIN hb
 """,
     }

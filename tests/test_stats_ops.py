@@ -322,3 +322,94 @@ def test_ks_exponential_brute(ray_session):
         _ds(pd.DataFrame({"x": u})), "x", num_parts=6
     ).to_pandas()
     assert got2.loc[0, "ks_d"] > 0.3  # a uniform blob does not
+
+
+def test_mann_whitney_brute(ray_session):
+    """Distributed average ranks + tie correction vs a single-process
+    pandas computation, with planted heavy ties across partition
+    boundaries (value-pure partition assignment must keep them exact)."""
+    from tsfeatures_ray.functions.stats import mann_whitney_u
+
+    rng = np.random.RandomState(7)
+    # quantized values force many ties; two drifted cohorts
+    xa = np.round(rng.gamma(2.0, 10.0, 400), 0)
+    xb = np.round(rng.gamma(2.2, 10.0, 350), 0)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(xa) + ["b"] * len(xb) + ["noise"] * 50,
+            "v": np.concatenate([xa, xb, rng.rand(50)]),
+        }
+    )
+    got = (
+        mann_whitney_u(_ds(df), "v", "g", "a", "b", num_parts=7)
+        .to_pandas()
+        .iloc[0]
+    )
+    sub = df[df.g.isin(["a", "b"])]
+    r = sub["v"].rank(method="average").to_numpy()
+    ga = (sub.g == "a").to_numpy()
+    n1, n2 = int(ga.sum()), int((~ga).sum())
+    n = n1 + n2
+    r1 = float(r[ga].sum())
+    u = r1 - n1 * (n1 + 1) / 2.0
+    _, cnt = np.unique(sub["v"].to_numpy(), return_counts=True)
+    tie = float((cnt.astype(float) ** 3 - cnt).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+    assert int(got["n_a"]) == n1 and int(got["n_b"]) == n2
+    assert abs(got["rank_sum_a"] - r1) < 1e-6
+    assert abs(got["u_a"] - u) < 1e-6
+    assert abs(got["z"] - round(z, 6)) < 2e-6
+
+
+def test_ks_two_sample_brute(ray_session):
+    from tsfeatures_ray.functions.stats import ks_two_sample
+
+    rng = np.random.RandomState(11)
+    xa = np.round(rng.normal(0, 1, 300), 1)
+    xb = np.round(rng.normal(0.4, 1.2, 260), 1)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(xa) + ["b"] * len(xb),
+            "v": np.concatenate([xa, xb]),
+        }
+    )
+    got = (
+        ks_two_sample(_ds(df), "v", "g", "a", "b", num_parts=5)
+        .to_pandas()
+        .iloc[0]
+    )
+    sa, sb = np.sort(xa), np.sort(xb)
+    allv = np.unique(df["v"].to_numpy())
+    fa = np.searchsorted(sa, allv, side="right") / len(xa)
+    fb = np.searchsorted(sb, allv, side="right") / len(xb)
+    assert abs(got["ks_d"] - round(float(np.abs(fa - fb).max()), 6)) < 2e-6
+
+
+def test_ks_two_sample_empty_cohort(ray_session):
+    from tsfeatures_ray.functions.stats import ks_two_sample
+
+    df = pd.DataFrame({"g": ["a", "a"], "v": [1.0, 2.0]})
+    out = ks_two_sample(_ds(df), "v", "g", "a", "b")
+    # 0-row to_pandas drops columns in this Ray version; gate on schema
+    assert out.schema().names == ["n_a", "n_b", "ks_d"]
+    assert out.count() == 0
+
+
+def test_mutual_information_known_cases(ray_session):
+    from tsfeatures_ray.functions.stats import mutual_information
+
+    # independent uniform 2x2: MI = 0
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"] * 25, "b": ["p", "q", "p", "q"] * 25}
+    )
+    out = mutual_information(_ds(df), "a", "b").to_pandas().iloc[0]
+    assert out["mi"] == pytest.approx(0.0, abs=1e-6)
+    assert out["nmi"] == pytest.approx(0.0, abs=1e-6)
+    assert out["h_a"] == pytest.approx(np.log(2), abs=1e-6)
+    # perfectly dependent: MI = H = ln 2, NMI = 1
+    df2 = pd.DataFrame({"a": ["x", "y"] * 50, "b": ["p", "q"] * 50})
+    out2 = mutual_information(_ds(df2), "a", "b").to_pandas().iloc[0]
+    assert out2["mi"] == pytest.approx(np.log(2), abs=1e-6)
+    assert out2["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert int(out2["n"]) == 100

@@ -39,6 +39,9 @@ from .stats import (  # noqa: F401
     benford_audit,
     chi2_independence,
     ks_exponential,
+    ks_two_sample,
+    mann_whitney_u,
+    mutual_information,
 )
 from .graph import (  # noqa: F401
     connected_components,

@@ -217,3 +217,278 @@ def ks_exponential(ds, col: str, num_parts: int | None = None):
         }
     )
     return rd.from_arrow(pa.Table.from_pandas(out))
+
+
+def _two_group_parted(ds, col, group_col, group_a, group_b, num_parts):
+    """Shared front end for the two-sample rank statistics: filter to
+    the two cohorts, compute global count/min/max, then value-pure
+    range-partition (``floor((v - lo)/span)`` depends on the VALUE
+    only, so every tied value lands in exactly one partition -- the
+    invariant that makes per-partition tie handling globally exact).
+    Returns (parted_dataset, n_a, n_b, lo, span) or None when a cohort
+    is empty."""
+    import ray.data as rd
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[group_col].isin([group_a, group_b])
+        sub = df.loc[keep]
+        return pd.DataFrame(
+            {
+                "x": sub[col].to_numpy(dtype=np.float64),
+                "ga": (sub[group_col] == group_a)
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    slim = ds.map_batches(project, batch_format="pandas")
+    agg = slim.aggregate(
+        rd.aggregate.Count(),
+        rd.aggregate.Sum("ga"),
+        rd.aggregate.Min("x"),
+        rd.aggregate.Max("x"),
+    )
+    n = int(agg["count()"] or 0)
+    n_a = int(agg["sum(ga)"] or 0)
+    n_b = n - n_a
+    if n_a == 0 or n_b == 0:
+        return None
+    lo, hi = float(agg["min(x)"]), float(agg["max(x)"])
+    span = max((hi - lo) / num_parts, 1e-300)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.minimum(
+            np.floor((df["x"].to_numpy() - lo) / span), num_parts - 1
+        ).astype(np.int64)
+        return df.assign(part=p)
+
+    parted = slim.map_batches(add_part, batch_format="pandas").materialize()
+    return parted, n_a, n_b
+
+
+def mann_whitney_u(
+    ds,
+    col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    num_parts: int | None = None,
+):
+    """Distributed Mann-Whitney U rank-sum test between two cohorts of
+    ``group_col``: ONE row (n_a, n_b, rank_sum_a, u_a, z) with
+    average-rank tie handling and the tie-corrected normal
+    approximation (no continuity correction; the oracle pins the same
+    formula). Global average ranks come from the value-pure range
+    partition + broadcast prefix-sum: ties share a partition by
+    construction, so per-partition pandas average ranks + the
+    partition's global rank offset ARE the global average ranks. Only
+    (rank_sum_a, sum(t^3 - t)) partials leave each partition."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    empty = pa.schema(
+        [("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("rank_sum_a", pa.float64()), ("u_a", pa.float64()),
+         ("z", pa.float64())]
+    )
+    front = _two_group_parted(ds, col, group_col, group_a, group_b, num_parts)
+    if front is None:
+        return rd.from_arrow(empty.empty_table())
+    parted, n_a, n_b = front
+    n = n_a + n_b
+
+    counts = (
+        parted.groupby("part").count().to_pandas().sort_values("part")
+    )
+    base = dict(
+        zip(
+            counts["part"].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(counts["count()"].to_numpy())[:-1])
+            ),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def local_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"r1": pd.Series([], dtype="float64"),
+                 "tie": pd.Series([], dtype="float64")}
+            )
+        b = float(ray.get(base_ref)[int(g["part"].iloc[0])])
+        x = g["x"].to_numpy()
+        ga = g["ga"].to_numpy()
+        order = np.argsort(x, kind="mergesort")
+        xs, gs = x[order], ga[order]
+        # average ranks within the partition (global offset b applies
+        # uniformly because ties never straddle partitions)
+        uniq, start = np.unique(xs, return_index=True)
+        cnt = np.diff(np.append(start, len(xs)))
+        avg = b + start + (cnt + 1) / 2.0  # 1-based: start is 0-based
+        ranks = np.repeat(avg, cnt)
+        r1 = float(ranks[gs == 1].sum())
+        tie = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+        return pd.DataFrame({"r1": [r1], "tie": [tie]})
+
+    parts = parted.groupby("part").map_groups(
+        local_ranks, batch_format="pandas"
+    )
+    s = parts.aggregate(rd.aggregate.Sum("r1"), rd.aggregate.Sum("tie"))
+    r1 = float(s["sum(r1)"])
+    tie = float(s["sum(tie)"])
+    u_a = r1 - n_a * (n_a + 1) / 2.0
+    mu = n_a * n_b / 2.0
+    var = n_a * n_b / 12.0 * ((n + 1) - tie / (float(n) * (n - 1)))
+    z = (u_a - mu) / np.sqrt(var) if var > 0 else 0.0
+    out = pd.DataFrame(
+        {
+            "n_a": np.array([n_a], dtype=np.int64),
+            "n_b": np.array([n_b], dtype=np.int64),
+            "rank_sum_a": _round6(np.array([r1])),
+            "u_a": _round6(np.array([u_a])),
+            "z": _round6(np.array([z])),
+        }
+    )
+    return rd.from_arrow(pa.Table.from_pandas(out))
+
+
+def ks_two_sample(
+    ds,
+    col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    num_parts: int | None = None,
+):
+    """Distributed two-sample Kolmogorov-Smirnov test between two
+    cohorts: ONE row (n_a, n_b, ks_d) with D = sup_x |F_a(x) - F_b(x)|.
+    Both ECDFs step only at sample points, so the sup is attained at a
+    data value; the value-pure range partition gives each partition its
+    global per-cohort cumulative offsets (broadcast base dict), and
+    only the per-partition max gap reaches the final reduce."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    empty = pa.schema(
+        [("n_a", pa.int64()), ("n_b", pa.int64()), ("ks_d", pa.float64())]
+    )
+    front = _two_group_parted(ds, col, group_col, group_a, group_b, num_parts)
+    if front is None:
+        return rd.from_arrow(empty.empty_table())
+    parted, n_a, n_b = front
+
+    counts = (
+        parted.groupby("part")
+        .sum("ga")
+        .to_pandas()
+        .merge(
+            parted.groupby("part").count().to_pandas(), on="part"
+        )
+        .sort_values("part")
+    )
+    ca = counts["sum(ga)"].to_numpy(dtype=np.int64)
+    ct = counts["count()"].to_numpy(dtype=np.int64)
+    base_a = np.concatenate(([0], np.cumsum(ca)[:-1]))
+    base_b = np.concatenate(([0], np.cumsum(ct - ca)[:-1]))
+    base = {
+        int(p): (int(a), int(b))
+        for p, a, b in zip(counts["part"].to_numpy(), base_a, base_b)
+    }
+    base_ref = ray.put(base)
+
+    def local_gap(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"d": pd.Series([], dtype="float64")})
+        ba, bb = ray.get(base_ref)[int(g["part"].iloc[0])]
+        x = g["x"].to_numpy()
+        ga = g["ga"].to_numpy()
+        order = np.argsort(x, kind="mergesort")
+        xs, gs = x[order], ga[order]
+        uniq, start = np.unique(xs, return_index=True)
+        stop = np.append(start[1:], len(xs))
+        cum1 = np.cumsum(gs)
+        cumt = np.arange(1, len(xs) + 1)
+        c1 = cum1[stop - 1]  # cohort-a count up to and incl. each value
+        ct_ = cumt[stop - 1]
+        f1 = (ba + c1) / n_a
+        f2 = (bb + (ct_ - c1)) / n_b
+        return pd.DataFrame({"d": [float(np.max(np.abs(f1 - f2)))]})
+
+    parts = parted.groupby("part").map_groups(
+        local_gap, batch_format="pandas"
+    )
+    m = parts.aggregate(rd.aggregate.Max("d"))
+    out = pd.DataFrame(
+        {
+            "n_a": np.array([n_a], dtype=np.int64),
+            "n_b": np.array([n_b], dtype=np.int64),
+            "ks_d": _round6(np.array([float(m["max(d)"])])),
+        }
+    )
+    return rd.from_arrow(pa.Table.from_pandas(out))
+
+
+def mutual_information(ds, col_a: str, col_b: str):
+    """Mutual information between two categorical columns in nats, plus
+    the marginal entropies and the sqrt-normalized NMI: ONE row
+    (mi, h_a, h_b, nmi, n). Same bounded-exchange shape as
+    chi2_independence -- per-batch joint-count partials, a |A| x |B|
+    groupby merge, and a single-block finish. Zero cells contribute
+    zero (lim p->0 of p ln p)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby([col_a, col_b], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([col_a, col_b])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(
+            index=col_a, columns=col_b, values="sum(n)", fill_value=0,
+            aggfunc="sum",
+        )
+        obs = piv.to_numpy(dtype=np.float64)
+        n = obs.sum()
+        p = obs / n
+        pa_ = p.sum(axis=1, keepdims=True)
+        pb_ = p.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(p > 0, p * np.log(p / (pa_ * pb_)), 0.0)
+            mi = float(term.sum())
+            h_a = float(-np.sum(np.where(pa_ > 0, pa_ * np.log(pa_), 0.0)))
+            h_b = float(-np.sum(np.where(pb_ > 0, pb_ * np.log(pb_), 0.0)))
+        nmi = mi / np.sqrt(h_a * h_b) if h_a > 0 and h_b > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "mi": _round6(np.array([mi])),
+                "h_a": _round6(np.array([h_a])),
+                "h_b": _round6(np.array([h_b])),
+                "nmi": _round6(np.array([nmi])),
+                "n": np.array([int(n)], dtype=np.int64),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
