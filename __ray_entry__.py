@@ -3701,6 +3701,41 @@ def _q_events_mutual_info(sf_dir: str):
     return mutual_information(ev, "event_type", "user_id")
 
 
+def _q_events_twap_1d(sf_dir: str):
+    """Time-weighted average (round-5 addition): events.value as a
+    step signal per user, segments clipped to UTC days, exact integer
+    cents x microseconds accumulation (per-bucket sums bounded by the
+    bucket length, so no overflow at any data size). Oracle: LEAD
+    segments + generate_series day explode + the same HUGEINT->DOUBLE
+    division."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import time_weighted_avg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return time_weighted_avg(ev)
+
+
+def _q_events_scd2(sf_dir: str):
+    """Type-2 SCD build (round-5 addition): collapse each user's
+    consecutive runs of one event_type into versioned rows with
+    valid_from / valid_to (2100-01-01 sentinel on the open version)
+    and the absorbed row count. Oracle: LAG change flags + run-id
+    window cumsum + LEAD over run starts ordered by first event_id."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import scd2_build
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return scd2_build(ev)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4007,6 +4042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": _q_events_mannwhitney,
         "events_ks2": _q_events_ks2,
         "events_mutual_info": _q_events_mutual_info,
+        "events_twap_1d": _q_events_twap_1d,
+        "events_scd2": _q_events_scd2,
     }
 
 
@@ -6513,5 +6550,49 @@ SELECT ROUND(mi + 0.0000001, 6) AS mi,
        ROUND(mi / SQRT(h_a * h_b) + 0.0000001, 6) AS nmi,
        CAST((SELECT n FROM tot) AS BIGINT) AS n
 FROM mi CROSS JOIN ha CROSS JOIN hb
+""",
+        "events_twap_1d": """
+WITH seg AS (
+  SELECT user_id, ts AS t0, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events),
+s AS (SELECT * FROM seg WHERE t1 IS NOT NULL AND t1 > t0),
+gs AS (SELECT user_id, cents, t0, t1,
+       UNNEST(generate_series(date_trunc('day', t0),
+              date_trunc('day', t1 - INTERVAL 1 MICROSECOND),
+              INTERVAL 1 DAY)) AS bucket FROM s),
+c AS (SELECT user_id, bucket, cents,
+      date_diff('microsecond', GREATEST(t0, bucket),
+                LEAST(t1, bucket + INTERVAL 1 DAY)) AS dur
+      FROM gs)
+SELECT user_id, bucket,
+  ROUND(CAST(SUM(cents * dur) AS DOUBLE)
+        / (100.0 * CAST(SUM(dur) AS DOUBLE)) + 0.0000001, 6) AS twap,
+  ROUND(CAST(SUM(dur) AS DOUBLE) / 1000000.0 + 0.0000001, 6) AS dur_s
+FROM c GROUP BY 1, 2
+""",
+        "events_scd2": """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events),
+ch AS (SELECT user_id, ts, event_id, event_type,
+       CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+           AS is_change
+       FROM o),
+runs AS (SELECT user_id, ts, event_id, event_type,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+         FROM ch),
+v AS (SELECT user_id, run_id, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM runs GROUP BY user_id, run_id)
+SELECT user_id, event_type, valid_from,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY run_id),
+                TIMESTAMP '2100-01-01') AS valid_to,
+       n_rows
+FROM v
 """,
     }

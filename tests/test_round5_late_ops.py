@@ -228,3 +228,172 @@ def test_run_length_stats_brute(ray_session):
         rows, columns=["k", "n_flagged", "n_streaks", "max_streak"]
     ).astype(np.int64)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_time_weighted_avg_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import time_weighted_avg
+
+    t = pd.to_datetime(
+        [
+            "2024-01-01 12:00:00",
+            "2024-01-01 18:00:00",
+            "2024-01-02 06:00:00",
+            "2024-01-02 06:00:00",  # zero-length segment: dropped
+        ]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1],
+            "ts": t,
+            "event_id": [1, 2, 3, 4],
+            "value": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    out = (
+        time_weighted_avg(rd.from_pandas(df), num_parts=3)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # day 1: 6h @ 10 + 6h @ 20 -> 15; day 2: 6h @ 20 -> 20
+    assert list(out["twap"]) == [15.0, 20.0]
+    assert list(out["dur_s"]) == [43200.0, 21600.0]
+    assert out["bucket"].tolist() == [
+        pd.Timestamp("2024-01-01"),
+        pd.Timestamp("2024-01-02"),
+    ]
+
+
+def test_time_weighted_avg_brute(ray_session):
+    """Segment/clip arithmetic vs a per-microsecond brute force on a
+    small random panel with multi-day segments and timestamp ties."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import time_weighted_avg
+
+    rng = np.random.RandomState(3)
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(30):
+            t += int(rng.randint(1, 3 * day_us))
+            rows.append((u, t, eid, float(np.round(rng.rand() * 100, 2))))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "us", "event_id", "value"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us").astype("datetime64[us]")
+    got = (
+        time_weighted_avg(
+            rd.from_pandas(df[["user_id", "ts", "event_id", "value"]]),
+            num_parts=3,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    # brute: accumulate exact cents x µs per (user, day) from raw segments
+    acc: dict = {}
+    for u, g in df.sort_values(["user_id", "us", "event_id"]).groupby(
+        "user_id"
+    ):
+        us = g["us"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        for i in range(len(us) - 1):
+            t0, t1, v = int(us[i]), int(us[i + 1]), int(cents[i])
+            while t0 < t1:
+                day = t0 // day_us
+                hi = min(t1, (day + 1) * day_us)
+                num, den = acc.get((u, day), (0, 0))
+                acc[(u, day)] = (num + v * (hi - t0), den + (hi - t0))
+                t0 = hi
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        day = int(r["bucket"].value // 86_400_000_000_000)  # .value is ns
+        num, den = acc[(int(r["user_id"]), day)]
+        tw = num / (100 * den) + 1e-7
+        want = np.sign(tw) * np.floor(abs(tw) * 1e6 + 0.5) / 1e6
+        assert r["twap"] == want
+        assert r["dur_s"] == np.floor(den / 1e6 * 1e6 + 0.5) / 1e6
+
+
+def test_scd2_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import scd2_build
+
+    t = pd.to_datetime(
+        [
+            "2024-01-01",
+            "2024-01-02",
+            "2024-01-03",
+            "2024-01-04",
+            "2024-01-05",
+        ]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": t,
+            "event_id": [1, 2, 3, 4, 5],
+            "event_type": ["a", "a", "b", "a", "c"],
+        }
+    )
+    out = (
+        scd2_build(rd.from_pandas(df), num_parts=3)
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    sent = pd.Timestamp("2100-01-01")
+    want = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["a", "b", "a", "c"],
+            "valid_from": [t[0], t[2], t[3], t[4]],
+            "valid_to": [t[2], t[3], sent, sent],
+            "n_rows": np.array([2, 1, 1, 1], dtype=np.int64),
+        }
+    )
+    want["valid_from"] = want["valid_from"].astype("datetime64[us]")
+    want["valid_to"] = want["valid_to"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_scd2_version_chain_invariants(ray_session):
+    """On real-shaped data every key's versions chain: valid_to of
+    version i equals valid_from of version i+1, runs never repeat the
+    attr consecutively, and n_rows sums to the key's log length."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.events import scd2_build
+
+    rng = np.random.RandomState(9)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 20, n),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**9, n) * 1000, unit="us"
+            ).astype("datetime64[us]"),
+            "event_id": np.arange(n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    out = scd2_build(rd.from_pandas(df), num_parts=5).to_pandas()
+    assert int(out["n_rows"].sum()) == n
+    sent = pd.Timestamp("2100-01-01")
+    for u, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from", kind="mergesort").reset_index(
+            drop=True
+        )
+        # exactly one open version, and it is the last one
+        assert (g["valid_to"] == sent).sum() == 1
+        assert g["valid_to"].iloc[-1] == sent
+        chain = g["valid_to"].iloc[:-1].to_numpy()
+        nxt = g["valid_from"].iloc[1:].to_numpy()
+        assert (chain == nxt).all()
+        a = g["event_type"].to_numpy()
+        assert (a[1:] != a[:-1]).all()

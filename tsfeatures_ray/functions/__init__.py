@@ -52,6 +52,7 @@ from .graph import (  # noqa: F401
 from .events import (  # noqa: F401
     cohort_retention,
     funnel_conversion,
+    scd2_build,
     session_attribution,
 )
 from .temporal_join import asof_join, interval_join, range_join  # noqa: F401
@@ -73,6 +74,7 @@ from .windows import (  # noqa: F401
     rolling_zscore,
     run_length_stats,
     seasonal_naive_error,
+    time_weighted_avg,
     ewma,
 )
 from .similarity import (  # noqa: F401

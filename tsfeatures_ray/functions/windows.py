@@ -837,3 +837,109 @@ def run_length_stats(
         .groupby("__part")
         .map_groups(streaks, batch_format="pandas")
     )
+
+
+def time_weighted_avg(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    order: str = "event_id",
+    value: str = "value",
+    bucket_us: int = 86_400_000_000,
+    scale: int = 100,
+    num_parts: int | None = None,
+):
+    """Time-weighted average (TWAP) of a step signal sampled at
+    irregular times: each observation's value holds until the key's
+    next observation (no extrapolation past the last one), segments are
+    clipped to fixed ``bucket_us`` buckets, and each (key, bucket) row
+    reports twap = sum(v * overlap) / sum(overlap) plus the covered
+    duration in seconds. Zero-length segments (tied timestamps, broken
+    by ``order``) are dropped on both sides of the contract.
+
+    Exactness: values quantize to integers via the repo cents
+    convention (rint(v * scale)), so both numerator (cents x µs) and
+    denominator (µs) accumulate as exact int64 -- per-bucket sums are
+    bounded by scale_max x 86.4e9 regardless of data size, and the one
+    double division matches DuckDB's HUGEINT->DOUBLE cast bit-for-bit.
+
+    Scale shape: ONE bounded exchange on ``stable_part(key)``; inside
+    the sorted partition segment splitting is np.repeat over the
+    bucket span (a segment touching k buckets emits k rows -- bounded
+    by segment length / bucket size, not data size) and the (key,
+    bucket) reduce is a local pandas groupby because partitions hold
+    whole keys."""
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, ts, order, value]].copy()
+        df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order], kind="mergesort")
+        k = g[key].to_numpy()
+        t = ts_to_us(g[ts]).to_numpy()
+        cents = np.rint(g[value].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        same = np.r_[k[1:] == k[:-1], False]  # row i starts a segment
+        t0 = t[same]
+        t1 = np.roll(t, -1)[same]
+        v = cents[same]
+        kk = k[same]
+        live = t1 > t0
+        t0, t1, v, kk = t0[live], t1[live], v[live], kk[live]
+        if len(t0) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype),
+                    "bucket": pd.Series([], dtype="datetime64[us]"),
+                    "twap": pd.Series([], dtype="float64"),
+                    "dur_s": pd.Series([], dtype="float64"),
+                }
+            )
+        b0 = t0 // bucket_us
+        b1 = (t1 - 1) // bucket_us
+        span = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t0)), span)
+        # offset of each emitted row inside its segment's bucket run
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(span) - span, span
+        )
+        bk = b0[idx] + off
+        lo = np.maximum(t0[idx], bk * bucket_us)
+        hi = np.minimum(t1[idx], (bk + 1) * bucket_us)
+        dur = hi - lo
+        part = pd.DataFrame(
+            {
+                key: kk[idx],
+                "bucket": bk,
+                "num": v[idx] * dur,
+                "den": dur,
+            }
+        )
+        agg = part.groupby([key, "bucket"], sort=True, as_index=False).sum()
+        num = agg["num"].to_numpy(dtype=np.float64)
+        den = agg["den"].to_numpy(dtype=np.float64)
+        tw = num / (scale * den) + 1e-7
+        dsec = den / 1e6 + 1e-7
+        return pd.DataFrame(
+            {
+                key: agg[key],
+                "bucket": pd.to_datetime(
+                    agg["bucket"].to_numpy() * bucket_us, unit="us"
+                ).astype("datetime64[us]"),
+                "twap": np.sign(tw) * np.floor(np.abs(tw) * 1e6 + 0.5) / 1e6,
+                "dur_s": np.floor(dsec * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(twap, batch_format="pandas")
+    )
