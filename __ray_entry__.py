@@ -3736,6 +3736,35 @@ def _q_events_scd2(sf_dir: str):
     return scd2_build(ev)
 
 
+def _q_events_golden_record(sf_dir: str):
+    """Survivorship merge / golden record (round-5 addition): one row
+    per user with per-attribute winners -- last event_type overall,
+    last value among purchase rows, first timestamp, row count. Each
+    batch shrinks to <=1 row per key before the exchange (combiner), so
+    the shuffle is |keys| x |blocks| regardless of log size. Oracle:
+    QUALIFY row_number arg-max CTEs + LEFT JOINs."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.survivorship import golden_record
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    rules = [
+        {"name": "last_type", "col": "event_type", "how": "last"},
+        {
+            "name": "last_purchase_value",
+            "col": "value",
+            "how": "last",
+            "when": ("event_type", "purchase"),
+        },
+        {"name": "first_ts", "col": "ts", "how": "min"},
+        {"name": "n_events", "how": "count"},
+    ]
+    return golden_record(ev, "user_id", "ts", "event_id", rules)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4044,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mutual_info": _q_events_mutual_info,
         "events_twap_1d": _q_events_twap_1d,
         "events_scd2": _q_events_scd2,
+        "events_golden_record": _q_events_golden_record,
     }
 
 
@@ -6594,5 +6624,24 @@ SELECT user_id, event_type, valid_from,
                 TIMESTAMP '2100-01-01') AS valid_to,
        n_rows
 FROM v
+""",
+        "events_golden_record": """
+WITH last_t AS (
+  SELECT user_id, event_type AS last_type FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1),
+last_p AS (
+  SELECT user_id, value AS last_purchase_value FROM events
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1),
+base AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT b.user_id, l.last_type, p.last_purchase_value, b.first_ts,
+       b.n_events
+FROM base b LEFT JOIN last_t l USING (user_id)
+            LEFT JOIN last_p p USING (user_id)
 """,
     }

@@ -397,3 +397,101 @@ def test_scd2_version_chain_invariants(ray_session):
         assert (chain == nxt).all()
         a = g["event_type"].to_numpy()
         assert (a[1:] != a[:-1]).all()
+
+
+def test_golden_record_hand_case_and_associativity(ray_session):
+    """Per-attribute winners on a hand case, then batch-boundary
+    independence: 1-row blocks must give the same answer as one block
+    (the combiner/merge composition is associative)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.survivorship import golden_record
+
+    t = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-02"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": t,
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["purchase", "view", "purchase", "view"],
+            "value": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    rules = [
+        {"name": "last_type", "col": "event_type", "how": "last"},
+        {
+            "name": "last_purchase_value",
+            "col": "value",
+            "how": "last",
+            "when": ("event_type", "purchase"),
+        },
+        {"name": "first_ts", "col": "ts", "how": "min"},
+        {"name": "n_events", "how": "count"},
+    ]
+
+    def run(ds):
+        return (
+            golden_record(ds, "user_id", "ts", "event_id", rules)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    got = run(rd.from_pandas(df))
+    assert got.loc[0, "last_type"] == "purchase"
+    assert got.loc[0, "last_purchase_value"] == 30.0
+    assert got.loc[0, "n_events"] == 3
+    assert got.loc[0, "first_ts"] == t[0]
+    # user 2 has no purchase -> NaN survivor
+    assert np.isnan(got.loc[1, "last_purchase_value"])
+    assert got.loc[1, "last_type"] == "view"
+    # associativity: one block per row
+    shredded = run(
+        rd.from_pandas([df.iloc[[i]] for i in range(len(df))])
+    )
+    pd.testing.assert_frame_equal(got, shredded)
+
+
+def test_golden_record_tie_on_ts_uses_order(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.survivorship import golden_record
+
+    t = pd.to_datetime(["2024-01-01", "2024-01-01"]).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "ts": t,
+            "event_id": [2, 1],
+            "event_type": ["b", "a"],
+        }
+    )
+    rules = [
+        {"name": "last_type", "col": "event_type", "how": "last"},
+        {"name": "first_type", "col": "event_type", "how": "first"},
+    ]
+    got = golden_record(
+        rd.from_pandas(df), "user_id", "ts", "event_id", rules
+    ).to_pandas()
+    assert got.loc[0, "last_type"] == "b"  # higher event_id wins the tie
+    assert got.loc[0, "first_type"] == "a"
+
+
+def test_golden_record_bad_rule(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.survivorship import golden_record
+
+    df = pd.DataFrame({"user_id": [1], "ts": [1], "event_id": [1]})
+    with pytest.raises(ValueError):
+        golden_record(
+            rd.from_pandas(df), "user_id", "ts", "event_id",
+            [{"name": "x", "how": "median", "col": "ts"}],
+        )
+    with pytest.raises(ValueError):
+        golden_record(
+            rd.from_pandas(df), "user_id", "ts", "event_id",
+            [{"name": "x", "how": "last"}],
+        )

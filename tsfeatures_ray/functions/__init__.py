@@ -32,6 +32,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from .spans import duplicated_span_stats  # noqa: F401
+from .survivorship import golden_record  # noqa: F401
 from .concurrency import interval_concurrency, interval_coverage  # noqa: F401
 from .drift import distribution_drift  # noqa: F401
 from .fuzzy import edit1_pairs  # noqa: F401
