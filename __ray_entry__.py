@@ -3765,6 +3765,24 @@ def _q_events_golden_record(sf_dir: str):
     return golden_record(ev, "user_id", "ts", "event_id", rules)
 
 
+def _q_docs_containment(sf_dir: str):
+    """Asymmetric containment join (round-5 addition): directed pairs
+    where >=50% of A's char 8-gram shingles appear in B -- catches
+    boilerplate inclusion / version supersets that symmetric Jaccard
+    misses. PPJoin-style prefix filter (rarest-first via a bounded
+    hot-gram broadcast) + chained partitioned joins; texts never
+    shuffle. Oracle: brute all-pairs gram join."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import containment_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return containment_pairs(docs, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4074,6 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twap_1d": _q_events_twap_1d,
         "events_scd2": _q_events_scd2,
         "events_golden_record": _q_events_golden_record,
+        "docs_containment": _q_docs_containment,
     }
 
 
@@ -6643,5 +6662,20 @@ SELECT b.user_id, l.last_type, p.last_purchase_value, b.first_ts,
        b.n_events
 FROM base b LEFT JOIN last_t l USING (user_id)
             LEFT JOIN last_p p USING (user_id)
+""",
+        "docs_containment": """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS gram
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i)
+  WHERE length(text) >= 8
+),
+sz AS (SELECT doc_id, COUNT(*) AS m FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM g a JOIN g b USING (gram)
+          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / m + 0.0000001, 6) AS containment
+FROM inter JOIN sz ON sz.doc_id = id_a
+WHERE CAST(c AS DOUBLE) / m >= 0.5
 """,
     }

@@ -354,3 +354,67 @@ def test_semantic_dedup_equals_coclustered_exact(ray_session):
     np.testing.assert_array_equal(
         sd["cosine"].to_numpy(), co["cosine"].to_numpy()
     )
+
+
+def test_containment_pairs_brute(ray_session):
+    """Planted containment (A is a substring of B) plus decoys,
+    verified against a brute all-pairs gram intersection -- including
+    completeness of the prefix filter with an EMPTY hot-gram map
+    (hot_k=0: every gram ties as rare; any prefix subset must still
+    find every qualifying pair)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import containment_pairs
+
+    rng = np.random.default_rng(21)
+    alpha = list("abcdefghij ")
+    base = ["".join(rng.choice(alpha, 400)) for _ in range(12)]
+    texts = list(base)
+    texts.append(base[0][50:250])          # contained in doc 0
+    texts.append(base[1] + base[2])        # contains docs 1 and 2
+    texts.append(base[3][:100] + "".join(rng.choice(alpha, 300)))
+    ids = np.arange(len(texts), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    k, t = 8, 0.5
+
+    def grams(s):
+        return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+    want = []
+    gs = [grams(s) for s in texts]
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b or not gs[a]:
+                continue
+            c = len(gs[a] & gs[b]) / len(gs[a])
+            if c >= t:
+                r = c + 1e-7
+                want.append(
+                    (a, b, np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+                )
+    want.sort()
+    assert len(want) >= 3  # the planted relations exist
+
+    for hot_k in (0, 100_000):
+        got = (
+            containment_pairs(
+                rd.from_pandas(df), k=k, threshold=t,
+                hot_k=hot_k, num_parts=4,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert (
+            list(zip(got["id_a"], got["id_b"], got["containment"])) == want
+        ), f"hot_k={hot_k}"
+
+
+def test_containment_threshold_validation(ray_session):
+    from tsfeatures_ray.functions.dedup import containment_pairs
+
+    with pytest.raises(ValueError):
+        containment_pairs(None, threshold=0.0)
+    with pytest.raises(ValueError):
+        containment_pairs(None, threshold=1.5)

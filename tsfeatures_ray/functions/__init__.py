@@ -31,6 +31,7 @@ from .dedup import (  # noqa: F401
     jaccard_near_dups,
     ngram_jaccard_pairs,
 )
+from .dedup import containment_pairs  # noqa: F401
 from .spans import duplicated_span_stats  # noqa: F401
 from .survivorship import golden_record  # noqa: F401
 from .concurrency import interval_concurrency, interval_coverage  # noqa: F401

@@ -1027,3 +1027,200 @@ def conversation_fingerprints(
         .groupby("__part")
         .map_groups(canonical, batch_format="pandas")
     )
+
+
+def containment_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.5,
+    hot_k: int = 100_000,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact asymmetric containment join over char k-gram shingle sets:
+    DIRECTED pairs (id_a, id_b, containment) with containment =
+    |G_a INTERSECT G_b| / |G_a| >= threshold -- the "is document A
+    mostly contained in B" relation that symmetric Jaccard dedup
+    misses (boilerplate inclusion, quote-expansion, version supersets).
+
+    Candidate generation is PPJoin-style prefix filtering adapted to
+    the one-sided threshold: a pair with overlap >= floor(t*|G_a|)
+    must share a gram with ANY (|G_a| - floor(t*|G_a|) + 1)-subset of
+    G_a (pigeonhole), so only A's prefix grams are indexed while B
+    indexes everything. Prefix grams are chosen rarest-first using a
+    broadcast of the ``hot_k`` most-frequent grams' document
+    frequencies (grams outside the broadcast tie as rare; ANY subset
+    keeps completeness, rarity ordering only shrinks the candidate
+    volume), so the driver never holds the full vocabulary.
+
+    Exchanges: gram-df groupby, prefix x full postings join on the
+    gram, pair-hash dedup, and two chained partitioned joins that
+    co-locate each candidate with both gram sets -- texts themselves
+    never shuffle, and per-pair verification is exact set
+    intersection. Matches a brute-force all-pairs SQL oracle."""
+    import math
+
+    from .join import partitioned_join
+    from ..stages.derive import default_num_parts, stable_part
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    sep = "\x00"
+
+    def shingle(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, ms = [], [], []
+        for i, txt in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            t = txt or ""
+            if len(t) < k:
+                continue
+            gs = sorted({t[j : j + k] for j in range(len(t) - k + 1)})
+            ids.append(i)
+            grams.append(sep.join(gs))
+            ms.append(len(gs))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "grams": pd.Series(grams, dtype="object"),
+                "m": np.asarray(ms, dtype=np.int64),
+            }
+        )
+
+    sh = ds.map_batches(shingle, batch_format="pandas").materialize()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype="object"),
+                 "b": pd.Series([], dtype="int64")}
+            )
+        lists = df["grams"].str.split(sep)
+        n = lists.str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "gram": np.concatenate(lists.to_numpy()),
+                "b": np.repeat(df[id_col].to_numpy(), n),
+            }
+        )
+
+    posts = sh.map_batches(explode, batch_format="pandas")
+    if hot_k > 0:
+        hot = (
+            posts.groupby("gram")
+            .count()
+            .sort("count()", descending=True)
+            .limit(hot_k)
+            .to_pandas()
+        )
+        df_map = dict(zip(hot["gram"], hot["count()"].astype(int)))
+    else:  # all grams tie as rare; any prefix subset stays complete
+        df_map = {}
+    df_ref = ray.put(df_map)
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        out_g, out_a = [], []
+        for i, gs, m in zip(
+            df[id_col].to_numpy(), df["grams"].to_numpy(), df["m"].to_numpy()
+        ):
+            glist = gs.split(sep)
+            plen = int(m) - int(math.floor(threshold * int(m))) + 1
+            if plen >= m:
+                pick = glist
+            else:
+                pick = sorted(glist, key=lambda g: (dfm.get(g, 0), g))[:plen]
+            out_g.extend(pick)
+            out_a.extend([i] * len(pick))
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(out_g, dtype="object"),
+                "a": np.asarray(out_a, dtype=np.int64),
+            }
+        )
+
+    pre = sh.map_batches(prefix, batch_format="pandas")
+    gram_schema_a = pa.schema([("gram", pa.string()), ("a", pa.int64())])
+    gram_schema_b = pa.schema([("gram", pa.string()), ("b", pa.int64())])
+    cand = partitioned_join(
+        pre, posts, left_on="gram", how="inner",
+        num_parts=num_parts,
+        left_schema=gram_schema_a, right_schema=gram_schema_b,
+    ).map_batches(
+        lambda d: d.loc[d["a"] != d["b"], ["a", "b"]],
+        batch_format="pandas",
+    )
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["a"].to_numpy() * np.int64(1_000_003) + df["b"].to_numpy()
+        df = df.copy()
+        df["__part"] = stable_part(key, num_parts)
+        return df
+
+    distinct = (
+        cand.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns="__part"),
+            batch_format="pandas",
+        )
+    )
+
+    sh_a = sh.map_batches(
+        lambda d: d.rename(
+            columns={id_col: "a", "grams": "grams_a", "m": "m_a"}
+        ),
+        batch_format="pandas",
+    )
+    sh_b = sh.map_batches(
+        lambda d: d[[id_col, "grams"]].rename(
+            columns={id_col: "b", "grams": "grams_b"}
+        ),
+        batch_format="pandas",
+    )
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    sha_schema = pa.schema(
+        [("a", pa.int64()), ("grams_a", pa.string()), ("m_a", pa.int64())]
+    )
+    shb_schema = pa.schema([("b", pa.int64()), ("grams_b", pa.string())])
+    j1 = partitioned_join(
+        distinct, sh_a, left_on="a", how="inner", num_parts=num_parts,
+        left_schema=pair_schema, right_schema=sha_schema,
+    )
+    j1_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("grams_a", pa.string()), ("m_a", pa.int64())]
+    )
+    j2 = partitioned_join(
+        j1, sh_b, left_on="b", how="inner", num_parts=num_parts,
+        left_schema=j1_schema, right_schema=shb_schema,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "containment": pd.Series([], dtype="float64")}
+            )
+        conts = np.empty(len(df), dtype=np.float64)
+        ga = df["grams_a"].to_numpy()
+        gb = df["grams_b"].to_numpy()
+        ms = df["m_a"].to_numpy(dtype=np.float64)
+        for i in range(len(df)):
+            c = len(set(ga[i].split(sep)) & set(gb[i].split(sep)))
+            conts[i] = c / ms[i]
+        keep = conts >= threshold
+        r = conts[keep] + 1e-7
+        return pd.DataFrame(
+            {
+                "id_a": df["a"].to_numpy()[keep],
+                "id_b": df["b"].to_numpy()[keep],
+                "containment": np.sign(r)
+                * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
