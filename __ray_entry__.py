@@ -3783,6 +3783,23 @@ def _q_docs_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.5)
 
 
+def _q_events_hampel(sf_dir: str):
+    """Hampel robust outlier filter (round-5 addition): points whose
+    deviation from the per-user trailing 7-row rolling median exceeds
+    3 robust sigmas (1.4826 x per-user MAD from that rolling median).
+    Emits flagged rows only. Oracle: window median + grouped
+    quantile_cont MAD, the same pinned score expression."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import hampel_outliers
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "value"],
+    )
+    return hampel_outliers(ev, "user_id", "event_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4093,6 +4110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": _q_events_scd2,
         "events_golden_record": _q_events_golden_record,
         "docs_containment": _q_docs_containment,
+        "events_hampel": _q_events_hampel,
     }
 
 
@@ -6677,5 +6695,19 @@ SELECT id_a, id_b,
        ROUND(CAST(c AS DOUBLE) / m + 0.0000001, 6) AS containment
 FROM inter JOIN sz ON sz.doc_id = id_a
 WHERE CAST(c AS DOUBLE) / m >= 0.5
+""",
+        "events_hampel": """
+WITH m AS (
+  SELECT user_id, event_id, value,
+         median(value) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS rolling_med
+  FROM events),
+d AS (SELECT *, ABS(value - rolling_med) AS dev FROM m),
+s AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1)
+SELECT d.user_id, d.event_id, d.value, d.rolling_med,
+       ROUND(dev / (1.4826 * mad) + 0.0000001, 6) AS score
+FROM d JOIN s USING (user_id)
+WHERE mad > 0 AND dev / (1.4826 * mad) > 3.0
 """,
     }

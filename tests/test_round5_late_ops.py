@@ -495,3 +495,46 @@ def test_golden_record_bad_rule(ray_session):
             rd.from_pandas(df), "user_id", "ts", "event_id",
             [{"name": "x", "how": "last"}],
         )
+
+
+def test_hampel_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import hampel_outliers
+
+    # key 1: flat-with-jitter signal plus one planted spike; key 2
+    # constant (mad 0 -> nothing emitted)
+    v = np.array([10.0, 10.1, 9.9, 10.0, 100.0, 10.1, 9.9, 10.0])
+    df = pd.DataFrame(
+        {
+            "k": np.array([1] * 8 + [2] * 5, dtype=np.int64),
+            "o": np.arange(13, dtype=np.int64),
+            "v": np.concatenate([v, np.full(5, 7.0)]),
+        }
+    )
+    got = (
+        hampel_outliers(_ds(df), key="k", order="o", col="v",
+                        window=3, num_parts=3)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert list(got["k"].unique()) == [1]
+    assert 4 in got["o"].tolist()  # the spike is flagged
+    spike = got[got["o"] == 4].iloc[0]
+    assert spike["v"] == 100.0
+    # brute replication of the flagged set for key 1
+    s = pd.Series(v)
+    med = s.rolling(3, min_periods=1).median().to_numpy()
+    dev = np.abs(v - med)
+    mad = np.median(dev)
+    score = dev / (1.4826 * mad)
+    want_o = np.flatnonzero(score > 3.0)
+    assert got["o"].tolist() == want_o.tolist()
+
+
+def test_hampel_window_validation(ray_session):
+    from tsfeatures_ray.functions.windows import hampel_outliers
+
+    with pytest.raises(ValueError):
+        hampel_outliers(None, key="k", order="o", col="v", window=0)

@@ -74,6 +74,7 @@ from .windows import (  # noqa: F401
     rolling_agg,
     rolling_corr,
     rolling_zscore,
+    hampel_outliers,
     run_length_stats,
     seasonal_naive_error,
     time_weighted_avg,

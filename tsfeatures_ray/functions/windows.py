@@ -943,3 +943,78 @@ def time_weighted_avg(
         .groupby("__part")
         .map_groups(twap, batch_format="pandas")
     )
+
+
+def hampel_outliers(
+    ds,
+    key: str,
+    order: str,
+    col: str,
+    window: int = 7,
+    n_sigmas: float = 3.0,
+    num_parts: int | None = None,
+):
+    """Hampel filter: flag points whose deviation from the per-key
+    TRAILING ``window``-row rolling median exceeds ``n_sigmas`` robust
+    sigmas, where sigma = 1.4826 x the key's median absolute deviation
+    from that rolling median. Emits ONLY the flagged rows (key, order,
+    value, rolling_med, score 6dp); keys whose MAD is zero emit
+    nothing (a constant series has no robust scale to exceed).
+
+    The two medians match SQL exactly: pandas' rolling median and the
+    grouped median both average the middle pair on even counts, the
+    same interpolation as DuckDB's window/aggregate quantile_cont, and
+    the score is the one pinned expression dev / (1.4826 * mad).
+
+    Scale shape: ONE bounded exchange on ``stable_part(key)``; the
+    rolling median runs in pandas' C skiplist kernel per key and the
+    per-key MAD is a local grouped median -- keys never straddle
+    partitions."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, order, col]].copy()
+        df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort").drop(
+            columns="__part"
+        )
+        med = (
+            g.groupby(key, sort=False)[col]
+            .rolling(window, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        v = g[col].to_numpy(dtype=np.float64)
+        dev = np.abs(v - med)
+        mad = (
+            pd.DataFrame({key: g[key].to_numpy(), "dev": dev})
+            .groupby(key, sort=False)["dev"]
+            .transform("median")
+            .to_numpy()
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = dev / (1.4826 * mad)
+        keep = (mad > 0) & (score > n_sigmas)
+        sc = score[keep] + 1e-7
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy()[keep],
+                order: g[order].to_numpy()[keep],
+                col: v[keep],
+                "rolling_med": med[keep],
+                "score": np.sign(sc) * np.floor(np.abs(sc) * 1e6 + 0.5)
+                / 1e6,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(flag, batch_format="pandas")
+    )
