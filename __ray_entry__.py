@@ -3800,6 +3800,24 @@ def _q_events_hampel(sf_dir: str):
     return hampel_outliers(ev, "user_id", "event_id", "value")
 
 
+def _q_docs_cross_source_ppl(sf_dir: str):
+    """Cross-source perplexity matrix (round-5 addition): one add-one
+    -smoothed byte-trigram LM per source, every source's positions
+    scored under every model -- the domain-shift audit run before
+    mixing corpora. Pass 1 is a vocab x |S| bounded exchange; the
+    count matrix broadcasts once; pass 2 partials are |S|^2 rows per
+    batch. Oracle: COALESCE(cnt,0)+1 Laplace CTEs + AVG."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import cross_source_ppl
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return cross_source_ppl(docs)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4111,6 +4129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_golden_record": _q_events_golden_record,
         "docs_containment": _q_docs_containment,
         "events_hampel": _q_events_hampel,
+        "docs_cross_source_ppl": _q_docs_cross_source_ppl,
     }
 
 
@@ -6709,5 +6728,26 @@ SELECT d.user_id, d.event_id, d.value, d.rolling_med,
        ROUND(dev / (1.4826 * mad) + 0.0000001, 6) AS score
 FROM d JOIN s USING (user_id)
 WHERE mad > 0 AND dev / (1.4826 * mad) > 3.0
+""",
+        "docs_cross_source_ppl": """
+WITH pos AS (
+  SELECT source, substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 3),
+c AS (SELECT source, tri, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(cnt) AS DOUBLE) AS total FROM c GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) AS vsz FROM pos),
+scored AS (
+  SELECT t.source AS source_train, p.source AS source_eval,
+         -(LN(COALESCE(c.cnt, 0) + 1) - LN(tot.total + v.vsz)) AS nl
+  FROM pos p
+  CROSS JOIN (SELECT DISTINCT source FROM documents) t
+  LEFT JOIN c ON c.source = t.source AND c.tri = p.tri
+  JOIN tot ON tot.source = t.source
+  CROSS JOIN v)
+SELECT source_train, source_eval,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       ROUND(AVG(nl) + 0.0000001, 6) AS neg_logp_avg
+FROM scored GROUP BY 1, 2
 """,
     }

@@ -469,3 +469,62 @@ def test_pack_bins_ffd(ray_session):
         .reset_index(drop=True)
     )
     assert (got.drop(columns=["part"]).to_numpy() == got2.to_numpy()).all()
+
+
+def test_cross_source_ppl_brute(ray_session):
+    """Laplace-smoothed cross-scoring vs a brute per-source trigram
+    model, including an unseen-trigram path (source b contains bytes
+    source a never emits)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.text import cross_source_ppl
+
+    docs = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat on the log",
+                "zzz qqq zzz qqq zzz",
+                "qqq zzz the qqq",
+            ],
+        }
+    )
+    got = (
+        cross_source_ppl(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values(["source_train", "source_eval"])
+        .reset_index(drop=True)
+    )
+    # brute model
+    from collections import Counter
+
+    tris: dict = {"a": Counter(), "b": Counter()}
+    pos: dict = {"a": [], "b": []}
+    for s, t in zip(docs["source"], docs["text"]):
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            tris[s][g] += 1
+            pos[s].append(g)
+    vocab = set(tris["a"]) | set(tris["b"])
+    v = float(len(vocab))
+    rows = {}
+    for tr in ("a", "b"):
+        tot = float(sum(tris[tr].values()))
+        for ev in ("a", "b"):
+            nl = [
+                -(np.log(tris[tr].get(g, 0) + 1.0) - np.log(tot + v))
+                for g in pos[ev]
+            ]
+            rows[(tr, ev)] = (len(nl), float(np.mean(nl)))
+    assert len(got) == 4
+    for _, r in got.iterrows():
+        n, avg = rows[(r["source_train"], r["source_eval"])]
+        assert int(r["n_positions"]) == n
+        w = avg + 1e-7
+        w = np.sign(w) * np.floor(abs(w) * 1e6 + 0.5) / 1e6
+        assert r["neg_logp_avg"] == pytest.approx(w, abs=2e-6)
+    # off-diagonal must exceed diagonal for these disjoint vocabularies
+    g = got.set_index(["source_train", "source_eval"])["neg_logp_avg"]
+    assert g[("a", "b")] > g[("b", "b")]
+    assert g[("b", "a")] > g[("a", "a")]

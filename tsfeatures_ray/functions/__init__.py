@@ -1,6 +1,7 @@
 from .text import (  # noqa: F401
     bm25_score,
     chunk_documents,
+    cross_source_ppl,
     decontaminate,
     decontaminate_ngrams,
     fingerprint,

@@ -1362,3 +1362,173 @@ def zipf_slope(
             "n_ranks": np.array([len(top)], dtype=np.int64),
         }
     )
+
+
+class _CrossSourceScorer:
+    """Pass 2 of cross_source_ppl: the (union-vocab x sources) Laplace
+    count matrix broadcasts ONCE via ray.put; each batch's positions
+    score against every source model in one vectorized lookup."""
+
+    def __init__(self, model_ref):
+        (self.tri_ids, self.counts, self.log_denom,
+         self.sources) = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        tri, doc, _ = _doc_trigram_positions(texts)
+        if len(tri) == 0:
+            return pd.DataFrame(
+                {
+                    "source_train": pd.Series([], dtype="object"),
+                    "source_eval": pd.Series([], dtype="object"),
+                    "sum_nl": pd.Series([], dtype="float64"),
+                    "n_positions": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.searchsorted(self.tri_ids, tri)  # total: union vocab
+        ev = srcs[doc]  # eval source per position
+        ev_codes, ev_uniq = pd.factorize(ev, sort=True)
+        n_ev = len(ev_uniq)
+        rows = []
+        for s_i, s in enumerate(self.sources):
+            nl = -(
+                np.log(self.counts[idx, s_i] + 1.0) - self.log_denom[s_i]
+            )
+            sums = np.bincount(ev_codes, weights=nl, minlength=n_ev)
+            cnts = np.bincount(ev_codes, minlength=n_ev).astype(np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "source_train": s,
+                        "source_eval": ev_uniq,
+                        "sum_nl": sums,
+                        "n_positions": cnts,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+
+def cross_source_ppl(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_parts: int | None = None,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Cross-source perplexity matrix (domain-shift / contamination
+    audit): fit one add-one-smoothed byte-trigram LM per source, score
+    every source's positions under every model, and emit |S|^2 rows
+    (source_train, source_eval, n_positions, neg_logp_avg). The
+    diagonal is each domain's self-perplexity; off-diagonal spikes
+    locate domains whose data another domain's model finds atypical --
+    the standard check before mixing corpora into one training run.
+
+    Smoothing: P_s(t) = (cnt_s(t) + 1) / (total_s + V) with V the
+    UNION trigram vocabulary, so unseen trigrams are finite and the
+    matrix is exactly reproducible in SQL (COALESCE(cnt, 0) + 1).
+
+    Scale shape: pass 1 ships (trigram, source, count) partials through
+    one bounded exchange (vocab x |S| rows, vocab <= 2^24 by the
+    perfect byte hash, practically ~1e4-1e5); the dense count matrix
+    broadcasts once (document the knob: at vocab x |S| beyond worker
+    RAM, split sources into broadcast shards and union the scoring
+    passes). Pass 2 emits per-batch (train, eval) partial sums -- a
+    |S|^2-bounded exchange -- and texts never shuffle."""
+    from ..stages.derive import default_num_parts, stable_part
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column(text_col).to_pylist()
+        srcs = np.asarray(batch.column(source_col).to_pylist(), dtype=object)
+        tri, doc, _ = _doc_trigram_positions(texts)
+        if len(tri) == 0:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype="int64"),
+                    "tri": pd.Series([], dtype="int64"),
+                    "src": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        df = (
+            pd.DataFrame({"tri": tri, "src": srcs[doc]})
+            .groupby(["tri", "src"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        df["part"] = stable_part(df["tri"].to_numpy(), num_parts)
+        return df
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["tri", "src"], sort=True)["cnt"].sum().reset_index()
+        )
+
+    slim = ds.select_columns([source_col, text_col])
+    if source_col != "source":
+        slim = slim.rename_columns({source_col: "source"})
+    counts = (
+        slim.map_batches(count_partial, batch_format="pyarrow",
+                         batch_size=4096, concurrency=concurrency,
+                         num_cpus=1)
+        .groupby("part")
+        .map_groups(count_merge, batch_format="pandas")
+        .to_pandas()  # vocab x |S| bounded
+    )
+    sources = sorted(counts["src"].unique())
+    tri_ids = np.sort(counts["tri"].unique())
+    mat = np.zeros((len(tri_ids), len(sources)), dtype=np.float64)
+    s_pos = {s: i for i, s in enumerate(sources)}
+    r = np.searchsorted(tri_ids, counts["tri"].to_numpy())
+    c = np.array([s_pos[s] for s in counts["src"]], dtype=np.int64)
+    mat[r, c] = counts["cnt"].to_numpy(dtype=np.float64)
+    totals = mat.sum(axis=0)
+    v = float(len(tri_ids))
+    log_denom = np.log(totals + v)
+    model_ref = ray.put((tri_ids, mat, log_denom, sources))
+
+    partials = slim.map_batches(
+        _CrossSourceScorer,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.groupby(["source_train", "source_eval"], sort=True)
+            .agg(sum_nl=("sum_nl", "sum"), n_positions=("n_positions", "sum"))
+            .reset_index()
+        )
+        avg = a["sum_nl"].to_numpy() / a["n_positions"].to_numpy() + 1e-7
+        return pd.DataFrame(
+            {
+                "source_train": a["source_train"],
+                "source_eval": a["source_eval"],
+                "n_positions": a["n_positions"].astype(np.int64),
+                "neg_logp_avg": np.sign(avg)
+                * np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    # |S|^2 keys; one block so the final averages assemble whole
+    return (
+        partials.groupby(["source_train", "source_eval"])
+        .sum(["sum_nl", "n_positions"])
+        .map_batches(
+            lambda d: d.rename(
+                columns={"sum(sum_nl)": "sum_nl",
+                         "sum(n_positions)": "n_positions"}
+            ),
+            batch_format="pandas",
+        )
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
