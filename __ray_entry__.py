@@ -3818,6 +3818,124 @@ def _q_docs_cross_source_ppl(sf_dir: str):
     return cross_source_ppl(docs)
 
 
+def _q_events_rfm(sf_dir: str):
+    """RFM customer scoring (round-5 addition): recency / frequency /
+    monetary quintile scores per user against EXACT global rank-k
+    quintile boundaries (the deciles machinery at 0.2 steps; 12
+    bounded probes over the per-user aggregate, never the raw log).
+    Monetary accumulates as exact integer cents; every comparison is
+    integer, so scores are bit-deterministic. Oracle: row_number
+    rank-join boundaries + strict-less binning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.sketches import exact_quantile
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "n": 1, "cents": cents, "last_us": us}
+            )
+            .groupby("user_id", sort=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"),
+                 last_us=("last_us", "max"))
+            .reset_index()
+        )
+        return g.astype(
+            {"n": np.int64, "cents": np.int64, "last_us": np.int64}
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            rd.aggregate.Sum("n"),
+            rd.aggregate.Sum("cents"),
+            rd.aggregate.Max("last_us"),
+        )
+        .map_batches(
+            lambda d: pd.DataFrame(
+                {
+                    "user_id": d["user_id"],
+                    "f": d["sum(n)"].astype(np.int64),
+                    "m": d["sum(cents)"].astype(np.int64),
+                    "last_us": d["max(last_us)"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    now_us = int(agg.aggregate(rd.aggregate.Max("last_us"))["max(last_us)"])
+    aged = agg.map_batches(
+        lambda d: d.assign(age_us=(now_us - d["last_us"]).astype(np.int64)),
+        batch_format="pandas",
+    ).materialize()
+    n_users = aged.count()
+    qs = [0.2, 0.4, 0.6, 0.8]
+    b_age = np.array(
+        [exact_quantile(aged, "age_us", q, n=n_users) for q in qs]
+    )
+    b_f = np.array([exact_quantile(aged, "f", q, n=n_users) for q in qs])
+    b_m = np.array([exact_quantile(aged, "m", q, n=n_users) for q in qs])
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        age = d["age_us"].to_numpy()
+        f = d["f"].to_numpy()
+        m = d["m"].to_numpy()
+        r_s = 5 - np.searchsorted(b_age, age, side="left").astype(np.int64)
+        f_s = 1 + np.searchsorted(b_f, f, side="left").astype(np.int64)
+        m_s = 1 + np.searchsorted(b_m, m, side="left").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": d["user_id"],
+                "recency_days": (age // day_us).astype(np.int64),
+                "n_events": f,
+                "monetary_cents": m,
+                "r_score": r_s,
+                "f_score": f_s,
+                "m_score": m_s,
+                "segment": pd.Series(
+                    [f"{a}{b}{c}" for a, b, c in zip(r_s, f_s, m_s)],
+                    dtype="object",
+                ),
+            }
+        )
+
+    return aged.map_batches(score, batch_format="pandas")
+
+
+def _q_events_align_corr(sf_dir: str):
+    """Irregular-series alignment + correlation (round-5 addition):
+    purchase and view values per user aligned on the union of their
+    timestamps with LOCF, Pearson corr over positions where both
+    signals have started (pinned sum-algebra, NaN on zero variance).
+    Oracle: last_value IGNORE NULLS windows + the same expression."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.windows import align_locf_corr
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    return align_locf_corr(
+        ev, "user_id", "ts", "event_id", "event_type",
+        "purchase", "view", "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4130,6 +4248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment": _q_docs_containment,
         "events_hampel": _q_events_hampel,
         "docs_cross_source_ppl": _q_docs_cross_source_ppl,
+        "events_rfm": _q_events_rfm,
+        "events_align_corr": _q_events_align_corr,
     }
 
 
@@ -6749,5 +6869,64 @@ SELECT source_train, source_eval,
        CAST(COUNT(*) AS BIGINT) AS n_positions,
        ROUND(AVG(nl) + 0.0000001, 6) AS neg_logp_avg
 FROM scored GROUP BY 1, 2
+""",
+        "events_rfm": """
+WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m,
+         date_diff('microsecond', MAX(ts), MAX(now_t.now_ts)) AS age_us
+  FROM events CROSS JOIN now_t GROUP BY user_id),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM a),
+ks AS (SELECT UNNEST(range(1, 5)) AS k),
+rk AS (SELECT CAST(CEIL(k * 0.2 * c) AS BIGINT) AS r
+       FROM ks CROSS JOIN cnt),
+ra AS (SELECT age_us, row_number() OVER (ORDER BY age_us) AS rn FROM a),
+rf AS (SELECT f, row_number() OVER (ORDER BY f) AS rn FROM a),
+rm AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM a),
+ba AS (SELECT ra.age_us AS b FROM ra JOIN rk ON ra.rn = rk.r),
+bf AS (SELECT rf.f AS b FROM rf JOIN rk ON rf.rn = rk.r),
+bm AS (SELECT rm.m AS b FROM rm JOIN rk ON rm.rn = rk.r),
+s AS (
+  SELECT a.user_id,
+         CAST(a.age_us // 86400000000 AS BIGINT) AS recency_days,
+         a.f AS n_events, a.m AS monetary_cents,
+         5 - (SELECT COUNT(*) FROM ba WHERE ba.b < a.age_us) AS r_score,
+         1 + (SELECT COUNT(*) FROM bf WHERE bf.b < a.f) AS f_score,
+         1 + (SELECT COUNT(*) FROM bm WHERE bm.b < a.m) AS m_score
+  FROM a)
+SELECT user_id, recency_days, n_events, monetary_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+FROM s
+""",
+        "events_align_corr": """
+WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events
+           WHERE event_type IN ('purchase', 'view')),
+u AS (SELECT user_id,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+        last_value(CASE WHEN event_type = 'view' THEN value END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM e),
+p AS (SELECT user_id, x, y FROM u
+      WHERE x IS NOT NULL AND y IS NOT NULL),
+a AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM p GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT user_id, CAST(n AS BIGINT) AS n_aligned,
+       ROUND(CASE WHEN SQRT(GREATEST(n*sxx - sx*sx, 0))
+                       * SQRT(GREATEST(n*syy - sy*sy, 0)) > 0
+             THEN (n*sxy - sx*sy)
+                  / (SQRT(GREATEST(n*sxx - sx*sx, 0))
+                     * SQRT(GREATEST(n*syy - sy*sy, 0)))
+             ELSE NULL END + 0.0000001, 6) AS corr
+FROM a
 """,
     }

@@ -538,3 +538,59 @@ def test_hampel_window_validation(ray_session):
 
     with pytest.raises(ValueError):
         hampel_outliers(None, key="k", order="o", col="v", window=0)
+
+
+def test_align_locf_corr_hand_case(ray_session):
+    from tsfeatures_ray.functions.windows import align_locf_corr
+
+    # key 1: a at t=1,3,5 values 1,2,3; b at t=2,4,6 values 10,20,30.
+    # union (b started at t=2): positions t=2..6 give pairs
+    # (1,10),(2,10),(2,20),(3,20),(3,30) -> positive but < 1 corr
+    df = pd.DataFrame(
+        {
+            "k": np.ones(6, dtype=np.int64),
+            "t": np.array([1, 2, 3, 4, 5, 6], dtype=np.int64),
+            "o": np.arange(6, dtype=np.int64),
+            "ty": ["a", "b", "a", "b", "a", "b"],
+            "v": [1.0, 10.0, 2.0, 20.0, 3.0, 30.0],
+        }
+    )
+    got = align_locf_corr(
+        _ds(df), "k", "t", "o", "ty", "a", "b", "v", num_parts=3
+    ).to_pandas()
+    assert len(got) == 1 and int(got.loc[0, "n_aligned"]) == 5
+    x = np.array([1, 2, 2, 3, 3], dtype=float)
+    y = np.array([10, 10, 20, 20, 30], dtype=float)
+    n = 5.0
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt(n * (x * x).sum() - x.sum() ** 2) * np.sqrt(
+        n * (y * y).sum() - y.sum() ** 2
+    )
+    w = num / den + 1e-7
+    assert got.loc[0, "corr"] == np.floor(w * 1e6 + 0.5) / 1e6
+
+
+def test_align_locf_corr_zero_variance_and_singleton(ray_session):
+    from tsfeatures_ray.functions.windows import align_locf_corr
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "t": np.array([1, 2, 3, 1, 2], dtype=np.int64),
+            "o": np.arange(5, dtype=np.int64),
+            # key 1: constant a -> zero variance -> NaN corr
+            # key 2: only one aligned position -> excluded
+            "ty": ["a", "b", "b", "a", "b"],
+            "v": [5.0, 1.0, 2.0, 1.0, 2.0],
+        }
+    )
+    got = (
+        align_locf_corr(_ds(df), "k", "t", "o", "ty", "a", "b", "v",
+                        num_parts=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1]
+    assert int(got.loc[0, "n_aligned"]) == 2
+    assert np.isnan(got.loc[0, "corr"])

@@ -70,6 +70,7 @@ from .grouped import (  # noqa: F401
 from .sketches import approx_top_tokens, distinct_overlap  # noqa: F401
 from .changepoint import cusum_changepoint  # noqa: F401
 from .windows import (  # noqa: F401
+    align_locf_corr,
     interpolate_gaps,
     lagged_corr,
     rolling_agg,

@@ -1018,3 +1018,90 @@ def hampel_outliers(
         .groupby("__part")
         .map_groups(flag, batch_format="pandas")
     )
+
+
+def align_locf_corr(
+    ds,
+    key: str,
+    ts: str,
+    order: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    value: str,
+    num_parts: int | None = None,
+):
+    """Correlation between two IRREGULARLY sampled signals per key:
+    align both event types on the union of their timestamps with
+    last-observation-carried-forward, keep positions where BOTH
+    signals have started, and emit (key, n_aligned, corr) for keys
+    with >= 2 aligned positions. corr uses the pinned expression
+    (n*Sxy - Sx*Sy) / (sqrt(max(n*Sxx - Sx^2, 0)) *
+    sqrt(max(n*Syy - Sy^2, 0))), NaN when either variance term is
+    zero -- the same algebra the SQL oracle evaluates, so fp behavior
+    matches term for term.
+
+    Scale shape: ONE bounded exchange on ``stable_part(key)``; LOCF is
+    a per-partition grouped ffill (vectorized), keys never straddle
+    partitions, and only per-key scalars leave the partition."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[
+            df[type_col].isin([type_a, type_b]),
+            [key, ts, order, type_col, value],
+        ].copy()
+        df["__part"] = stable_part(df[key].to_numpy(), num_parts)
+        return df
+
+    def corr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order], kind="mergesort")
+        va = g[value].where(g[type_col] == type_a)
+        vb = g[value].where(g[type_col] == type_b)
+        grp = g.groupby(key, sort=False)
+        xa = va.groupby(g[key], sort=False).ffill().to_numpy()
+        xb = vb.groupby(g[key], sort=False).ffill().to_numpy()
+        both = ~(np.isnan(xa) | np.isnan(xb))
+        kk = g[key].to_numpy()[both]
+        x, y = xa[both], xb[both]
+        if len(kk) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype),
+                    "n_aligned": pd.Series([], dtype="int64"),
+                    "corr": pd.Series([], dtype="float64"),
+                }
+            )
+        d = pd.DataFrame(
+            {key: kk, "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y}
+        )
+        a = d.groupby(key, sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        )
+        a = a[a["n"] >= 2]
+        n = a["n"].to_numpy(dtype=np.float64)
+        sx, sy = a["sx"].to_numpy(), a["sy"].to_numpy()
+        sxy, sxx, syy = (
+            a["sxy"].to_numpy(), a["sxx"].to_numpy(), a["syy"].to_numpy()
+        )
+        den = np.sqrt(np.maximum(n * sxx - sx * sx, 0.0)) * np.sqrt(
+            np.maximum(n * syy - sy * sy, 0.0)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(den > 0, (n * sxy - sx * sy) / den, np.nan)
+        c = c + 1e-7
+        return pd.DataFrame(
+            {
+                key: a.index.to_numpy(),
+                "n_aligned": a["n"].to_numpy().astype(np.int64),
+                "corr": np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(corr, batch_format="pandas")
+    )
