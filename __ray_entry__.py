@@ -3936,6 +3936,155 @@ def _q_events_align_corr(sf_dir: str):
     )
 
 
+def _q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-shaped bilateral trade volume (round-5 addition):
+    shipping volume between NATION_1 and NATION_2 in either direction
+    by ship year. Same engine shape as Q5: supplier/nation broadcast
+    (small-side rule), lineitem |x| orders |x| customer through two
+    partitioned hash exchanges, shipdate predicate pushed into the
+    parquet read, and EXACT integer-cents revenue partials."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import ray
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import partitioned_join
+
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    nmap = dict(
+        zip(nation["n_nationkey"].astype(np.int64), nation["n_name"])
+    )
+    pair = {"NATION_1", "NATION_2"}
+    pair_keys = np.array(
+        [k for k, v in nmap.items() if v in pair], dtype=np.int64
+    )
+    supplier = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sup_ref = ray.put(
+        dict(
+            zip(
+                supplier["s_suppkey"].astype(np.int64),
+                supplier["s_nationkey"].astype(np.int64),
+            )
+        )
+    )
+    nmap_ref = ray.put(nmap)
+
+    flt = (
+        pds.field("l_shipdate") >= pa.scalar(np.datetime64("1995-01-01", "us"))
+    ) & (
+        pds.field("l_shipdate") < pa.scalar(np.datetime64("1997-01-01", "us"))
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=flt,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    oc = partitioned_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    joined = partitioned_join(
+        li, oc, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def vol_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sup = ray.get(sup_ref)
+        snat = df["l_suppkey"].map(sup).to_numpy(dtype=np.int64)
+        cnat = df["c_nationkey"].to_numpy(dtype=np.int64)
+        keep = (
+            np.isin(snat, pair_keys)
+            & np.isin(cnat, pair_keys)
+            & (snat != cnat)
+        )
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "snat": pd.Series([], dtype="int64"),
+                    "cnat": pd.Series([], dtype="int64"),
+                    "l_year": pd.Series([], dtype="int64"),
+                    "rev": pd.Series([], dtype="int64"),
+                }
+            )
+        price_c = np.rint(
+            df["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc_p = np.rint(df["l_discount"].to_numpy()[keep] * 100).astype(
+            np.int64
+        )
+        year = (
+            df["l_shipdate"][keep]
+            .astype("datetime64[us]")
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "snat": snat[keep],
+                    "cnat": cnat[keep],
+                    "l_year": year,
+                    "rev": price_c * (100 - disc_p),
+                }
+            )
+            .groupby(["snat", "cnat", "l_year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+
+    part = (
+        joined.map_batches(vol_partial, batch_format="pandas")
+        .groupby(["snat", "cnat", "l_year"])
+        .sum("rev")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nmap_ref)
+        return pd.DataFrame(
+            {
+                "supp_nation": df["snat"].map(nm),
+                "cust_nation": df["cnat"].map(nm),
+                "l_year": df["l_year"].astype(np.int64),
+                "revenue": df["sum(rev)"].to_numpy(dtype=np.int64)
+                / 10000.0,
+            }
+        )
+
+    return part.map_batches(finish, batch_format="pandas").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def _q_convs_topic_drift(sf_dir: str):
+    """Within-conversation topic drift (round-5 addition): cosine
+    between the first- and second-half word histograms of each
+    conversation (split at 2*turn_idx < n_turns; marker rows keep
+    token-less turns in the count). Exact int64 inner products; the
+    text never shuffles -- only bounded token counts cross ONE conv
+    exchange. Oracle: half-pivot token counts + the pinned cosine."""
+    import ray.data as rd
+
+    from tsfeatures_ray.sources.synth import transcripts_path
+    from tsfeatures_ray.stages.derive import topic_drift
+
+    ds = rd.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    return topic_drift(ds)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4250,6 +4399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_source_ppl": _q_docs_cross_source_ppl,
         "events_rfm": _q_events_rfm,
         "events_align_corr": _q_events_align_corr,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "convs_topic_drift": _q_convs_topic_drift,
     }
 
 
@@ -6928,5 +7079,45 @@ SELECT user_id, CAST(n AS BIGINT) AS n_aligned,
                      * SQRT(GREATEST(n*syy - sy*sy, 0)))
              ELSE NULL END + 0.0000001, 6) AS corr
 FROM a
+""",
+        "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1, 2, 3
+""",
+        "convs_topic_drift": turns + """,
+tok AS (SELECT conv_id, turn_idx,
+               UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM turns),
+mx AS (SELECT conv_id, MAX(turn_idx) + 1 AS n FROM turns GROUP BY 1),
+h AS (SELECT tok.conv_id,
+             CASE WHEN 2 * turn_idx < n THEN 0 ELSE 1 END AS half, t
+      FROM tok JOIN mx USING (conv_id)),
+c AS (SELECT conv_id, half, t, COUNT(*) AS cnt FROM h GROUP BY 1, 2, 3),
+pv AS (SELECT conv_id, t,
+              SUM(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS c1,
+              SUM(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS c2
+       FROM c GROUP BY 1, 2),
+s AS (SELECT conv_id, SUM(c1 * c2) AS num, SUM(c1 * c1) AS a2,
+             SUM(c2 * c2) AS b2, SUM(c1) AS n1, SUM(c2) AS n2
+      FROM pv GROUP BY 1)
+SELECT conv_id, CAST(n1 AS BIGINT) AS tokens_first,
+       CAST(n2 AS BIGINT) AS tokens_second,
+       ROUND(CASE WHEN a2 > 0 AND b2 > 0
+             THEN CAST(num AS DOUBLE)
+                  / (SQRT(CAST(a2 AS DOUBLE)) * SQRT(CAST(b2 AS DOUBLE)))
+             ELSE NULL END + 0.0000001, 6) AS cosine_halves
+FROM s
 """,
     }

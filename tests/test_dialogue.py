@@ -102,3 +102,60 @@ def test_role_transitions_hand_case(ray_session):
         ("user", "tool"): 1,
         ("tool", "tool"): 2,
     }
+
+
+def test_topic_drift_hand_case(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import topic_drift
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2 + ["c3"],
+            "turn_idx": np.array([0, 1, 2, 3, 0, 1, 0], dtype=np.int64),
+            "text": [
+                "apple banana",          # c1 first half
+                "apple apple",
+                "cherry date",           # c1 second half
+                "cherry cherry",
+                "same words",            # c2: identical halves -> cos 1
+                "same words",
+                "only one turn here",    # c3: empty first half -> NaN
+            ],
+        }
+    )
+    got = (
+        topic_drift(rd.from_pandas(df), num_parts=3)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    # c1: halves are disjoint vocabularies -> cosine 0
+    assert got.loc[0, "cosine_halves"] == 0.0
+    assert got.loc[0, "tokens_first"] == 4
+    assert got.loc[0, "tokens_second"] == 4
+    assert got.loc[1, "cosine_halves"] == 1.0
+    # c3: n=1, the single turn 0 is "second half" (2*0 >= 1 is False
+    # ... 0 < 1 so it's FIRST half) -> second half empty -> NaN
+    assert np.isnan(got.loc[2, "cosine_halves"])
+
+
+def test_topic_drift_tokenless_turns_count_toward_split(ray_session):
+    """A token-less final turn must still push earlier turns into the
+    first half (the SQL mx CTE counts ALL turns)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import topic_drift
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": np.array([0, 1, 2, 3], dtype=np.int64),
+            # n=4: turns 0,1 first half, 2,3 second; turn 3 tokenless
+            "text": ["aa bb", "aa", "cc", "123 456"],
+        }
+    )
+    got = topic_drift(rd.from_pandas(df), num_parts=2).to_pandas()
+    assert got.loc[0, "tokens_first"] == 3
+    assert got.loc[0, "tokens_second"] == 1
+    assert got.loc[0, "cosine_halves"] == 0.0

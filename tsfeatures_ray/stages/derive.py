@@ -260,3 +260,116 @@ def role_transitions(
             lambda d: fold(d.drop(columns=["__g"])), batch_format="pandas"
         )
     )
+
+
+def topic_drift(ds, num_parts: int | None = None):
+    """Within-conversation topic drift: cosine similarity between the
+    word-count histograms of a conversation's first and second half
+    (split at 2*turn_idx < n_turns over the contiguous 0-based
+    ordinal). Low cosine = the conversation changed subject. Emits
+    (conv_id, tokens_first, tokens_second, cosine_halves) with NaN
+    when either half has no tokens (e.g. single-turn conversations).
+
+    All inner products accumulate as exact int64 counts; the one
+    division/sqrt is the pinned expression the SQL oracle evaluates.
+
+    Scale shape: per-batch tokenization emits (conv, turn, token,
+    count) partials -- the TEXT never shuffles, only bounded token
+    counts -- and ONE ``stable_part(conv_id)`` exchange co-locates
+    each conversation, whose half split and cosine then run locally."""
+    import re
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+    word = re.compile(r"[a-z]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        convs, turns, toks, cnts = [], [], [], []
+        for c, ti, txt in zip(
+            df["conv_id"].to_numpy(),
+            df["turn_idx"].to_numpy(),
+            df["text"].to_numpy(),
+        ):
+            vc: dict = {}
+            for w in word.findall((txt or "").lower()):
+                vc[w] = vc.get(w, 0) + 1
+            convs.extend([c] * len(vc))
+            turns.extend([ti] * len(vc))
+            toks.extend(vc.keys())
+            cnts.extend(vc.values())
+        # marker rows (cnt 0) carry each conv's batch-max turn_idx so n
+        # counts token-less turns too (the SQL mx CTE sees ALL turns)
+        mk = (
+            pd.DataFrame(
+                {"conv_id": df["conv_id"], "turn_idx": df["turn_idx"]}
+            )
+            .groupby("conv_id", sort=False)["turn_idx"]
+            .max()
+            .reset_index()
+        )
+        convs.extend(mk["conv_id"].tolist())
+        turns.extend(mk["turn_idx"].astype(int).tolist())
+        toks.extend([""] * len(mk))
+        cnts.extend([0] * len(mk))
+        out = pd.DataFrame(
+            {
+                "conv_id": np.asarray(convs, dtype=object),
+                "turn_idx": np.asarray(turns, dtype=np.int64)
+                if turns
+                else pd.Series([], dtype="int64"),
+                "token": pd.Series(toks, dtype="object"),
+                "cnt": np.asarray(cnts, dtype=np.int64)
+                if cnts
+                else pd.Series([], dtype="int64"),
+            }
+        )
+        out["__part"] = stable_part(out["conv_id"].to_numpy(), num_parts)
+        return out
+
+    def drift(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, gc in g.groupby("conv_id", sort=True):
+            n = int(gc["turn_idx"].max()) + 1
+            gc = gc[gc["cnt"] > 0]  # drop the max-turn marker rows
+            if len(gc) == 0:
+                continue  # no tokens at all: SQL emits no row either
+            half = (2 * gc["turn_idx"].to_numpy() >= n).astype(np.int64)
+            piv = (
+                pd.DataFrame(
+                    {"half": half, "token": gc["token"], "cnt": gc["cnt"]}
+                )
+                .groupby(["token", "half"], sort=False)["cnt"]
+                .sum()
+                .unstack("half", fill_value=0)
+            )
+            c1 = piv[0].to_numpy(dtype=np.int64) if 0 in piv else None
+            c2 = piv[1].to_numpy(dtype=np.int64) if 1 in piv else None
+            n1 = int(c1.sum()) if c1 is not None else 0
+            n2 = int(c2.sum()) if c2 is not None else 0
+            if c1 is None or c2 is None:
+                cos = np.nan
+            else:
+                num = int((c1 * c2).sum())
+                a2, b2 = int((c1 * c1).sum()), int((c2 * c2).sum())
+                if a2 == 0 or b2 == 0:
+                    cos = np.nan
+                else:
+                    cos = float(num) / (np.sqrt(float(a2)) * np.sqrt(float(b2)))
+            r = cos + 1e-7
+            rows.append(
+                (
+                    conv, n1, n2,
+                    np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["conv_id", "tokens_first", "tokens_second",
+                     "cosine_halves"],
+        ).astype({"tokens_first": np.int64, "tokens_second": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(drift, batch_format="pandas")
+    )
