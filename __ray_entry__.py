@@ -4085,6 +4085,163 @@ def _q_convs_topic_drift(sf_dir: str):
     return topic_drift(ds)
 
 
+def _q_turns_transition_latency(sf_dir: str):
+    """Role-transition latency percentiles (round-5 addition): rank-k
+    EXACT p50/p95 of the inter-turn latency per (prev_role -> role)
+    pair -- how long each speaker takes to respond to each other
+    speaker. Rank selection (ceil(q*n)-th smallest) instead of linear
+    interpolation: the selected element is a value both engines hold
+    bit-identically, where interpolated quantiles differ in the last
+    ulp at 1e8-microsecond magnitudes. One conv exchange (derived
+    pipeline) + one bounded pair exchange. Oracle: lag windows +
+    row_number rank join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.pipelines import derived_pipeline
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    turns = derived_pipeline(sf_dir)
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        # derived_pipeline partitions whole convs per block and sorts
+        # by (conv_id, ts, turn_idx); lag within the block is exact
+        df = df.sort_values(["conv_id", "ts", "turn_idx"],
+                            kind="mergesort")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        out = pd.DataFrame(
+            {
+                "prev_role": prev,
+                "role": df["role"],
+                "latency_us": df["latency_us"],
+            }
+        )
+        return out[out["prev_role"].notna() & out["latency_us"].notna()]
+
+    # batch_size=None: batches == the conv-complete map_groups blocks,
+    # so a conversation never splits across a shift() boundary
+    num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            df["prev_role"].astype(str) + "\x00" + df["role"].astype(str)
+        ).to_numpy()
+        return df.assign(__part=stable_part(key, num_parts))
+
+    def kth(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (pr, ro), gg in g.groupby(["prev_role", "role"], sort=True):
+            v = np.sort(gg["latency_us"].to_numpy(dtype=np.float64))
+            n = len(v)
+            q50 = v[max(1, int(np.ceil(0.5 * n))) - 1]
+            q95 = v[max(1, int(np.ceil(0.95 * n))) - 1]
+            rows.append((pr, ro, n, q50, q95))
+        return pd.DataFrame(
+            rows, columns=["prev_role", "role", "n", "q50", "q95"]
+        ).astype({"n": np.int64})
+
+    pairs = turns.map_batches(
+        transitions, batch_format="pandas", batch_size=None
+    )
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(kth, batch_format="pandas")
+    )
+
+
+def _q_events_welch_weekend(sf_dir: str):
+    """Welch two-sample t-test per event type (round-5 addition):
+    weekday vs weekend value distributions. All sums accumulate as
+    exact integer cents (and cents^2), so mean/variance/t/df are one
+    pinned float expression on exact integers -- bit-identical to the
+    oracle's CAST(SUM(...) AS DOUBLE) algebra. ONE bounded partial
+    exchange keyed by (event_type, is_weekend)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        we = (
+            df["ts"].astype("datetime64[us]").dt.dayofweek >= 5
+        ).to_numpy()  # pandas Mon=0 <=> DuckDB isodow >= 6
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "we": we.astype(np.int64),
+                    "n": 1,
+                    "sx": c,
+                    "sxx": c * c,
+                }
+            )
+            .groupby(["event_type", "we"], sort=False)
+            .agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n": np.int64, "sx": np.int64, "sxx": np.int64})
+
+    merged = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "we"])
+        .sum(["n", "sx", "sxx"])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(
+            index="event_type", columns="we",
+            values=["sum(n)", "sum(sx)", "sum(sxx)"], aggfunc="sum",
+            fill_value=0,
+        )
+        rows = []
+        for et in sorted(piv.index):
+            n1 = float(piv.loc[et, ("sum(n)", 0)])
+            n2 = float(piv.loc[et, ("sum(n)", 1)])
+            sx1 = float(piv.loc[et, ("sum(sx)", 0)])
+            sx2 = float(piv.loc[et, ("sum(sx)", 1)])
+            sxx1 = float(piv.loc[et, ("sum(sxx)", 0)])
+            sxx2 = float(piv.loc[et, ("sum(sxx)", 1)])
+            if n1 < 2 or n2 < 2:
+                continue
+            m1, m2 = sx1 / n1, sx2 / n2
+            v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+            v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+            se2 = v1 / n1 + v2 / n2
+            t = (m1 - m2) / np.sqrt(se2) if se2 > 0 else np.nan
+            dfw = (
+                se2 * se2
+                / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+                if se2 > 0
+                else np.nan
+            )
+            rows.append((et, int(n1), int(n2), m1 / 100.0, m2 / 100.0,
+                         t, dfw))
+        out = pd.DataFrame(
+            rows,
+            columns=["event_type", "n_weekday", "n_weekend",
+                     "mean_weekday", "mean_weekend", "t_stat", "df_welch"],
+        )
+        for c in ("mean_weekday", "mean_weekend", "t_stat", "df_welch"):
+            v = out[c].to_numpy(dtype=np.float64) + 1e-7
+            out[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        out["n_weekday"] = out["n_weekday"].astype(np.int64)
+        out["n_weekend"] = out["n_weekend"].astype(np.int64)
+        return out
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4401,6 +4558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_align_corr": _q_events_align_corr,
         "q7_nation_volume": _q_q7_nation_volume,
         "convs_topic_drift": _q_convs_topic_drift,
+        "turns_transition_latency": _q_turns_transition_latency,
+        "events_welch_weekend": _q_events_welch_weekend,
     }
 
 
@@ -7119,5 +7278,55 @@ SELECT conv_id, CAST(n1 AS BIGINT) AS tokens_first,
                   / (SQRT(CAST(a2 AS DOUBLE)) * SQRT(CAST(b2 AS DOUBLE)))
              ELSE NULL END + 0.0000001, 6) AS cosine_halves
 FROM s
+""",
+        "turns_transition_latency": turns + """,
+tr AS (SELECT lag(role) OVER (PARTITION BY conv_id
+                              ORDER BY ts, turn_idx) AS prev_role,
+              role, latency_us
+       FROM turns),
+v AS (SELECT prev_role, role, latency_us,
+             row_number() OVER (PARTITION BY prev_role, role
+                                ORDER BY latency_us) AS rn,
+             COUNT(*) OVER (PARTITION BY prev_role, role) AS n
+      FROM tr WHERE prev_role IS NOT NULL AND latency_us IS NOT NULL)
+SELECT prev_role, role, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+           THEN latency_us END) AS q50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))
+           THEN latency_us END) AS q95
+FROM v GROUP BY 1, 2
+""",
+        "events_welch_weekend": """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+a AS (SELECT event_type, we, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(c) AS DOUBLE) AS sx,
+             CAST(SUM(c * c) AS DOUBLE) AS sxx
+      FROM b GROUP BY 1, 2),
+p AS (SELECT wd.event_type,
+             wd.n AS n1, we.n AS n2, wd.sx AS sx1, we.sx AS sx2,
+             wd.sxx AS sxx1, we.sxx AS sxx2
+      FROM a wd JOIN a we ON wd.event_type = we.event_type
+      WHERE wd.we = 0 AND we.we = 1 AND wd.n >= 2 AND we.n >= 2),
+f AS (SELECT event_type, n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+             (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+             (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+      FROM p),
+g AS (SELECT event_type, n1, n2, m1, m2, v1, v2,
+             v1 / n1 + v2 / n2 AS se2 FROM f)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+       ROUND(m1 / 100.0 + 0.0000001, 6) AS mean_weekday,
+       ROUND(m2 / 100.0 + 0.0000001, 6) AS mean_weekend,
+       ROUND(CASE WHEN se2 > 0 THEN (m1 - m2) / SQRT(se2)
+             ELSE NULL END + 0.0000001, 6) AS t_stat,
+       ROUND(CASE WHEN se2 > 0 THEN se2 * se2
+                  / (POWER(v1 / n1, 2) / (n1 - 1)
+                     + POWER(v2 / n2, 2) / (n2 - 1))
+             ELSE NULL END + 0.0000001, 6) AS df_welch
+FROM g
 """,
     }

@@ -413,3 +413,47 @@ def test_mutual_information_known_cases(ray_session):
     assert out2["mi"] == pytest.approx(np.log(2), abs=1e-6)
     assert out2["nmi"] == pytest.approx(1.0, abs=1e-6)
     assert int(out2["n"]) == 100
+
+
+def test_welch_weekend_query_matches_brute(ray_session, tmp_path):
+    """The registry Welch query against a manual computation on a tiny
+    synthetic events parquet (including the cents quantization)."""
+    import __ray_entry__ as entry
+
+    rng = np.random.RandomState(23)
+    n = 400
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 60 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.randint(0, 10, n).astype(np.int64),
+            "event_type": rng.choice(["x", "y"], n),
+            "value": np.round(rng.gamma(2, 30, n), 2),
+            "props": ["{}"] * n,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = (
+        entry.queries()["events_welch_weekend"](str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        sub = df[df.event_type == r["event_type"]]
+        c = np.rint(sub["value"].to_numpy() * 100)
+        we = sub["ts"].dt.dayofweek.to_numpy() >= 5
+        x1, x2 = c[~we], c[we]
+        n1, n2 = len(x1), len(x2)
+        m1, m2 = x1.mean(), x2.mean()
+        v1, v2 = x1.var(ddof=1), x2.var(ddof=1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / np.sqrt(se2)
+        dfw = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+        assert int(r["n_weekday"]) == n1 and int(r["n_weekend"]) == n2
+        assert r["t_stat"] == pytest.approx(t, abs=2e-6)
+        assert r["df_welch"] == pytest.approx(dfw, abs=1e-4)
+        assert r["mean_weekday"] == pytest.approx(m1 / 100, abs=2e-6)
