@@ -4242,6 +4242,21 @@ def _q_events_welch_weekend(sf_dir: str):
     )
 
 
+def _q_rollup_backtest_1h(sf_dir: str):
+    """Rolling-origin naive backtest (round-5 addition): for every 1h
+    rollup origin and horizon h in {1,2,3}, the naive forecast error
+    against the bucket exactly h hours ahead (TIME-indexed -- gaps are
+    never bridged by row shifts), reduced to per-horizon n/mae/rmse
+    from exact int64 |e| and e^2 partials. This is the distributed
+    baseline denominator behind the reference's mase/rmsse metrics.
+    Oracle: self-join on bucket + h * INTERVAL."""
+    from tsfeatures_ray.metrics import rolling_origin_backtest
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"])
+    return rolling_origin_backtest(ds, "conv_id", "bucket", "token_len_sum")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4560,6 +4575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convs_topic_drift": _q_convs_topic_drift,
         "turns_transition_latency": _q_turns_transition_latency,
         "events_welch_weekend": _q_events_welch_weekend,
+        "rollup_backtest_1h": _q_rollup_backtest_1h,
     }
 
 
@@ -7329,4 +7345,22 @@ SELECT event_type,
              ELSE NULL END + 0.0000001, 6) AS df_welch
 FROM g
 """,
+        "rollup_backtest_1h": (
+            "WITH base AS (" + rollup_sql("hour") + """),
+pairs AS (
+  SELECT h.h AS horizon,
+         CAST(ROUND(b2.token_len_sum) AS BIGINT)
+           - CAST(ROUND(b1.token_len_sum) AS BIGINT) AS e
+  FROM base b1
+  CROSS JOIN (SELECT UNNEST(range(1, 4)) AS h) h
+  JOIN base b2 ON b2.conv_id = b1.conv_id
+              AND b2.bucket = b1.bucket + h.h * INTERVAL 1 HOUR)
+SELECT horizon, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(ABS(e)) AS DOUBLE) / COUNT(*) + 0.0000001, 6)
+           AS mae,
+       ROUND(SQRT(CAST(SUM(e * e) AS DOUBLE) / COUNT(*)) + 0.0000001, 6)
+           AS rmse
+FROM pairs GROUP BY 1
+"""
+        ),
     }

@@ -124,3 +124,48 @@ def test_evaluate_panel_dataset_path_agrees(ray_session):
         got = got_ds.to_pandas().sort_values(
             "unique_id", kind="mergesort").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_rolling_origin_backtest_hand_case(ray_session):
+    """Gapped series: horizon targets resolve by TIME, not row shift."""
+    import ray.data as rd
+
+    from tsfeatures_ray.metrics import rolling_origin_backtest
+
+    h = pd.Timedelta(hours=1)
+    t0 = pd.Timestamp("2024-01-01")
+    # key A buckets at 0,1,3 hours (gap at 2): h=1 pairs (0->1) only,
+    # h=2 pairs (1->3), h=3 pairs (0->3)
+    df = pd.DataFrame(
+        {
+            "k": ["A", "A", "A", "B", "B"],
+            "bucket": pd.Series(
+                [t0, t0 + h, t0 + 3 * h, t0, t0 + h]
+            ).astype("datetime64[us]"),
+            "y": [10.0, 13.0, 4.0, 100.0, 90.0],
+        }
+    )
+    got = (
+        rolling_origin_backtest(
+            rd.from_pandas(df), "k", "bucket", "y", horizons=(1, 2, 3)
+        )
+        .to_pandas()
+        .set_index("horizon")
+    )
+    # h=1: A(0->1) e=3, B(0->1) e=-10 -> n=2 mae=6.5 rmse=sqrt(109/2)
+    assert int(got.loc[1, "n"]) == 2
+    assert got.loc[1, "mae"] == 6.5
+    assert got.loc[1, "rmse"] == round(np.sqrt(109 / 2) + 1e-7, 6)
+    # h=2: A(1->3) e=-9 -> n=1
+    assert int(got.loc[2, "n"]) == 1 and got.loc[2, "mae"] == 9.0
+    # h=3: A(0->3) e=-6
+    assert int(got.loc[3, "n"]) == 1 and got.loc[3, "mae"] == 6.0
+
+
+def test_rolling_origin_backtest_validation(ray_session):
+    from tsfeatures_ray.metrics import rolling_origin_backtest
+
+    with pytest.raises(ValueError):
+        rolling_origin_backtest(None, "k", "b", "y", horizons=())
+    with pytest.raises(ValueError):
+        rolling_origin_backtest(None, "k", "b", "y", horizons=(0,))

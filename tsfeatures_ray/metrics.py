@@ -188,3 +188,95 @@ def evaluate_panel(
         .to_pandas()
     )
     return res.sort_values("unique_id", kind="mergesort").reset_index(drop=True)
+
+
+def rolling_origin_backtest(
+    ds,
+    key: str,
+    order: str,
+    value: str,
+    horizons: tuple = (1, 2, 3),
+    step_us: int | None = None,
+):
+    """Rolling-origin evaluation of the naive forecaster: for every
+    origin t and horizon h, yhat_{t+h} = y_t, and the target counts
+    only where the series actually has a bucket at t + h*step
+    (TIME-indexed join, so gaps are never silently bridged by row
+    shifts). Emits one row per horizon: n, mae, rmse.
+
+    Why it belongs here: the reference's mase/rmsse metrics
+    (metrics/metrics.py:121-189) are ratios AGAINST this exact naive
+    baseline -- this operator is the distributed backtest that produces
+    the baseline denominator at corpus scale.
+
+    Exactness: errors are differences of integer-valued float64 series,
+    |e| and e^2 accumulate as int64 partials (bounded by the per-batch
+    series size), so mae/rmse are single float expressions on exact
+    integer sums -- same algebra as the SQL oracle's CAST(SUM(...) AS
+    DOUBLE). Input batches must be key-complete and sorted (the rollup
+    pipeline's map_groups blocks are); pass batch_size=None semantics
+    by calling this on such a Dataset."""
+    if step_us is None:
+        step_us = 3_600_000_000  # hourly buckets
+    hs = [int(h) for h in horizons]
+    if not hs or any(h < 1 for h in hs):
+        raise ValueError("horizons must be >= 1")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order], kind="mergesort")
+        k = df[key].to_numpy()
+        t = df[order].astype("datetime64[us]").astype("int64").to_numpy()
+        yi = np.rint(df[value].to_numpy(dtype=np.float64)).astype(np.int64)
+        # one monotone int64 per row: (key ordinal << 32) | bucket
+        # ordinal relative to the key's first bucket -- searchsorted
+        # then works across the whole batch in one call per horizon
+        kcode = pd.factorize(k)[0].astype(np.int64)
+        o = t // np.int64(step_us)
+        newk = np.r_[True, kcode[1:] != kcode[:-1]]
+        starts = np.flatnonzero(newk)
+        first_o = np.repeat(o[starts], np.diff(np.append(starts, len(o))))
+        code = (kcode << 32) | (o - first_o)
+        rows = []
+        for h in hs:
+            target = code + np.int64(h)
+            idx = np.searchsorted(code, target)
+            safe = np.minimum(idx, len(code) - 1)
+            ok = (idx < len(code)) & (code[safe] == target)
+            e = yi[idx[ok]] - yi[ok]
+            rows.append(
+                (
+                    h,
+                    np.int64(len(e)),
+                    np.abs(e).sum(dtype=np.int64),
+                    (e * e).sum(dtype=np.int64),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["horizon", "n", "sae", "sse"]
+        ).astype({"horizon": np.int64})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("horizon")
+        .sum(["n", "sae", "sse"])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("horizon")
+        n = df["sum(n)"].to_numpy(dtype=np.float64)
+        mae = df["sum(sae)"].to_numpy(dtype=np.float64) / n + 1e-7
+        rmse = (
+            np.sqrt(df["sum(sse)"].to_numpy(dtype=np.float64) / n) + 1e-7
+        )
+        return pd.DataFrame(
+            {
+                "horizon": df["horizon"].astype(np.int64),
+                "n": df["sum(n)"].astype(np.int64),
+                "mae": np.floor(mae * 1e6 + 0.5) / 1e6,
+                "rmse": np.floor(rmse * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
