@@ -4257,6 +4257,92 @@ def _q_rollup_backtest_1h(sf_dir: str):
     return rolling_origin_backtest(ds, "conv_id", "bucket", "token_len_sum")
 
 
+_BLOCKLIST = ["spark", "shuffle", "window table", "slow fast", "hash"]
+
+
+def _q_docs_blocklist_hits(sf_dir: str):
+    """Dictionary tagging (round-5 addition): per document, the total
+    non-overlapping occurrence count over a broadcast pattern list and
+    how many distinct patterns hit -- the blocklist/PII-term scan every
+    corpus filter runs. Patterns broadcast once; per-batch counting is
+    pandas' C str.count per pattern (bounded pattern set), text never
+    shuffles, no exchange at all. Oracle: the classic
+    (len - len(replace))/len(p) identity, whose greedy left-to-right
+    non-overlapping semantics equal str.count."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(len(df), dtype=np.int64)
+        distinct = np.zeros(len(df), dtype=np.int64)
+        s = df["text"].fillna("")
+        for p in _BLOCKLIST:
+            c = s.str.count(re.escape(p)).to_numpy(dtype=np.int64)
+            total += c
+            distinct += (c > 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_hits": total,
+                "n_patterns": distinct,
+                "flagged": total > 0,
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+def _q_fk_audit(sf_dir: str):
+    """Foreign-key consistency audit (round-5 addition): orphan counts
+    across the TPC-H relationship chain (lineitem->orders,
+    orders->customer, customer->nation) via the bloom-filter anti-join
+    cascade -- each edge reports child rows whose parent key is
+    missing, plus the child/parent row counts. The data-quality gate
+    run before trusting any join. Oracle: NOT IN anti-joins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.join import bloom_semi_join
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for child, ck, parent, pk in edges:
+        c_ds = rd.read_parquet(
+            os.path.join(sf_dir, f"{child}.parquet"), columns=[ck]
+        )
+        p_ds = rd.read_parquet(
+            os.path.join(sf_dir, f"{parent}.parquet"), columns=[pk]
+        )
+        n_child = c_ds.count()
+        n_parent = p_ds.count()
+        orphans = bloom_semi_join(
+            c_ds, p_ds, left_on=ck, right_on=pk, how="anti"
+        ).count()
+        rows.append((f"{child}.{ck} -> {parent}.{pk}", n_child,
+                     n_parent, orphans))
+    out = pd.DataFrame(
+        rows, columns=["edge", "n_child", "n_parent", "n_orphans"]
+    ).astype({"n_child": np.int64, "n_parent": np.int64,
+              "n_orphans": np.int64})
+    import pyarrow as pa
+    import ray.data as rd2
+
+    return rd2.from_arrow(pa.Table.from_pandas(out))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4576,6 +4662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_transition_latency": _q_turns_transition_latency,
         "events_welch_weekend": _q_events_welch_weekend,
         "rollup_backtest_1h": _q_rollup_backtest_1h,
+        "docs_blocklist_hits": _q_docs_blocklist_hits,
+        "fk_audit": _q_fk_audit,
     }
 
 
@@ -7363,4 +7451,43 @@ SELECT horizon, CAST(COUNT(*) AS BIGINT) AS n,
 FROM pairs GROUP BY 1
 """
         ),
+        "docs_blocklist_hits": """
+WITH p AS (SELECT UNNEST(['spark', 'shuffle', 'window table',
+                          'slow fast', 'hash']) AS pat),
+h AS (SELECT doc_id,
+             CAST((length(text) - length(replace(text, pat, '')))
+                  / length(pat) AS BIGINT) AS c
+      FROM documents CROSS JOIN p)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_patterns,
+       SUM(c) > 0 AS flagged
+FROM h GROUP BY 1
+""",
+        "fk_audit": """
+WITH e1 AS (
+  SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS edge,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM orders) AS n_parent,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS n_orphans),
+e2 AS (
+  SELECT 'orders.o_custkey -> customer.c_custkey',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))),
+e3 AS (
+  SELECT 'customer.c_nationkey -> nation.n_nationkey',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM customer
+          WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+      UNION ALL SELECT * FROM e3)
+""",
     }
