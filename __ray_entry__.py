@@ -4343,6 +4343,22 @@ def _q_fk_audit(sf_dir: str):
     return rd2.from_arrow(pa.Table.from_pandas(out))
 
 
+def _q_rollup_periodogram_1m(sf_dir: str):
+    """Distributed periodogram probe (round-5 addition): DFT power of
+    each conversation's z-normalized 1m token_len_sum series at
+    harmonics k=1..4, evaluated as cos/sin dot products so a SQL
+    oracle replays it term for term -- hash-verifiable seasonality
+    screening, complementing the FFT-based spectral-entropy kernel
+    (which has no SQL analog). One conv exchange."""
+    from tsfeatures_ray.functions.spectral import periodogram_probe
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1m"])
+    return periodogram_probe(
+        ds, "conv_id", "bucket", "token_len_sum", ks=(1, 2, 3, 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4664,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_backtest_1h": _q_rollup_backtest_1h,
         "docs_blocklist_hits": _q_docs_blocklist_hits,
         "fk_audit": _q_fk_audit,
+        "rollup_periodogram_1m": _q_rollup_periodogram_1m,
     }
 
 
@@ -7490,4 +7507,31 @@ SELECT edge, CAST(n_child AS BIGINT) AS n_child,
 FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
       UNION ALL SELECT * FROM e3)
 """,
+        "rollup_periodogram_1m": (
+            "WITH base AS (" + rollup_sql("minute") + """),
+o AS (SELECT conv_id, CAST(ROUND(token_len_sum) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY conv_id ORDER BY bucket)
+                 - 1 AS i
+      FROM base),
+st AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(y * y) AS DOUBLE) AS syy
+       FROM o GROUP BY 1),
+z AS (SELECT o.conv_id, o.i, st.n,
+             (o.y - st.sy / st.n)
+               / SQRT((st.syy - st.sy * st.sy / st.n) / (st.n - 1)) AS z
+      FROM o JOIN st USING (conv_id)
+      WHERE st.n >= 4
+        AND (st.syy - st.sy * st.sy / st.n) / (st.n - 1) > 0),
+ks AS (SELECT UNNEST(range(1, 5)) AS k),
+dots AS (SELECT conv_id, k, COUNT(*) AS cnt,
+                SUM(z * COS(2 * pi() * k * i / n)) AS c,
+                SUM(z * SIN(2 * pi() * k * i / n)) AS s
+         FROM z CROSS JOIN ks WHERE k < n / 2.0
+         GROUP BY 1, 2)
+SELECT conv_id, CAST(k AS BIGINT) AS k,
+       ROUND(2.0 / cnt * (c * c + s * s) + 0.0000001, 6) AS power
+FROM dots
+"""
+        ),
     }

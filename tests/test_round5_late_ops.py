@@ -594,3 +594,54 @@ def test_align_locf_corr_zero_variance_and_singleton(ray_session):
     assert got["k"].tolist() == [1]
     assert int(got.loc[0, "n_aligned"]) == 2
     assert np.isnan(got.loc[0, "corr"])
+
+
+def test_periodogram_planted_harmonic(ray_session):
+    """A planted pure cosine at harmonic k concentrates power ~n at k
+    and ~0 elsewhere (z-normalization makes the peak n-independent of
+    amplitude)."""
+    from tsfeatures_ray.functions.spectral import periodogram_probe
+
+    n = 64
+    i = np.arange(n)
+    rows = []
+    for key, k_true in (("a", 2), ("b", 5)):
+        y = np.rint(1000 + 500 * np.cos(2 * np.pi * k_true * i / n))
+        rows.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "bucket": pd.to_datetime("2024-01-01")
+                    + pd.to_timedelta(i, unit="h"),
+                    "y": y,
+                }
+            )
+        )
+    df = pd.concat(rows, ignore_index=True)
+    df["bucket"] = df["bucket"].astype("datetime64[us]")
+    got = (
+        periodogram_probe(
+            _ds(df), "key", "bucket", "y", ks=(1, 2, 3, 4, 5, 6),
+            num_parts=3,
+        )
+        .to_pandas()
+        .pivot(index="key", columns="k", values="power")
+    )
+    assert got.loc["a", 2] > 0.9 * n and got.loc["a", 2] > 50 * got.loc["a", 3]
+    assert got.loc["b", 5] > 0.9 * n and got.loc["b", 5] > 50 * got.loc["b", 1]
+
+
+def test_periodogram_short_and_constant_series_dropped(ray_session):
+    from tsfeatures_ray.functions.spectral import periodogram_probe
+
+    df = pd.DataFrame(
+        {
+            "key": ["s"] * 3 + ["c"] * 10,
+            "bucket": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(list(range(3)) + list(range(10)), unit="h"),
+            "y": [1.0, 2.0, 3.0] + [7.0] * 10,
+        }
+    )
+    df["bucket"] = df["bucket"].astype("datetime64[us]")
+    out = periodogram_probe(_ds(df), "key", "bucket", "y", ks=(1, 2))
+    assert out.count() == 0  # short (n<4) and zero-variance both drop

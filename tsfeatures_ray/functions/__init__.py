@@ -34,6 +34,7 @@ from .dedup import (  # noqa: F401
 )
 from .dedup import containment_pairs  # noqa: F401
 from .spans import duplicated_span_stats  # noqa: F401
+from .spectral import periodogram_probe  # noqa: F401
 from .survivorship import golden_record  # noqa: F401
 from .concurrency import interval_concurrency, interval_coverage  # noqa: F401
 from .drift import distribution_drift  # noqa: F401
