@@ -4359,6 +4359,256 @@ def _q_rollup_periodogram_1m(sf_dir: str):
     )
 
 
+def _q_embeddings_centroid_drift(sf_dir: str):
+    """Embedding-space drift by subgroup (round-5 addition): the L2
+    distance between each label's centroid and the global centroid --
+    the quick anisotropy/contamination check before trusting vectors
+    from mixed sources. Per-batch (label, dim) sum partials bound the
+    exchange at |labels| x dims rows per block regardless of corpus
+    size. Oracle: 1-based array indexing + the same s/n algebra."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            s = m.sum(axis=0)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int64(lab),
+                        "dim": np.arange(m.shape[1], dtype=np.int64),
+                        "s": s,
+                        "n": np.int64(len(g)),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    merged = (
+        emb.map_batches(partial, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .sum(["s", "n"])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(s)": "s", "sum(n)": "n"})
+        tot = df.groupby("dim", sort=True).agg(
+            ts=("s", "sum"), tn=("n", "sum")
+        )
+        gc = (tot["ts"] / tot["tn"]).to_numpy()
+        rows = []
+        for lab, g in df.groupby("label", sort=True):
+            g = g.sort_values("dim")
+            lc = g["s"].to_numpy() / g["n"].to_numpy()
+            d = float(np.sqrt(((lc - gc) ** 2).sum())) + 1e-7
+            rows.append(
+                (int(lab), int(g["n"].iloc[0]),
+                 np.floor(d * 1e6 + 0.5) / 1e6)
+            )
+        return pd.DataFrame(
+            rows, columns=["label", "n", "drift"]
+        ).astype({"label": np.int64, "n": np.int64})
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def _q_docs_mixture_audit(sf_dir: str):
+    """Training-mixture accounting (round-5 addition): per source, the
+    document and character share of the corpus and the gap against a
+    uniform target share -- the audit run after weighted sampling to
+    confirm the realized mixture. One bounded per-source partial
+    exchange; exact integer character sums."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("source", sort=False)
+            .agg(n_docs=("n_chars", "size"), n_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_docs": np.int64, "n_chars": np.int64})
+
+    merged = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_docs", "n_chars"])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["sum(n_docs)"].to_numpy(dtype=np.int64)
+        nc = df["sum(n_chars)"].to_numpy(dtype=np.int64)
+        target = 1.0 / len(df)
+        share = nc.astype(np.float64) / float(nc.sum())
+        gap = share - target
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": nd,
+                "n_chars": nc,
+                "char_share": share + 1e-7,
+                "target_share": np.full(len(df), target) + 1e-7,
+                "share_gap": gap + 1e-7,
+            }
+        )
+        for c in ("char_share", "target_share", "share_gap"):
+            v = out[c].to_numpy()
+            out[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return out
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def _q_events_k_anonymity(sf_dir: str):
+    """k-anonymity audit (round-5 addition): treat (event_type,
+    hour-of-day, value-in-ten-dollar-band) as the quasi-identifier
+    tuple and report, for k=5, how many equivalence classes exist, how
+    many violate k, the smallest class, and how many ROWS sit in
+    violating classes -- the privacy gate before releasing an events
+    extract. Per-batch tuple-count partials bound the exchange by the
+    class count. Oracle: GROUP BY + HAVING algebra."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    k = 5
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].astype("datetime64[us]").dt.hour.to_numpy()
+        band = (
+            np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(
+                np.int64
+            )
+            // 1000
+        )
+        g = (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "hour": hour, "band": band}
+            )
+            .groupby(["event_type", "hour", "band"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["hour"] = g["hour"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    merged = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour", "band"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum(n)"].to_numpy(dtype=np.int64)
+        viol = n < k
+        return pd.DataFrame(
+            {
+                "k": np.array([k], dtype=np.int64),
+                "n_classes": np.array([len(n)], dtype=np.int64),
+                "n_violating": np.array([int(viol.sum())], dtype=np.int64),
+                "min_class": np.array([int(n.min())], dtype=np.int64),
+                "rows_at_risk": np.array(
+                    [int(n[viol].sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def _q_events_windowed_funnel(sf_dir: str):
+    """Time-constrained funnel (round-5 addition): of the users who
+    ever VIEW, how many complete a PURCHASE within one hour of SOME
+    view -- the windowed variant of the strict-order funnel (whose gap
+    is unbounded). Per-user vectorized searchsorted inside one conv
+    exchange; only per-user booleans leave the partition. Oracle:
+    EXISTS with the time-window predicate."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    window_us = 3_600_000_000
+    num_parts = default_num_parts()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])].copy()
+        df["__part"] = stable_part(df["user_id"].to_numpy(), num_parts)
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, gu in g.groupby("user_id", sort=True):
+            t = gu["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            et = gu["event_type"].to_numpy()
+            views = np.sort(t[et == "view"])
+            if len(views) == 0:
+                continue
+            buys = np.sort(t[et == "purchase"])
+            # strictly-after purchase within the window of some view
+            idx = np.searchsorted(buys, views, side="right")
+            ok = (idx < len(buys)) & (
+                buys[np.minimum(idx, len(buys) - 1)] <= views + window_us
+            )
+            rows.append((uid, bool(ok.any())))
+        return pd.DataFrame(rows, columns=["user_id", "converted"])
+
+    per_user = (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        nv = len(df)
+        nc = int(df["converted"].sum())
+        rate = nc / nv + 1e-7 if nv else np.nan
+        return pd.DataFrame(
+            {
+                "n_viewers": np.array([nv], dtype=np.int64),
+                "n_converted_1h": np.array([nc], dtype=np.int64),
+                "conv_rate": [np.floor(rate * 1e6 + 0.5) / 1e6],
+            }
+        )
+
+    return per_user.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4681,6 +4931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist_hits": _q_docs_blocklist_hits,
         "fk_audit": _q_fk_audit,
         "rollup_periodogram_1m": _q_rollup_periodogram_1m,
+        "embeddings_centroid_drift": _q_embeddings_centroid_drift,
+        "docs_mixture_audit": _q_docs_mixture_audit,
+        "events_k_anonymity": _q_events_k_anonymity,
+        "events_windowed_funnel": _q_events_windowed_funnel,
     }
 
 
@@ -7534,4 +7788,59 @@ SELECT conv_id, CAST(k AS BIGINT) AS k,
 FROM dots
 """
         ),
+        "embeddings_centroid_drift": """
+WITH idx AS (SELECT UNNEST(range(1, 65)) AS i),
+dims AS (SELECT label, i,
+                SUM(CAST(embedding[i] AS DOUBLE)) AS s,
+                CAST(COUNT(*) AS DOUBLE) AS n
+         FROM embeddings CROSS JOIN idx GROUP BY 1, 2),
+g AS (SELECT i, SUM(s) / SUM(n) AS gc FROM dims GROUP BY 1),
+c AS (SELECT label, i, s / n AS lc, n FROM dims)
+SELECT CAST(label AS BIGINT) AS label, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SQRT(SUM((lc - gc) * (lc - gc))) + 0.0000001, 6) AS drift
+FROM c JOIN g USING (i) GROUP BY label
+""",
+        "docs_mixture_audit": """
+WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot,
+             CAST(COUNT(*) AS DOUBLE) AS ns FROM a)
+SELECT source, n_docs, n_chars,
+       ROUND(n_chars / tot + 0.0000001, 6) AS char_share,
+       ROUND(1.0 / ns + 0.0000001, 6) AS target_share,
+       ROUND(n_chars / tot - 1.0 / ns + 0.0000001, 6) AS share_gap
+FROM a CROSS JOIN t
+""",
+        "events_k_anonymity": """
+WITH q AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) // 1000 AS band
+  FROM events),
+c AS (SELECT event_type, hour, band, COUNT(*) AS n FROM q GROUP BY 1, 2, 3)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(MIN(n) AS BIGINT) AS min_class,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+FROM c
+""",
+        "events_windowed_funnel": """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+conv AS (
+  SELECT DISTINCT e1.user_id
+  FROM events e1
+  WHERE e1.event_type = 'view'
+    AND EXISTS (
+      SELECT 1 FROM events e2
+      WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'
+        AND e2.ts > e1.ts
+        AND e2.ts <= e1.ts + INTERVAL 1 HOUR))
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted_1h,
+       ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) + 0.0000001, 6) AS conv_rate
+""",
     }
