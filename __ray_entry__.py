@@ -4609,6 +4609,41 @@ def _q_events_windowed_funnel(sf_dir: str):
     )
 
 
+def _q_events_pareto_abc(sf_dir: str):
+    """Pareto/ABC concentration analysis (round-5 addition): users
+    ranked by exact-cents revenue DESC with global cumulative shares
+    and A/B/C classes at 80/95% -- computed WITHOUT a global sort via
+    the value-pure range partition on revenue + broadcast prefix
+    offsets (ties share a partition; each partition finishes its own
+    contiguous rank range). Oracle: window SUM OVER (ORDER BY c DESC,
+    user_id)."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import pareto_abc
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value"],
+    )
+    return pareto_abc(ev, "user_id", "value")
+
+
+def _q_events_gini(sf_dir: str):
+    """Gini coefficient of the event value distribution (round-5
+    addition): the rank-weighted-sum identity over ascending order
+    statistics, tie-permutation-invariant, so the value-pure range
+    partition + broadcast rank offsets computes it exactly with two
+    scalars per partition. Oracle: row_number rank-weighted SUM."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import gini_coefficient
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return gini_coefficient(ev, "value")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4935,6 +4970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_audit": _q_docs_mixture_audit,
         "events_k_anonymity": _q_events_k_anonymity,
         "events_windowed_funnel": _q_events_windowed_funnel,
+        "events_pareto_abc": _q_events_pareto_abc,
+        "events_gini": _q_events_gini,
     }
 
 
@@ -7842,5 +7879,31 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
        CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted_1h,
        ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
              / (SELECT COUNT(*) FROM v) + 0.0000001, 6) AS conv_rate
+""",
+        "events_pareto_abc": """
+WITH a AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                      AS c
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM a),
+r AS (SELECT user_id, c,
+             CAST(SUM(c) OVER (ORDER BY c DESC, user_id) AS DOUBLE) AS cum
+      FROM a)
+SELECT user_id, c AS revenue_cents,
+       ROUND(cum / tot + 0.0000001, 6) AS cum_share,
+       CASE WHEN cum / tot <= 0.8 THEN 'A'
+            WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc
+FROM r CROSS JOIN t
+""",
+        "events_gini": """
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(c) AS DOUBLE) AS tot,
+             SUM(CAST(rn AS DOUBLE) * CAST(c AS DOUBLE)) AS rx FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(tot / 100.0 + 0.0000001, 6) AS total,
+       ROUND(2.0 * rx / (n * tot) - (n + 1) / n + 0.0000001, 6) AS gini
+FROM s
 """,
     }

@@ -457,3 +457,73 @@ def test_welch_weekend_query_matches_brute(ray_session, tmp_path):
         assert r["t_stat"] == pytest.approx(t, abs=2e-6)
         assert r["df_welch"] == pytest.approx(dfw, abs=1e-4)
         assert r["mean_weekday"] == pytest.approx(m1 / 100, abs=2e-6)
+
+
+def test_pareto_abc_brute(ray_session):
+    from tsfeatures_ray.functions.stats import pareto_abc
+
+    rng = np.random.RandomState(31)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 60, n).astype(np.int64),
+            "v": np.round(rng.pareto(1.5, n) * 50, 2),
+        }
+    )
+    got = (
+        pareto_abc(_ds(df), "k", "v", num_parts=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    cents = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    agg = (
+        pd.DataFrame({"k": df["k"], "c": cents})
+        .groupby("k")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "k"], ascending=[False, True])
+    )
+    cum = np.cumsum(agg["c"].to_numpy())
+    share = cum / cum[-1]
+    abc = np.where(share <= 0.8, "A", np.where(share <= 0.95, "B", "C"))
+    want = (
+        pd.DataFrame(
+            {
+                "k": agg["k"].to_numpy(),
+                "revenue_cents": agg["c"].to_numpy(),
+                "cum_share": np.floor((share + 1e-7) * 1e6 + 0.5) / 1e6,
+                "abc": abc,
+            }
+        )
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # classes are monotone along the descending-revenue order
+    order = got.sort_values("cum_share")
+    assert "".join(order["abc"]) == "".join(sorted(order["abc"]))
+
+
+def test_gini_known_distributions(ray_session):
+    from tsfeatures_ray.functions.stats import gini_coefficient
+
+    # perfectly equal values -> gini 0
+    eq = pd.DataFrame({"v": np.full(100, 7.0)})
+    g0 = gini_coefficient(_ds(eq), "v").to_pandas().iloc[0]
+    assert g0["gini"] == pytest.approx(0.0, abs=1e-6)
+    # one holder of everything -> gini -> (n-1)/n
+    n = 50
+    one = pd.DataFrame({"v": np.r_[np.zeros(n - 1), [100.0]]})
+    g1 = gini_coefficient(_ds(one), "v").to_pandas().iloc[0]
+    assert g1["gini"] == pytest.approx((n - 1) / n, abs=1e-6)
+    # brute parity on random data
+    rng = np.random.RandomState(5)
+    v = np.round(rng.gamma(2, 20, 800), 2)
+    g2 = gini_coefficient(
+        _ds(pd.DataFrame({"v": v})), "v"
+    ).to_pandas().iloc[0]
+    c = np.sort(np.rint(v * 100).astype(np.int64)).astype(float)
+    i = np.arange(1, len(c) + 1, dtype=float)
+    want = 2 * (i * c).sum() / (len(c) * c.sum()) - (len(c) + 1) / len(c)
+    assert g2["gini"] == pytest.approx(want, abs=2e-6)

@@ -42,10 +42,12 @@ from .fuzzy import edit1_pairs  # noqa: F401
 from .stats import (  # noqa: F401
     benford_audit,
     chi2_independence,
+    gini_coefficient,
     ks_exponential,
     ks_two_sample,
     mann_whitney_u,
     mutual_information,
+    pareto_abc,
 )
 from .graph import (  # noqa: F401
     connected_components,

@@ -492,3 +492,204 @@ def mutual_information(ds, col_a: str, col_b: str):
     return merged.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def pareto_abc(
+    ds,
+    key: str,
+    value: str,
+    scale: int = 100,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    num_parts: int | None = None,
+):
+    """Pareto / ABC analysis: aggregate ``value`` per ``key`` (exact
+    integer cents), rank keys by revenue DESCENDING globally, and emit
+    each key's cumulative revenue share plus its ABC class (A while
+    cum_share <= a_cut, B while <= b_cut, else C). The classic
+    concentration report ("which 20% of users drive 80% of value").
+
+    Global descending order without a global sort: the per-key
+    aggregate range-partitions on the (value-pure) revenue itself, so
+    ties share a partition; per-partition revenue totals broadcast as
+    prefix offsets and each partition finishes its own contiguous rank
+    range locally. Cumulative sums divide exact int64 cents by the
+    exact grand total, so class boundaries cannot drift between engine
+    and oracle.
+
+    Ties in revenue order by ``key`` ascending on both sides."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.derive import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df[value].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({key: df[key], "c": c})
+            .groupby(key, sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pandas")
+        .groupby(key)
+        .sum("c")
+        .map_batches(
+            lambda d: d.rename(columns={"sum(c)": "c"}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    st = agg.aggregate(
+        rd.aggregate.Sum("c"), rd.aggregate.Min("c"), rd.aggregate.Max("c")
+    )
+    total = int(st["sum(c)"] or 0)
+    if total == 0 or agg.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [(key, pa.int64()), ("revenue_cents", pa.int64()),
+                 ("cum_share", pa.float64()), ("abc", pa.string())]
+            ).empty_table()
+        )
+    lo, hi = float(st["min(c)"]), float(st["max(c)"])
+    span = max((hi - lo) / num_parts, 1e-300)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        # partition by NEGATED revenue so partition 0 holds the largest
+        p = np.minimum(
+            np.floor((hi - df["c"].to_numpy(dtype=np.float64)) / span),
+            num_parts - 1,
+        ).astype(np.int64)
+        return df.assign(part=p)
+
+    parted = agg.map_batches(add_part, batch_format="pandas").materialize()
+    sums = (
+        parted.groupby("part").sum("c").to_pandas().sort_values("part")
+    )
+    base = dict(
+        zip(
+            sums["part"].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(sums["sum(c)"].to_numpy())[:-1])
+            ),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                    "cum_share": pd.Series([], dtype="float64"),
+                    "abc": pd.Series([], dtype="object"),
+                }
+            )
+        b = int(ray.get(base_ref)[int(g["part"].iloc[0])])
+        g = g.sort_values(["c", key], ascending=[False, True],
+                          kind="mergesort")
+        cum = b + np.cumsum(g["c"].to_numpy(dtype=np.int64))
+        share = cum.astype(np.float64) / float(total)
+        abc = np.where(share <= a_cut, "A",
+                       np.where(share <= b_cut, "B", "C"))
+        sh = share + 1e-7
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "revenue_cents": g["c"].to_numpy(),
+                "cum_share": np.floor(sh * 1e6 + 0.5) / 1e6,
+                "abc": abc,
+            }
+        )
+
+    return parted.groupby("part").map_groups(finish, batch_format="pandas")
+
+
+def gini_coefficient(ds, col: str, scale: int = 100):
+    """Gini concentration coefficient of ``col`` over all rows: ONE row
+    (n, total, gini) with G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n
+    over the ascending order statistics (1-based i). The rank-weighted
+    sum is invariant under permutations of tied values, so the same
+    value-pure range partition + broadcast rank offsets used by the
+    rank tests computes it exactly; per-partition partials are two
+    scalars."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.derive import default_num_parts
+
+    num_parts = default_num_parts()
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": np.rint(
+                    df[col].to_numpy(dtype=np.float64) * scale
+                ).astype(np.int64)
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    st = cents.aggregate(
+        rd.aggregate.Count(), rd.aggregate.Sum("c"),
+        rd.aggregate.Min("c"), rd.aggregate.Max("c"),
+    )
+    n = int(st["count()"] or 0)
+    if n == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("n", pa.int64()), ("total", pa.float64()),
+                 ("gini", pa.float64())]
+            ).empty_table()
+        )
+    total_c = int(st["sum(c)"])
+    lo, hi = float(st["min(c)"]), float(st["max(c)"])
+    span = max((hi - lo) / num_parts, 1e-300)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.minimum(
+            np.floor((df["c"].to_numpy(dtype=np.float64) - lo) / span),
+            num_parts - 1,
+        ).astype(np.int64)
+        return df.assign(part=p)
+
+    parted = cents.map_batches(add_part, batch_format="pandas").materialize()
+    counts = parted.groupby("part").count().to_pandas().sort_values("part")
+    base = dict(
+        zip(
+            counts["part"].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(counts["count()"].to_numpy())[:-1])
+            ),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"rx": pd.Series([], dtype="float64")})
+        b = float(ray.get(base_ref)[int(g["part"].iloc[0])])
+        x = np.sort(g["c"].to_numpy(dtype=np.int64)).astype(np.float64)
+        i = b + np.arange(1, len(x) + 1, dtype=np.float64)
+        return pd.DataFrame({"rx": [float((i * x).sum())]})
+
+    parts = parted.groupby("part").map_groups(partial, batch_format="pandas")
+    rx = float(parts.aggregate(rd.aggregate.Sum("rx"))["sum(rx)"])
+    gini = 2.0 * rx / (n * float(total_c)) - (n + 1) / float(n)
+    out = pd.DataFrame(
+        {
+            "n": np.array([n], dtype=np.int64),
+            "total": _round6(np.array([total_c / scale])),
+            "gini": _round6(np.array([gini])),
+        }
+    )
+    return rd.from_arrow(pa.Table.from_pandas(out))
