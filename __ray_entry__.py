@@ -4644,6 +4644,77 @@ def _q_events_gini(sf_dir: str):
     return gini_coefficient(ev, "value")
 
 
+def _q_docs_split_leakage(sf_dir: str):
+    """Train/test contamination audit (round-5 addition): duplicate
+    document groups -- md5 of the first 64 chars, the shared-
+    boilerplate-prefix proxy (this corpus has no full-text exact dups;
+    prefix families are where leakage actually lives) -- whose members
+    straddle the deterministic 80/10/10 hash split, the check run
+    before trusting any held-out metric. Fingerprints are computed per
+    batch (text never shuffles; only 32-byte digests cross the ONE
+    fingerprint exchange) and the split tag is the stateless shared
+    Knuth hash. Oracle: md5(substr) + the identical split expression."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions import hash_split
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    tagged = hash_split(docs, [0.8, 0.1, 0.1])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5((t or "")[:64].encode("utf-8")).hexdigest()
+            for t in df["text"]
+        ]
+        out = pd.DataFrame({"fp": h, "split": df["split"]})
+        out["__part"] = stable_part(out["fp"].to_numpy(), num_parts)
+        return out
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("fp", sort=False).agg(
+            n=("split", "size"), ns=("split", "nunique")
+        )
+        n = a["n"].to_numpy(dtype=np.int64)
+        ns = a["ns"].to_numpy(dtype=np.int64)
+        cross = (n > 1) & (ns > 1)
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(n.sum())],
+                "n_dup_groups": [np.int64((n > 1).sum())],
+                "n_cross_groups": [np.int64(cross.sum())],
+                "docs_at_risk": [np.int64(n[cross].sum())],
+            }
+        )
+
+    parts = (
+        tagged.map_batches(fp, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                c: [np.int64(df[c].sum())]
+                for c in ("n_docs", "n_dup_groups", "n_cross_groups",
+                          "docs_at_risk")
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4972,6 +5043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_funnel": _q_events_windowed_funnel,
         "events_pareto_abc": _q_events_pareto_abc,
         "events_gini": _q_events_gini,
+        "docs_split_leakage": _q_docs_split_leakage,
     }
 
 
@@ -7906,4 +7978,22 @@ SELECT CAST(n AS BIGINT) AS n,
        ROUND(2.0 * rx / (n * tot) - (n + 1) / n + 0.0000001, 6) AS gini
 FROM s
 """,
+        "docs_split_leakage": (
+            "WITH s AS (SELECT md5(substr(text, 1, 64)) AS fp, "
+            + _sampling_sql().split_sql_expr(
+                "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]
+            )
+            + """ AS split FROM documents),
+g AS (SELECT fp, COUNT(*) AS n, COUNT(DISTINCT split) AS ns
+      FROM s GROUP BY 1)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(SUM(CASE WHEN n > 1 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_groups,
+       CAST(SUM(CASE WHEN n > 1 AND ns > 1 THEN n ELSE 0 END) AS BIGINT)
+           AS docs_at_risk
+FROM g
+"""
+        ),
     }
