@@ -4715,6 +4715,44 @@ def _q_docs_split_leakage(sf_dir: str):
     )
 
 
+def _q_embeddings_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training (round-5
+    addition): for EVERY anchor, the 5 most-cosine-similar vectors
+    with a DIFFERENT label. Normalized corpus matrix + labels
+    broadcast once (documented knob: beyond worker RAM, route through
+    the IVF cells with a label mask); cosines are 6dp-rounded BEFORE
+    ranking so ties break exactly like the oracle's (cosine DESC,
+    vec_id) window."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import hard_negatives
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return hard_negatives(emb, k=5)
+
+
+def _q_rollup_hour_anova(sf_dir: str):
+    """Diurnal seasonality strength (round-5 addition): per-series
+    one-way ANOVA of the 1h token_len_sum across hour-of-day -- eta^2
+    is the variance fraction the hour explains, F its significance.
+    Exact int64 y/y^2 sums make the decomposition one pinned float
+    expression. Oracle: grouped sum CTEs + the same algebra."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import anova_eta2
+    from tsfeatures_ray.pipelines import rollup_pipeline
+
+    ds = rollup_pipeline(sf_dir, tiers=["1h"])
+    withhour = ds.map_batches(
+        lambda d: d.assign(
+            hour=d["bucket"].astype("datetime64[us]").dt.hour.astype("int64")
+        ),
+        batch_format="pandas",
+    )
+    return anova_eta2(withhour, "conv_id", "hour", "token_len_sum")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5044,6 +5082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto_abc": _q_events_pareto_abc,
         "events_gini": _q_events_gini,
         "docs_split_leakage": _q_docs_split_leakage,
+        "embeddings_hard_negatives": _q_embeddings_hard_negatives,
+        "rollup_hour_anova": _q_rollup_hour_anova,
     }
 
 
@@ -7994,6 +8034,44 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN n > 1 AND ns > 1 THEN n ELSE 0 END) AS BIGINT)
            AS docs_at_risk
 FROM g
+"""
+        ),
+        "embeddings_hard_negatives": """
+WITH s AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+               + 0.0000001, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neg_id) AS rank
+      FROM s)
+SELECT anchor_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+        "rollup_hour_anova": (
+            "WITH base AS (" + rollup_sql("hour") + """),
+o AS (SELECT conv_id, CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hour,
+             CAST(ROUND(token_len_sum) AS BIGINT) AS y FROM base),
+g AS (SELECT conv_id, hour, CAST(SUM(y) AS DOUBLE) AS s,
+             CAST(SUM(y*y) AS DOUBLE) AS ss,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM o GROUP BY 1, 2),
+t AS (SELECT conv_id, SUM(s) AS S, SUM(ss) AS SS, SUM(n) AS N,
+             CAST(COUNT(*) AS BIGINT) AS levels, SUM(s * s / n) AS sb
+      FROM g GROUP BY 1),
+f AS (SELECT conv_id, CAST(N AS BIGINT) AS n, levels AS n_groups,
+             SS - S * S / N AS sst, sb - S * S / N AS ssb, N,
+             levels AS lv
+      FROM t)
+SELECT conv_id, n, n_groups,
+       ROUND(CASE WHEN n >= 2 AND lv >= 2 AND sst > 0
+             THEN ssb / sst ELSE NULL END + 0.0000001, 6) AS eta2,
+       ROUND(CASE WHEN n >= 2 AND lv >= 2 AND sst > 0 AND N > lv
+                   AND sst - ssb > 0
+             THEN (ssb / (lv - 1)) / ((sst - ssb) / (N - lv))
+             ELSE NULL END + 0.0000001, 6) AS f_stat
+FROM f
 """
         ),
     }

@@ -645,3 +645,38 @@ def test_periodogram_short_and_constant_series_dropped(ray_session):
     df["bucket"] = df["bucket"].astype("datetime64[us]")
     out = periodogram_probe(_ds(df), "key", "bucket", "y", ks=(1, 2))
     assert out.count() == 0  # short (n<4) and zero-variance both drop
+
+
+def test_hard_negatives_brute(ray_session):
+    from tsfeatures_ray.functions.similarity import hard_negatives
+
+    rng = np.random.default_rng(51)
+    n, d = 80, 8
+    m = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(m.astype(np.float32)),
+            "label": labels,
+        }
+    )
+    got = (
+        hard_negatives(_ds(df), k=3)
+        .to_pandas()
+        .sort_values(["anchor_id", "rank"])
+        .reset_index(drop=True)
+    )
+    mf = m.astype(np.float32).astype(np.float64)
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    sims = sims + 1e-7
+    sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+    for a in range(n):
+        cand = np.flatnonzero(labels != labels[a])
+        order = np.lexsort((cand, -sims[a, cand]))[:3]
+        want = cand[order]
+        rows = got[got["anchor_id"] == a]
+        assert list(rows["neg_id"]) == list(want)
+        # every negative really has a different label
+        assert (labels[rows["neg_id"]] != labels[a]).all()

@@ -527,3 +527,55 @@ def test_gini_known_distributions(ray_session):
     i = np.arange(1, len(c) + 1, dtype=float)
     want = 2 * (i * c).sum() / (len(c) * c.sum()) - (len(c) + 1) / len(c)
     assert g2["gini"] == pytest.approx(want, abs=2e-6)
+
+
+def test_anova_eta2_hand_cases(ray_session):
+    from tsfeatures_ray.functions.stats import anova_eta2
+
+    df = pd.DataFrame(
+        {
+            # key 1: category fully explains y -> eta2 = 1
+            # key 2: identical group means -> eta2 = 0
+            # key 3: single level -> NaN
+            "k": [1, 1, 1, 1, 2, 2, 2, 2, 3, 3],
+            "c": ["a", "a", "b", "b", "a", "a", "b", "b", "a", "a"],
+            "y": [5.0, 5.0, 9.0, 9.0, 1.0, 3.0, 1.0, 3.0, 1.0, 2.0],
+        }
+    )
+    got = (
+        anova_eta2(_ds(df), "k", "c", "y")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "eta2"] == 1.0 and np.isnan(got.loc[0, "f_stat"])
+    assert got.loc[1, "eta2"] == pytest.approx(0.0, abs=1e-6)
+    assert np.isnan(got.loc[2, "eta2"])
+    assert list(got["n_groups"]) == [2, 2, 1]
+
+
+def test_anova_eta2_brute(ray_session):
+    from tsfeatures_ray.functions.stats import anova_eta2
+
+    rng = np.random.RandomState(41)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, n),
+            "c": rng.choice(list("abcde"), n),
+            "y": np.rint(rng.gamma(3, 10, n)),
+        }
+    )
+    got = anova_eta2(_ds(df), "k", "c", "y").to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        y = g["y"].to_numpy()
+        gm = y.mean()
+        sst = ((y - gm) ** 2).sum()
+        ssb = sum(
+            len(gg) * (gg["y"].mean() - gm) ** 2 for _, gg in g.groupby("c")
+        )
+        lv = g["c"].nunique()
+        want = ssb / sst
+        f = (ssb / (lv - 1)) / ((sst - ssb) / (len(y) - lv))
+        assert got.loc[k, "eta2"] == pytest.approx(want, abs=2e-6)
+        assert got.loc[k, "f_stat"] == pytest.approx(f, rel=1e-4)

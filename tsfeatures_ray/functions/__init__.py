@@ -40,6 +40,7 @@ from .concurrency import interval_concurrency, interval_coverage  # noqa: F401
 from .drift import distribution_drift  # noqa: F401
 from .fuzzy import edit1_pairs  # noqa: F401
 from .stats import (  # noqa: F401
+    anova_eta2,
     benford_audit,
     chi2_independence,
     gini_coefficient,
@@ -87,6 +88,7 @@ from .windows import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     ann_recall,
+    hard_negatives,
     brute_knn,
     ivf_knn,
     kmeans_cluster,

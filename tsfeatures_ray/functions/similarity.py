@@ -1140,3 +1140,100 @@ def mutual_top1(
         .groupby(["lo", "hi"])
         .map_groups(mutual, batch_format="pandas")
     )
+
+
+class _HardNegScorer:
+    """Broadcast (normalized corpus matrix, ids, labels) once per
+    actor; each anchor batch scores against the full matrix with
+    same-label columns masked out."""
+
+    def __init__(self, corpus_ref, k, id_col, vec_col, label_col):
+        self.ids, self.labels, self.mn = ray.get(corpus_ref)
+        self.k, self.id_col = k, id_col
+        self.vec_col, self.label_col = vec_col, label_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        qn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+        )
+        sims = qn @ self.mn.T
+        # shared 6dp rounding BEFORE ranking so engine and oracle break
+        # ties on identical values (signed: cosines can be negative)
+        sims = sims + 1e-7
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        a_ids = batch[self.id_col].to_numpy()
+        a_lab = batch[self.label_col].to_numpy()
+        out = []
+        for r in range(len(batch)):
+            mask = self.labels != a_lab[r]
+            cand = np.flatnonzero(mask)
+            s = sims[r, cand]
+            # (cosine desc, vec_id asc) via lexsort on negated keys
+            order = np.lexsort((self.ids[cand], -s))[: self.k]
+            pick = cand[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "anchor_id": a_ids[r],
+                        "neg_id": self.ids[pick],
+                        "cosine": s[order],
+                        "rank": np.arange(1, len(pick) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "anchor_id": pd.Series([], dtype="int64"),
+                    "neg_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def hard_negatives(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive training: for EVERY anchor,
+    the top-k most-cosine-similar vectors with a DIFFERENT label
+    (the self row shares the anchor's label, so it is excluded for
+    free). Cosines are rounded to the shared 6dp convention BEFORE
+    ranking, so ties break identically to the SQL oracle's
+    (cosine DESC, vec_id) window.
+
+    Scale shape: the normalized corpus matrix + labels broadcast ONCE
+    via ray.put and anchors stream through a stateless actor pool --
+    the same broadcast-side pattern as brute_knn. The broadcast is the
+    documented knob: beyond worker RAM, swap the full matrix for the
+    IVF-bucketed path (ivf_knn) with a per-cell label mask."""
+    mat = []
+    ids = []
+    labels = []
+    for b in ds.iter_batches(batch_format="pandas", batch_size=8192):
+        mat.append(_to_matrix(b[vec_col].to_numpy()))
+        ids.append(b[id_col].to_numpy().astype(np.int64))
+        labels.append(b[label_col].to_numpy().astype(np.int64))
+    m = np.concatenate(mat)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    corpus_ref = ray.put(
+        (np.concatenate(ids), np.concatenate(labels), mn)
+    )
+    return ds.map_batches(
+        _HardNegScorer,
+        fn_constructor_kwargs={
+            "corpus_ref": corpus_ref, "k": k, "id_col": id_col,
+            "vec_col": vec_col, "label_col": label_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )

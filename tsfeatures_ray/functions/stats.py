@@ -693,3 +693,65 @@ def gini_coefficient(ds, col: str, scale: int = 100):
         }
     )
     return rd.from_arrow(pa.Table.from_pandas(out))
+
+
+def anova_eta2(ds, key: str, cat: str, value: str, num_parts=None):
+    """Per-key one-way ANOVA of ``value`` across the levels of ``cat``:
+    one row per key with n, n_groups, eta2 (SS_between / SS_total, the
+    variance fraction the category explains) and the F statistic.
+    Values are treated as integer-valued (rint) so every sum of y and
+    y^2 is exact int64 and the decomposition SSB = sum(s_g^2/n_g) -
+    S^2/N, SST = sum(y^2) - S^2/N is one pinned float expression.
+    Keys with N < 2, a single level, or SST = 0 emit NaN statistics
+    (n/n_groups still reported). F is NaN when N = n_groups (zero
+    within-group dof).
+
+    Scale shape: per-batch (key, cat) sum partials -- bounded by keys x
+    levels per block -- through ONE groupby(key, cat) exchange, then a
+    per-key local finish (second tiny exchange on key)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        yi = np.rint(df[value].to_numpy(dtype=np.float64)).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {key: df[key], cat: df[cat], "s": yi, "ss": yi * yi, "n": 1}
+            )
+            .groupby([key, cat], sort=False)
+            .agg(s=("s", "sum"), ss=("ss", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        return g.astype({"s": np.int64, "ss": np.int64, "n": np.int64})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, cat])
+        .sum(["s", "ss", "n"])
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=True):
+            n_g = gg["sum(n)"].to_numpy(dtype=np.float64)
+            s_g = gg["sum(s)"].to_numpy(dtype=np.float64)
+            N = float(n_g.sum())
+            S = float(s_g.sum())
+            SS = float(gg["sum(ss)"].to_numpy(dtype=np.float64).sum())
+            levels = len(gg)
+            sst = SS - S * S / N
+            eta2 = np.nan
+            f = np.nan
+            if N >= 2 and levels >= 2 and sst > 0:
+                ssb = float((s_g * s_g / n_g).sum()) - S * S / N
+                eta2 = ssb / sst
+                ssw = sst - ssb
+                if N > levels and ssw > 0:
+                    f = (ssb / (levels - 1)) / (ssw / (N - levels))
+            rows.append((k, int(N), levels, eta2, f))
+        out = pd.DataFrame(
+            rows, columns=[key, "n", "n_groups", "eta2", "f_stat"]
+        ).astype({"n": np.int64, "n_groups": np.int64})
+        for c in ("eta2", "f_stat"):
+            out[c] = _round6(out[c].to_numpy())
+        return out
+
+    return merged.groupby(key).map_groups(finish, batch_format="pandas")
