@@ -4204,6 +4204,12 @@ def _q_events_welch_weekend(sf_dir: str):
         )
         rows = []
         for et in sorted(piv.index):
+            # a corpus with no weekday (or no weekend) rows has no
+            # pivot column for that class: no oracle row either
+            if ("sum(n)", 0) not in piv.columns or (
+                "sum(n)", 1
+            ) not in piv.columns:
+                continue
             n1 = float(piv.loc[et, ("sum(n)", 0)])
             n2 = float(piv.loc[et, ("sum(n)", 1)])
             sx1 = float(piv.loc[et, ("sum(sx)", 0)])
@@ -4523,6 +4529,16 @@ def _q_events_k_anonymity(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty input: avoid min() on a 0-size array
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "n_classes": pd.Series([], dtype="int64"),
+                    "n_violating": pd.Series([], dtype="int64"),
+                    "min_class": pd.Series([], dtype="int64"),
+                    "rows_at_risk": pd.Series([], dtype="int64"),
+                }
+            )
         n = df["sum(n)"].to_numpy(dtype=np.int64)
         viol = n < k
         return pd.DataFrame(

@@ -680,3 +680,112 @@ def test_hard_negatives_brute(ray_session):
         assert list(rows["neg_id"]) == list(want)
         # every negative really has a different label
         assert (labels[rows["neg_id"]] != labels[a]).all()
+
+
+def test_review_fixes_degenerate_edges(ray_session, tmp_path):
+    """Round-5 review batch: degenerate inputs crash nowhere and track
+    the oracle's NULL/no-row semantics."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import (
+        gini_coefficient,
+        mann_whitney_u,
+        mutual_information,
+        pareto_abc,
+    )
+    from tsfeatures_ray.functions.survivorship import golden_record
+    from tsfeatures_ray.metrics import rolling_origin_backtest
+
+    # backtest: a horizon with zero pairs emits NO row (not n=0/NaN)
+    h = pd.Timedelta(hours=1)
+    t0 = pd.Timestamp("2024-01-01")
+    bt = pd.DataFrame(
+        {
+            "k": ["A", "A"],
+            "bucket": pd.Series([t0, t0 + h]).astype("datetime64[us]"),
+            "y": [1.0, 2.0],
+        }
+    )
+    out = rolling_origin_backtest(
+        rd.from_pandas(bt), "k", "bucket", "y", horizons=(1, 9)
+    ).to_pandas()
+    assert list(out["horizon"]) == [1]
+
+    # gini: zero total -> empty typed result, no ZeroDivisionError
+    z = gini_coefficient(
+        rd.from_pandas(pd.DataFrame({"v": [0.0, 0.0, 0.0]})), "v"
+    )
+    assert z.schema().names == ["n", "total", "gini"] and z.count() == 0
+
+    # mann-whitney: all values tied -> z is NaN (oracle SQRT(0) NULL)
+    mw = mann_whitney_u(
+        rd.from_pandas(
+            pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [1.0] * 4})
+        ),
+        "v", "g", "a", "b", num_parts=2,
+    ).to_pandas()
+    assert np.isnan(mw.loc[0, "z"]) and mw.loc[0, "u_a"] == 2.0
+
+    # mutual information: single-category marginal -> nmi NaN
+    mi = mutual_information(
+        rd.from_pandas(pd.DataFrame({"a": ["x"] * 10, "b": list("pq") * 5})),
+        "a", "b",
+    ).to_pandas()
+    assert np.isnan(mi.loc[0, "nmi"]) and mi.loc[0, "mi"] == 0.0
+
+    # golden_record: datetime rule with no matching rows stays NaT and
+    # the column stays datetime64 across group outputs
+    gr = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.Series(
+                ["2024-01-01", "2024-01-02"]
+            ).astype("datetime64[us]"),
+            "event_id": [1, 2],
+            "event_type": ["view", "purchase"],
+        }
+    )
+    out2 = (
+        golden_record(
+            rd.from_pandas(gr), "user_id", "ts", "event_id",
+            [
+                # unfiltered count keeps every key in the output
+                {"name": "n_events", "how": "count"},
+                {"name": "last_purchase_ts", "col": "ts", "how": "last",
+                 "when": ("event_type", "purchase")},
+            ],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(out2) == 2
+    assert str(out2["last_purchase_ts"].dtype).startswith("datetime64")
+    assert pd.isna(out2.loc[0, "last_purchase_ts"])
+    assert out2.loc[1, "last_purchase_ts"] == pd.Timestamp("2024-01-02")
+
+    # pareto: zero-total keeps the key dtype from the aggregate
+    p = pareto_abc(
+        rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [0.0, 0.0]})),
+        "k", "v",
+    )
+    assert p.schema().names == ["k", "revenue_cents", "cum_share", "abc"]
+    assert p.count() == 0
+
+    # welch query: weekend-only corpus -> zero rows, no KeyError
+    import __ray_entry__ as entry
+
+    sat = pd.to_datetime("2024-01-06")  # Saturday
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.Series([sat] * 3).astype("datetime64[us]"),
+            "user_id": [1, 2, 3],
+            "event_type": ["x", "x", "x"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    w = entry.queries()["events_welch_weekend"](str(tmp_path)).to_pandas()
+    assert len(w) == 0

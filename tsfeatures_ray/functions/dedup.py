@@ -1106,7 +1106,8 @@ def containment_pairs(
             }
         )
 
-    posts = sh.map_batches(explode, batch_format="pandas")
+    # materialized: consumed twice (hot-gram counts + candidate join)
+    posts = sh.map_batches(explode, batch_format="pandas").materialize()
     if hot_k > 0:
         hot = (
             posts.groupby("gram")

@@ -345,7 +345,8 @@ def mann_whitney_u(
     u_a = r1 - n_a * (n_a + 1) / 2.0
     mu = n_a * n_b / 2.0
     var = n_a * n_b / 12.0 * ((n + 1) - tie / (float(n) * (n - 1)))
-    z = (u_a - mu) / np.sqrt(var) if var > 0 else 0.0
+    # var == 0 (all values tied): the oracle divides by SQRT(0) -> NULL
+    z = (u_a - mu) / np.sqrt(var) if var > 0 else np.nan
     out = pd.DataFrame(
         {
             "n_a": np.array([n_a], dtype=np.int64),
@@ -478,7 +479,10 @@ def mutual_information(ds, col_a: str, col_b: str):
             mi = float(term.sum())
             h_a = float(-np.sum(np.where(pa_ > 0, pa_ * np.log(pa_), 0.0)))
             h_b = float(-np.sum(np.where(pb_ > 0, pb_ * np.log(pb_), 0.0)))
-        nmi = mi / np.sqrt(h_a * h_b) if h_a > 0 and h_b > 0 else 0.0
+        # zero marginal entropy: oracle mi/SQRT(0) -> NULL, mirror NaN
+        nmi = (
+            mi / np.sqrt(h_a * h_b) if h_a > 0 and h_b > 0 else np.nan
+        )
         return pd.DataFrame(
             {
                 "mi": _round6(np.array([mi])),
@@ -553,9 +557,15 @@ def pareto_abc(
     )
     total = int(st["sum(c)"] or 0)
     if total == 0 or agg.count() == 0:
+        # key dtype from the (materialized) aggregate, not hardcoded
+        # (_pa_type normalizes pandas-block numpy dtypes to Arrow)
+        from .join import _pa_type
+
+        sch = agg.schema()
+        key_type = _pa_type(dict(zip(sch.names, sch.types))[key])
         return rd.from_arrow(
             pa.schema(
-                [(key, pa.int64()), ("revenue_cents", pa.int64()),
+                [(key, key_type), ("revenue_cents", pa.int64()),
                  ("cum_share", pa.float64()), ("abc", pa.string())]
             ).empty_table()
         )
@@ -644,14 +654,14 @@ def gini_coefficient(ds, col: str, scale: int = 100):
         rd.aggregate.Min("c"), rd.aggregate.Max("c"),
     )
     n = int(st["count()"] or 0)
-    if n == 0:
+    total_c = int(st["sum(c)"]) if n else 0
+    if n == 0 or total_c == 0:  # zero total: Gini undefined, no row
         return rd.from_arrow(
             pa.schema(
                 [("n", pa.int64()), ("total", pa.float64()),
                  ("gini", pa.float64())]
             ).empty_table()
         )
-    total_c = int(st["sum(c)"])
     lo, hi = float(st["min(c)"]), float(st["max(c)"])
     span = max((hi - lo) / num_parts, 1e-300)
 

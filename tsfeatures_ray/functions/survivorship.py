@@ -49,7 +49,11 @@ def golden_record(
     row matches); ``count`` counts matching rows; ``min``/``max`` are
     plain associative extremes. Values pass through untouched -- no
     arithmetic, so floats are bit-identical to an arg_max/FILTER SQL
-    oracle."""
+    oracle.
+
+    Output keys are the union of keys matched by AT LEAST ONE rule;
+    include an unfiltered rule (e.g. a ``count`` over all rows) when
+    every key must appear."""
     if num_parts is None:
         num_parts = default_num_parts()
     for r in rules:
@@ -87,8 +91,15 @@ def golden_record(
                     if how == "last"
                     else s.groupby(key, sort=False).head(1)
                 )
-                p = pick[[key, r["col"], ts, order]].rename(
-                    columns={r["col"]: n, ts: f"{n}__t", order: f"{n}__o"}
+                # built column-by-column: a rule whose col IS the ts or
+                # order column must not create duplicate names
+                p = pd.DataFrame(
+                    {
+                        key: pick[key].to_numpy(),
+                        n: pick[r["col"]].to_numpy(),
+                        f"{n}__t": pick[ts].to_numpy(),
+                        f"{n}__o": pick[order].to_numpy(),
+                    }
                 )
             pieces.append(p.set_index(key))
         out = pd.concat(pieces, axis=1, join="outer").reset_index()
@@ -107,7 +118,9 @@ def golden_record(
                 t = g[f"{n}__t"]
                 ok = t.notna()
                 if not ok.any():
-                    row[n] = [np.nan]
+                    # typed missing: NaT for datetime sources keeps the
+                    # column dtype stable across per-key group outputs
+                    row[n] = [pd.NaT if g[n].dtype.kind == "M" else np.nan]
                     continue
                 sub = g.loc[ok, [n, f"{n}__t", f"{n}__o"]]
                 idx = np.lexsort(

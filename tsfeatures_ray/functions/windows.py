@@ -1059,7 +1059,6 @@ def align_locf_corr(
         g = g.sort_values([key, ts, order], kind="mergesort")
         va = g[value].where(g[type_col] == type_a)
         vb = g[value].where(g[type_col] == type_b)
-        grp = g.groupby(key, sort=False)
         xa = va.groupby(g[key], sort=False).ffill().to_numpy()
         xb = vb.groupby(g[key], sort=False).ffill().to_numpy()
         both = ~(np.isnan(xa) | np.isnan(xb))

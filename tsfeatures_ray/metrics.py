@@ -263,6 +263,9 @@ def rolling_origin_backtest(
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("horizon")
+        # a horizon with zero pairs matches no oracle row: drop it
+        # instead of emitting (n=0, NaN, NaN)
+        df = df[df["sum(n)"] > 0]
         n = df["sum(n)"].to_numpy(dtype=np.float64)
         mae = df["sum(sae)"].to_numpy(dtype=np.float64) / n + 1e-7
         rmse = (
