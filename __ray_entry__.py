@@ -4769,6 +4769,138 @@ def _q_rollup_hour_anova(sf_dir: str):
     return anova_eta2(withhour, "conv_id", "hour", "token_len_sum")
 
 
+def _q_events_purchase_survival(sf_dir: str):
+    """Kaplan-Meier time-to-next-purchase curve (round-5 addition):
+    per-user purchase inter-arrival gaps in whole days (observed
+    events) plus the right-censored gap from each user's last purchase
+    to the corpus end. Durations collapse to bounded (day, event)
+    count partials, so the exchange is day-cardinality-bounded; the
+    survival product is exp(cumsum(ln(1 - d/n))) in ascending day
+    order, matching the oracle's EXP(SUM(LN) OVER) window exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.stats import kaplan_meier
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    day_us = 86_400_000_000
+    num_parts = default_num_parts()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    now_raw = ev.aggregate(rd.aggregate.Max("ts"))["max(ts)"]
+    now_us = int(
+        pd.Timestamp(now_raw).to_datetime64().astype("datetime64[us]")
+        .astype("int64")
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"][
+            ["user_id", "ts", "event_id"]
+        ].copy()
+        df["__part"] = stable_part(df["user_id"].to_numpy(), num_parts)
+        return df
+
+    def durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        k = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        same = np.r_[k[1:] == k[:-1], False]
+        gap = (np.roll(t, -1) - t) // day_us
+        last = ~same
+        out = pd.DataFrame(
+            {
+                "dur": np.where(same, gap, (now_us - t) // day_us).astype(
+                    np.int64
+                ),
+                "event": np.where(last, 0, 1).astype(np.int64),
+            }
+        )
+        return out
+
+    durs = (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(durations, batch_format="pandas")
+    )
+    return kaplan_meier(durs, "dur", "event")
+
+
+def _q_events_markov_top1(sf_dir: str):
+    """Markov next-event predictor, fit AND evaluated in one pass
+    (round-5 addition): per prev event type, the argmax next type
+    (ties break to the lexicographically smallest) and its in-sample
+    top-1 accuracy -- train-and-score without a second data pass
+    because accuracy = max transition count / row total. One per-user
+    exchange ships (prev, next) count partials bounded by |types|^2.
+    Oracle: transition counts + row_number argmax."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsfeatures_ray.stages.derive import default_num_parts, stable_part
+
+    num_parts = default_num_parts()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = stable_part(df["user_id"].to_numpy(), num_parts)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        k = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[k[1:] == k[:-1], False]
+        out = (
+            pd.DataFrame(
+                {"prev": et[same], "next": np.roll(et, -1)[same], "n": 1}
+            )
+            .groupby(["prev", "next"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return out.astype({"n": np.int64})
+
+    merged = (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev", "next"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for prev, g in df.groupby("prev", sort=True):
+            g = g.sort_values(
+                ["sum(n)", "next"], ascending=[False, True],
+                kind="mergesort",
+            )
+            n = int(g["sum(n)"].sum())
+            correct = int(g["sum(n)"].iloc[0])
+            acc = correct / n + 1e-7
+            rows.append(
+                (prev, g["next"].iloc[0], n, correct,
+                 np.floor(acc * 1e6 + 0.5) / 1e6)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["prev_type", "predicted_next", "n", "n_correct",
+                     "accuracy"],
+        ).astype({"n": np.int64, "n_correct": np.int64})
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5100,6 +5232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_leakage": _q_docs_split_leakage,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "rollup_hour_anova": _q_rollup_hour_anova,
+        "events_purchase_survival": _q_events_purchase_survival,
+        "events_markov_top1": _q_events_markov_top1,
     }
 
 
@@ -8090,4 +8224,56 @@ SELECT conv_id, n, n_groups,
 FROM f
 """
         ),
+        "events_purchase_survival": """
+WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
+p AS (SELECT user_id, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'),
+dur AS (
+  SELECT CAST(date_diff('microsecond', ts, nxt) // 86400000000
+              AS BIGINT) AS t, 1 AS e
+  FROM p WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT CAST(date_diff('microsecond', ts, now_ts) // 86400000000
+              AS BIGINT), 0
+  FROM p CROSS JOIN now_t WHERE nxt IS NULL),
+g AS (SELECT t, e, COUNT(*) AS n FROM dur GROUP BY 1, 2),
+tt AS (SELECT t, SUM(CASE WHEN e = 1 THEN n ELSE 0 END) AS d,
+              SUM(CASE WHEN e = 0 THEN n ELSE 0 END) AS c
+       FROM g GROUP BY t),
+r AS (SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM tt),
+s AS (SELECT t, d, c, n_risk,
+             CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) = 1 THEN 0.0
+                  ELSE EXP(SUM(LN(CASE WHEN d >= n_risk THEN 1.0
+                                   ELSE 1 - CAST(d AS DOUBLE) / n_risk
+                                   END))
+                           OVER (ORDER BY t)) END AS surv
+      FROM r)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       ROUND(surv + 0.0000001, 6) AS survival
+FROM s WHERE d > 0
+""",
+        "events_markov_top1": """
+WITH o AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT event_type AS prev, nxt, COUNT(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT prev, nxt, n,
+             row_number() OVER (PARTITION BY prev
+                                ORDER BY n DESC, nxt) AS rk,
+             SUM(n) OVER (PARTITION BY prev) AS tot
+      FROM c)
+SELECT prev AS prev_type, nxt AS predicted_next,
+       CAST(tot AS BIGINT) AS n, CAST(n AS BIGINT) AS n_correct,
+       ROUND(CAST(n AS DOUBLE) / tot + 0.0000001, 6) AS accuracy
+FROM r WHERE rk = 1
+""",
     }

@@ -579,3 +579,55 @@ def test_anova_eta2_brute(ray_session):
         f = (ssb / (lv - 1)) / ((sst - ssb) / (len(y) - lv))
         assert got.loc[k, "eta2"] == pytest.approx(want, abs=2e-6)
         assert got.loc[k, "f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_kaplan_meier_brute(ray_session):
+    """KM estimator with censoring vs a hand-rolled product-limit
+    computation, including the terminal drop to exactly zero."""
+    from tsfeatures_ray.functions.stats import kaplan_meier
+
+    rng = np.random.RandomState(61)
+    n = 400
+    t = rng.randint(0, 30, n)
+    e = (rng.rand(n) < 0.7).astype(np.int64)
+    df = pd.DataFrame({"dur": t.astype(np.int64), "event": e})
+    got = (
+        kaplan_meier(_ds(df), "dur", "event")
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    # brute product-limit
+    s = 1.0
+    want = []
+    for tj in sorted(set(t)):
+        at_risk = int((t >= tj).sum())
+        d = int(((t == tj) & (e == 1)).sum())
+        c = int(((t == tj) & (e == 0)).sum())
+        if d >= at_risk:
+            s = 0.0
+        else:
+            s *= 1.0 - d / at_risk
+        if d > 0:
+            want.append((tj, at_risk, d, c, s))
+    assert len(got) == len(want)
+    for row, (tj, nr, d, c, sv) in zip(got.itertuples(index=False), want):
+        assert (row.t, row.n_risk, row.n_events, row.n_censored) == (
+            tj, nr, d, c,
+        )
+        assert row.survival == pytest.approx(sv, abs=2e-6)
+    # monotone non-increasing
+    assert (np.diff(got["survival"].to_numpy()) <= 1e-12).all()
+
+
+def test_kaplan_meier_terminal_zero(ray_session):
+    from tsfeatures_ray.functions.stats import kaplan_meier
+
+    # no censoring: the curve must END at exactly 0.0 (ln(0) guarded)
+    df = pd.DataFrame(
+        {"dur": np.array([1, 2, 2, 5], dtype=np.int64),
+         "event": np.ones(4, dtype=np.int64)}
+    )
+    got = kaplan_meier(_ds(df), "dur", "event").to_pandas()
+    assert got["survival"].iloc[-1] == 0.0
+    assert got["survival"].iloc[0] == 0.75

@@ -44,6 +44,7 @@ from .stats import (  # noqa: F401
     benford_audit,
     chi2_independence,
     gini_coefficient,
+    kaplan_meier,
     ks_exponential,
     ks_two_sample,
     mann_whitney_u,

@@ -765,3 +765,96 @@ def anova_eta2(ds, key: str, cat: str, value: str, num_parts=None):
         return out
 
     return merged.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def kaplan_meier(ds, duration_col: str, event_col: str):
+    """Kaplan-Meier survival estimator over integer durations with
+    right censoring: one row per duration that has at least one
+    OBSERVED event -- (t, n_risk, n_events, n_censored,
+    survival = prod_{i<=j} (1 - d_i/n_i)). ``event_col`` is 1 for an
+    observed event, 0 for censored; censored subjects count as at-risk
+    AT their censoring time and leave afterwards (the standard
+    convention).
+
+    Scale shape: durations collapse to per-batch (t, event) count
+    partials, so the exchange is bounded by the distinct-duration
+    count (integer days: a few hundred) regardless of subjects; the
+    finish is one block. The survival product is evaluated as
+    exp(cumsum(ln(1 - d/n))) ascending in t -- the same expression and
+    order as the oracle's EXP(SUM(LN(...)) OVER (ORDER BY t))."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "t": df[duration_col].to_numpy().astype(np.int64),
+                    "e": df[event_col].to_numpy().astype(np.int64),
+                    "n": 1,
+                }
+            )
+            .groupby(["t", "e"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return g.astype({"n": np.int64})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["t", "e"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "t": pd.Series([], dtype="int64"),
+                    "n_risk": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_censored": pd.Series([], dtype="int64"),
+                    "survival": pd.Series([], dtype="float64"),
+                }
+            )
+        piv = (
+            df.pivot_table(index="t", columns="e", values="sum(n)",
+                           fill_value=0, aggfunc="sum")
+            .sort_index()
+        )
+        d = (
+            piv[1].to_numpy(dtype=np.int64)
+            if 1 in piv
+            else np.zeros(len(piv), dtype=np.int64)
+        )
+        c = (
+            piv[0].to_numpy(dtype=np.int64)
+            if 0 in piv
+            else np.zeros(len(piv), dtype=np.int64)
+        )
+        total = d + c
+        # at risk at t_j: everyone with duration >= t_j
+        n_risk = total[::-1].cumsum()[::-1]
+        # terminal drop: once d == n_risk the curve is exactly 0 (and
+        # ln(0) never evaluates -- the oracle guards identically)
+        dead = np.maximum.accumulate(d >= n_risk)
+        frac = np.where(
+            d >= n_risk,
+            1.0,
+            1.0 - d.astype(np.float64) / n_risk.astype(np.float64),
+        )
+        surv = np.where(dead, 0.0, np.exp(np.cumsum(np.log(frac))))
+        keep = d > 0
+        s = surv[keep] + 1e-7
+        return pd.DataFrame(
+            {
+                "t": piv.index.to_numpy(dtype=np.int64)[keep],
+                "n_risk": n_risk[keep],
+                "n_events": d[keep],
+                "n_censored": c[keep],
+                "survival": np.sign(s)
+                * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
