@@ -512,6 +512,44 @@ def run_ops() -> dict:
                                key="user_id", order="event_id",
                                x_col="event_id", y_col="value",
                                window=4).count())
+
+    # round-5 fourth-session additions
+    from tsfeatures_ray.functions.dedup import containment_pairs
+    from tsfeatures_ray.functions.similarity import hard_negatives
+    from tsfeatures_ray.functions.stats import mann_whitney_u, pareto_abc
+    from tsfeatures_ray.functions.text import cross_source_ppl
+    from tsfeatures_ray.functions.windows import (
+        hampel_outliers,
+        time_weighted_avg,
+    )
+
+    timed("containment_pairs_t50", n_docs,
+          lambda: containment_pairs(docs(), threshold=0.5).count())
+    timed("cross_source_ppl", n_docs,
+          lambda: cross_source_ppl(
+              rd.read_parquet(docs_path, columns=["source", "text"])
+          ).count())
+    timed("hard_negatives_k5", n_emb,
+          lambda: hard_negatives(
+              rd.read_parquet(emb_path), k=5).count())
+    timed("twap_1d", n_ev,
+          lambda: time_weighted_avg(
+              rd.read_parquet(
+                  ev_path,
+                  columns=["user_id", "ts", "event_id", "value"])
+          ).count())
+    timed("hampel_w7", n_ev,
+          lambda: hampel_outliers(
+              _ev(["user_id", "event_id", "value"]),
+              key="user_id", order="event_id", col="value").count())
+    timed("mann_whitney", n_ev,
+          lambda: mann_whitney_u(
+              rd.read_parquet(ev_path, columns=["event_type", "value"]),
+              "value", "event_type", "purchase", "error").count())
+    timed("pareto_abc_user", n_ev,
+          lambda: pareto_abc(
+              rd.read_parquet(ev_path, columns=["user_id", "value"]),
+              "user_id", "value").count())
     result = {
         "metric": "per-op wall seconds / rows per second (training-data ops)",
         "value": round(sum(v["sec"] for v in out.values()), 2),

@@ -418,3 +418,37 @@ def test_containment_threshold_validation(ray_session):
         containment_pairs(None, threshold=0.0)
     with pytest.raises(ValueError):
         containment_pairs(None, threshold=1.5)
+
+
+def test_containment_modes_identical(ray_session):
+    """prefix (open-vocab) and blocked (closed-vocab) containment
+    paths produce identical pairs; auto picks blocked on a
+    closed-vocabulary corpus."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.dedup import containment_pairs
+
+    rng = np.random.default_rng(71)
+    words = ["".join(rng.choice(list("abcd"), 4)) for _ in range(30)]
+    texts = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    texts.append(texts[0][:120])  # contained
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    def run(mode):
+        return (
+            containment_pairs(
+                rd.from_pandas(df), threshold=0.5, mode=mode, num_parts=3
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    a, b, auto = run("prefix"), run("blocked"), run("auto")
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, auto)  # closed vocab -> blocked
+    assert len(a) > 0
+    with pytest.raises(ValueError):
+        containment_pairs(None, mode="nope")

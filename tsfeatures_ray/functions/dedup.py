@@ -1029,6 +1029,118 @@ def conversation_fingerprints(
     )
 
 
+def _containment_blocked(
+    ds, id_col, text_col, k, threshold, num_parts
+) -> "ray.data.Dataset":
+    """Closed-vocabulary containment path: the partition-pair
+    block-nested-loop of ``jaccard_near_dups``/``cosine_near_dups``
+    with DENSE gram-indicator matmuls per bucket. When the gram
+    vocabulary is bounded (every gram common, so prefix filtering
+    cannot prune -- measured on the synthetic corpus: vocab grows 10k
+    -> 13k while postings grow 10x), the na x V indicator fits a
+    worker and one float32 matmul yields every exact intersection
+    count; each unordered doc pair meets in exactly ONE bucket, which
+    emits BOTH directed containments. Gram identity is the shared
+    128-bit-grade shingle hash (same negligible-collision contract as
+    jaccard_near_dups vs its substring oracle)."""
+    import pandas as pd
+
+    from ..stages.derive import stable_part
+
+    P = num_parts
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[text_col].fillna("").str.len() >= k
+        df = df.loc[keep, [id_col, text_col]].reset_index(drop=True)
+        p = stable_part(df[id_col].to_numpy(), P)
+        rep = df.iloc[np.repeat(np.arange(len(df)), P)].reset_index(
+            drop=True
+        )
+        p_rep = np.repeat(p, P)
+        kk = np.tile(np.arange(P, dtype=np.int64), len(df))
+        lo, hi = np.minimum(p_rep, kk), np.maximum(p_rep, kk)
+        rep["side"] = p_rep
+        rep["pairb"] = lo * P + hi
+        return rep
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "containment": pd.Series([], dtype="float64")}
+    )
+
+    def _indicator(texts, vocab):
+        n = len(texts)
+        ind = np.zeros((n, len(vocab)), dtype=np.float32)
+        sizes = np.empty(n, dtype=np.int64)
+        for r, t in enumerate(texts):
+            h = _shingle_hashes(t, k)
+            sizes[r] = len(h)
+            ind[r, np.searchsorted(vocab, h)] = 1.0
+        return ind, sizes
+
+    def _emit(m, sa, ids_a, ids_b, same):
+        cont = m / sa[:, None]
+        mask = cont >= threshold
+        if same:
+            np.fill_diagonal(mask, False)
+        ia, ib = np.nonzero(mask)
+        if len(ia) == 0:
+            return None
+        r = cont[ia, ib] + 1e-7
+        return pd.DataFrame(
+            {
+                "id_a": ids_a[ia].astype("int64"),
+                "id_b": ids_b[ib].astype("int64"),
+                "containment": np.sign(r)
+                * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(g["pairb"].iloc[0]), P)
+        g = g.drop_duplicates(subset=[id_col, "side"])
+        a = g[g["side"] == i]
+        if len(a) == 0 or (i == j and len(a) < 2):
+            return empty.copy()
+        b = a if i == j else g[g["side"] == j]
+        if len(b) == 0:
+            return empty.copy()
+        texts_a = a[text_col].tolist()
+        texts_b = texts_a if i == j else b[text_col].tolist()
+        vocab = np.unique(
+            np.concatenate(
+                [_shingle_hashes(t, k) for t in texts_a]
+                + ([] if i == j else [_shingle_hashes(t, k)
+                                      for t in texts_b])
+            )
+        )
+        ind_a, sa = _indicator(texts_a, vocab)
+        if i == j:
+            ind_b, sb = ind_a, sa
+        else:
+            ind_b, sb = _indicator(texts_b, vocab)
+        # counts <= vocab < 2^24: exact in float32
+        m = np.rint(ind_a @ ind_b.T).astype(np.int64)
+        ids_a = a[id_col].to_numpy()
+        ids_b = ids_a if i == j else b[id_col].to_numpy()
+        outs = []
+        fwd = _emit(m, sa, ids_a, ids_b, i == j)
+        if fwd is not None:
+            outs.append(fwd)
+        if i != j:  # reverse direction meets here too
+            rev = _emit(m.T, sb, ids_b, ids_a, False)
+            if rev is not None:
+                outs.append(rev)
+        return pd.concat(outs, ignore_index=True) if outs else empty.copy()
+
+    return (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pairb")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
 def containment_pairs(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -1037,6 +1149,7 @@ def containment_pairs(
     threshold: float = 0.5,
     hot_k: int = 100_000,
     num_parts: int | None = None,
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Exact asymmetric containment join over char k-gram shingle sets:
     DIRECTED pairs (id_a, id_b, containment) with containment =
@@ -1058,7 +1171,18 @@ def containment_pairs(
     gram, pair-hash dedup, and two chained partitioned joins that
     co-locate each candidate with both gram sets -- texts themselves
     never shuffle, and per-pair verification is exact set
-    intersection. Matches a brute-force all-pairs SQL oracle."""
+    intersection. Matches a brute-force all-pairs SQL oracle.
+
+    ``mode``: ``"prefix"`` (the pipeline above -- the OPEN-vocabulary
+    scale path, where rare grams keep candidates sparse),
+    ``"blocked"`` (partition-pair dense matmul -- the CLOSED-vocabulary
+    path, where every gram is common and prefix filtering cannot
+    prune), or ``"auto"`` (default): a bounded 512-doc sample measures
+    the gram duplication factor (postings / distinct grams); >= 4
+    means closed vocabulary -> blocked. Both modes are exact and
+    produce identical pairs (blocked counts via the shared shingle
+    hash, the same negligible-collision contract as
+    jaccard_near_dups)."""
     import math
 
     from .join import partitioned_join
@@ -1066,8 +1190,24 @@ def containment_pairs(
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if mode not in ("auto", "prefix", "blocked"):
+        raise ValueError(f"unknown mode {mode!r}")
     if num_parts is None:
         num_parts = default_num_parts()
+    if mode == "auto":
+        sample = ds.limit(512).to_pandas()
+        hh = [
+            _shingle_hashes(t, k)
+            for t in sample[text_col].fillna("")
+            if len(t) >= k
+        ]
+        tot = int(sum(len(h) for h in hh))
+        vocab = len(np.unique(np.concatenate(hh))) if hh else 1
+        mode = "blocked" if tot / max(vocab, 1) >= 4.0 else "prefix"
+    if mode == "blocked":
+        return _containment_blocked(
+            ds, id_col, text_col, k, threshold, num_parts
+        )
 
     sep = "\x00"
 
