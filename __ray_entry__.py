@@ -4901,6 +4901,21 @@ def _q_events_markov_top1(sf_dir: str):
     )
 
 
+def _q_embeddings_knn_purity(sf_dir: str):
+    """kNN label purity (round-5 addition): per label, the average
+    fraction of each vector's 10 nearest cosine neighbors (self
+    excluded, 6dp-rounded tie order) sharing its label -- the
+    embedding-quality check run before trusting a table for retrieval
+    or clustering. Broadcast corpus matrix, |labels|-bounded partials.
+    Oracle: rank window + label-match counts."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.similarity import knn_purity
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_purity(emb, k=10)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5234,6 +5249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_hour_anova": _q_rollup_hour_anova,
         "events_purchase_survival": _q_events_purchase_survival,
         "events_markov_top1": _q_events_markov_top1,
+        "embeddings_knn_purity": _q_embeddings_knn_purity,
     }
 
 
@@ -8275,5 +8291,24 @@ SELECT prev AS prev_type, nxt AS predicted_next,
        CAST(tot AS BIGINT) AS n, CAST(n AS BIGINT) AS n_correct,
        ROUND(CAST(n AS DOUBLE) / tot + 0.0000001, 6) AS accuracy
 FROM r WHERE rk = 1
+""",
+        "embeddings_knn_purity": """
+WITH s AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id, b.label AS nlab,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+               + 0.0000001, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM s),
+t AS (SELECT qid, qlab,
+             SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS m
+      FROM r WHERE rk <= 10 GROUP BY 1, 2)
+SELECT CAST(qlab AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 10) + 0.0000001, 6)
+           AS purity
+FROM t GROUP BY 1
 """,
     }

@@ -789,3 +789,31 @@ def test_review_fixes_degenerate_edges(ray_session, tmp_path):
     ev.to_parquet(tmp_path / "events.parquet")
     w = entry.queries()["events_welch_weekend"](str(tmp_path)).to_pandas()
     assert len(w) == 0
+
+
+def test_knn_purity_planted_clusters(ray_session):
+    """Tightly clustered labels give purity ~1; shuffled labels give
+    purity ~1/|labels|."""
+    from tsfeatures_ray.functions.similarity import knn_purity
+
+    rng = np.random.default_rng(81)
+    centers = rng.normal(size=(3, 16)) * 10
+    vecs, labs = [], []
+    for c in range(3):
+        vecs.append(centers[c] + rng.normal(size=(40, 16)) * 0.01)
+        labs.extend([c] * 40)
+    m = np.concatenate(vecs)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(m), dtype=np.int64),
+            "embedding": list(m.astype(np.float32)),
+            "label": np.asarray(labs, dtype=np.int64),
+        }
+    )
+    got = knn_purity(_ds(df), k=5).to_pandas()
+    assert (got["purity"] > 0.99).all()
+    assert got["n_vectors"].sum() == 120
+    # shuffled labels destroy purity
+    df2 = df.assign(label=rng.permutation(df["label"].to_numpy()))
+    got2 = knn_purity(_ds(df2), k=5).to_pandas()
+    assert got2["purity"].mean() < 0.6

@@ -94,6 +94,7 @@ from .similarity import (  # noqa: F401
     ivf_knn,
     kmeans_cluster,
     kmeans_fit,
+    knn_purity,
     lsh_bucketed_knn,
     mutual_top1,
     semantic_dedup,

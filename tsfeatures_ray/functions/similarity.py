@@ -1237,3 +1237,89 @@ def hard_negatives(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class _PurityScorer(_HardNegScorer):
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col].to_numpy())
+        qn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+        )
+        sims = qn @ self.mn.T
+        sims = sims + 1e-7
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        a_ids = batch[self.id_col].to_numpy()
+        a_lab = batch[self.label_col].to_numpy()
+        lab_out = np.empty(len(batch), dtype=np.int64)
+        match = np.empty(len(batch), dtype=np.int64)
+        for r in range(len(batch)):
+            mask = self.ids != a_ids[r]  # self excluded by id
+            cand = np.flatnonzero(mask)
+            s = sims[r, cand]
+            order = np.lexsort((self.ids[cand], -s))[: self.k]
+            pick = cand[order]
+            lab_out[r] = a_lab[r]
+            match[r] = int((self.labels[pick] == a_lab[r]).sum())
+        return pd.DataFrame(
+            {"label": lab_out, "n_match": match, "n_vec": 1}
+        )
+
+
+def knn_purity(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    concurrency: int = 4,
+):
+    """Embedding-space label purity: for every vector, the fraction of
+    its k nearest cosine neighbors (self excluded by id; 6dp-rounded
+    cosines, (cosine DESC, vec_id) tie order) that share its label,
+    averaged per label -- the quick classification-quality check run
+    on an embedding table before trusting it for retrieval or
+    clustering. Output: one row per label (n_vectors, purity).
+
+    Same broadcast shape as hard_negatives (normalized corpus matrix +
+    labels via ray.put once; IVF-bucketed variant is the documented
+    beyond-RAM knob); per-batch partials are (label, matches) counts,
+    so the reduce is |labels|-bounded."""
+    import pandas as pd
+
+    mat, ids, labels = [], [], []
+    for b in ds.iter_batches(batch_format="pandas", batch_size=8192):
+        mat.append(_to_matrix(b[vec_col].to_numpy()))
+        ids.append(b[id_col].to_numpy().astype(np.int64))
+        labels.append(b[label_col].to_numpy().astype(np.int64))
+    m = np.concatenate(mat)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    corpus_ref = ray.put((np.concatenate(ids), np.concatenate(labels), mn))
+    partials = ds.map_batches(
+        _PurityScorer,
+        fn_constructor_kwargs={
+            "corpus_ref": corpus_ref, "k": k, "id_col": id_col,
+            "vec_col": vec_col, "label_col": label_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    merged = partials.groupby("label").sum(["n_match", "n_vec"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nv = df["sum(n_vec)"].to_numpy(dtype=np.int64)
+        nm = df["sum(n_match)"].to_numpy(dtype=np.float64)
+        p = nm / (nv.astype(np.float64) * k) + 1e-7
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype(np.int64),
+                "n_vectors": nv,
+                "purity": np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5)
+                / 1e6,
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
