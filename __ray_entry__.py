@@ -4916,6 +4916,23 @@ def _q_embeddings_knn_purity(sf_dir: str):
     return knn_purity(emb, k=10)
 
 
+def _q_events_trimmed_mean(sf_dir: str):
+    """Grouped 10% trimmed mean (round-5 addition): drop the
+    floor(0.1n) smallest/largest observations per event type and
+    average the middle on exact integer cents -- the count-based
+    robust estimator completing the median/MAD/winsorize family.
+    Oracle: row_number rank filter + the same exact-cents division."""
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_trimmed_mean
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return grouped_trimmed_mean(ev, "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5250,6 +5267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_survival": _q_events_purchase_survival,
         "events_markov_top1": _q_events_markov_top1,
         "embeddings_knn_purity": _q_embeddings_knn_purity,
+        "events_trimmed_mean": _q_events_trimmed_mean,
     }
 
 
@@ -8310,5 +8328,28 @@ SELECT CAST(qlab AS BIGINT) AS label,
        ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 10) + 0.0000001, 6)
            AS purity
 FROM t GROUP BY 1
+""",
+        "events_trimmed_mean": """
+WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+f AS (SELECT event_type, c, n FROM r
+      WHERE rn > CAST(FLOOR(0.1 * n) AS BIGINT)
+        AND rn <= n - CAST(FLOOR(0.1 * n) AS BIGINT)),
+t AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_trimmed,
+             CAST(SUM(c) AS DOUBLE) / (100.0 * COUNT(*)) AS tm
+      FROM f GROUP BY 1),
+a AS (SELECT event_type,
+             CAST(SUM(c) AS DOUBLE) / (100.0 * COUNT(*)) AS mn
+      FROM c GROUP BY 1)
+SELECT t.event_type, t.n, t.n_trimmed,
+       ROUND(t.tm + 0.0000001, 6) AS trimmed_mean,
+       ROUND(a.mn + 0.0000001, 6) AS mean
+FROM t JOIN a USING (event_type)
 """,
     }

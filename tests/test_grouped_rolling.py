@@ -649,3 +649,42 @@ class TestInterpolateGaps:
                                col="x", t_col="t").to_pandas()
         got = got.sort_values("i").reset_index(drop=True)
         assert got.loc[1, "x_interp"] == 15.0
+
+
+def test_grouped_trimmed_mean_hand_and_brute(ray_session):
+    import ray.data as rd
+
+    from tsfeatures_ray.functions.grouped import grouped_trimmed_mean
+
+    # hand case: 10 values, trim 0.1 drops exactly min and max
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 10,
+            "v": [100.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, -50.0],
+        }
+    )
+    got = grouped_trimmed_mean(
+        rd.from_pandas(df), "g", "v"
+    ).to_pandas()
+    assert got.loc[0, "n"] == 10 and got.loc[0, "n_trimmed"] == 8
+    assert got.loc[0, "trimmed_mean"] == 4.5  # mean of 1..8
+    # brute parity on random groups (ties included via rounding)
+    rng = np.random.RandomState(91)
+    big = pd.DataFrame(
+        {
+            "g": rng.choice(list("xyz"), 900),
+            "v": np.round(rng.gamma(2, 20, 900), 1),
+        }
+    )
+    out = grouped_trimmed_mean(
+        rd.from_pandas(big), "g", "v", trim=0.2
+    ).to_pandas().set_index("g")
+    for g, gg in big.groupby("g"):
+        c = np.sort(np.rint(gg["v"].to_numpy() * 100).astype(np.int64))
+        cut = int(np.floor(0.2 * len(c)))
+        want = c[cut: len(c) - cut].sum() / (100 * (len(c) - 2 * cut))
+        assert out.loc[g, "trimmed_mean"] == pytest.approx(want, abs=2e-6)
+    from tsfeatures_ray.functions.grouped import grouped_trimmed_mean as f
+
+    with pytest.raises(ValueError):
+        f(None, "g", "v", trim=0.5)

@@ -70,6 +70,7 @@ from .grouped import (  # noqa: F401
     grouped_quantiles,
     grouped_regr,
     grouped_top_k,
+    grouped_trimmed_mean,
     winsorize,
 )
 from .sketches import approx_top_tokens, distinct_overlap  # noqa: F401

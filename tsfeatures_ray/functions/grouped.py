@@ -735,3 +735,67 @@ def grouped_mad(
         .groupby("__part")
         .map_groups(mad, batch_format="pandas")
     )
+
+
+def grouped_trimmed_mean(
+    ds,
+    keys: str | list[str],
+    col: str,
+    trim: float = 0.1,
+    scale: int = 100,
+    num_parts: int | None = None,
+):
+    """Per-group COUNT-based trimmed mean: drop the floor(trim * n)
+    smallest and largest OBSERVATIONS (ties resolved by position in
+    the sorted order, the classic estimator -- value-based clamping is
+    ``winsorize``) and average the middle on exact integer cents, so
+    the one division matches SQL bit-for-bit. Emits (keys..., n,
+    n_trimmed, trimmed_mean, mean) -- the raw mean rides along for
+    contrast. Groups with n - 2*floor(trim*n) < 1 emit NaN means.
+
+    Scale shape: same co-locating ``hash % num_parts`` exchange as
+    grouped_quantiles (exact order statistics need the group's values
+    together; see histogram_quantiles for the too-wide-group path)."""
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("trim must be in [0, 0.5)")
+    if num_parts is None:
+        num_parts = default_num_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[kcols + [col]].copy()
+        out["part"] = _part_of(out, kcols, num_parts)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, gg in g.groupby(kcols, sort=True):
+            c = np.sort(
+                np.rint(gg[col].to_numpy(dtype=np.float64) * scale).astype(
+                    np.int64
+                )
+            )
+            n = len(c)
+            cut = int(np.floor(trim * n))
+            mid = c[cut: n - cut]
+            tm = (
+                float(mid.sum()) / (scale * len(mid)) + 1e-7
+                if len(mid)
+                else np.nan
+            )
+            mn = float(c.sum()) / (scale * n) + 1e-7
+            key_vals = kv if isinstance(kv, tuple) else (kv,)
+            rows.append(
+                (*key_vals, n, len(mid),
+                 np.sign(tm) * np.floor(np.abs(tm) * 1e6 + 0.5) / 1e6,
+                 np.sign(mn) * np.floor(np.abs(mn) * 1e6 + 0.5) / 1e6)
+            )
+        return pd.DataFrame(
+            rows, columns=kcols + ["n", "n_trimmed", "trimmed_mean", "mean"]
+        ).astype({"n": np.int64, "n_trimmed": np.int64})
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
